@@ -1,0 +1,25 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+All sharding/collective code is exercised on a host-platform mesh so the
+suite runs anywhere (SURVEY.md §4: CPU-mesh fake-backend tests).  Must run
+before jax is first imported anywhere in the test session.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def mesh8():
+    import jax
+    from jax.sharding import Mesh
+    import numpy as np
+
+    devices = np.asarray(jax.devices()).reshape(4, 2)
+    return Mesh(devices, axis_names=("data", "model"))
