@@ -1,0 +1,52 @@
+"""Parity of the JAX LLaMA against HF torch LlamaForCausalLM
+(random-init, tiny config — no downloads)."""
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+transformers = pytest.importorskip("transformers")
+
+import jax.numpy as jnp  # noqa: E402
+
+from matryoshka_mm_tpu.models.llama import LlamaConfig, llama_logits  # noqa: E402
+from matryoshka_mm_tpu.models.convert import convert_llama, merge_lora  # noqa: E402
+
+CFG = LlamaConfig(
+    vocab_size=128, hidden_size=32, intermediate_size=64,
+    num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+    max_position_embeddings=64, dtype="float32",
+)
+
+
+@pytest.fixture(scope="module")
+def hf_model():
+    hf_cfg = transformers.LlamaConfig(
+        vocab_size=128, hidden_size=32, intermediate_size=64,
+        num_hidden_layers=3, num_attention_heads=4, num_key_value_heads=4,
+        max_position_embeddings=64, rms_norm_eps=1e-5, attn_implementation="eager",
+    )
+    torch.manual_seed(0)
+    return transformers.LlamaForCausalLM(hf_cfg).eval()
+
+
+def test_logits_match(hf_model):
+    params = convert_llama(hf_model.state_dict(), CFG)
+    ids = np.array([[3, 14, 15, 92, 65, 35, 89, 79]], dtype=np.int64)
+    with torch.no_grad():
+        want = hf_model(torch.from_numpy(ids)).logits.numpy()
+    got = np.asarray(llama_logits(params, CFG, jnp.asarray(ids, jnp.int32)))
+    np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_merge_lora_math():
+    base = {"model.layers.0.self_attn.q_proj.weight": np.eye(4, dtype=np.float32)}
+    lora = {
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_A.default.weight":
+            np.ones((2, 4), np.float32),
+        "base_model.model.model.layers.0.self_attn.q_proj.lora_B.default.weight":
+            np.ones((4, 2), np.float32),
+    }
+    merged = merge_lora(base, lora, scaling=0.5)
+    want = np.eye(4) + 0.5 * (np.ones((4, 2)) @ np.ones((2, 4)))
+    np.testing.assert_allclose(merged["model.layers.0.self_attn.q_proj.weight"], want)
