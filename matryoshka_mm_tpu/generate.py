@@ -1,0 +1,361 @@
+"""Autoregressive generation.
+
+TPU-native replacement for the reference's patched HF ``greedy_search``
+(reference: llava/model/language_model/generationmixin_patch.py:15-361) and
+``LlavaLlamaForCausalLM.generate`` (llava_llama.py:516-627):
+
+* prefill and decode are jitted functions over a fixed-capacity KV cache;
+* decoding runs in chunks of ``lax.scan`` steps fully on device (no
+  per-token host round trip), with host-side stop-string/EOS checks
+  between chunks;
+* the ``ver=v2`` combine-logits mode runs the K scale streams as one
+  batched forward (scales folded into the batch axis, left-padded to a
+  common length) instead of K serial forwards per step;
+* greedy is exact argmax (temperature-0 eval parity, docs/Evaluation.md:4);
+  sampling supports temperature / top-p.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import lru_cache, partial
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .kvconfig import parse_kv_from_string, parse_list
+from .models.llama import KVCache, embed_tokens, init_kv_cache, llama_forward, lm_head
+from .models.llava import LlavaConfig, prepare_multimodal, project
+
+
+@dataclasses.dataclass(frozen=True)
+class GenerationConfig:
+    max_new_tokens: int = 128
+    temperature: float = 0.0
+    top_p: float = 1.0
+    do_sample: bool = False
+    eos_token_id: int = 2
+    pad_token_id: int = 0
+    decode_chunk: int = 32
+
+
+# ---------------------------------------------------------------------------
+# jitted building blocks (cached per static signature)
+# ---------------------------------------------------------------------------
+
+@lru_cache(maxsize=64)
+def _prefill_fn(cfg: LlavaConfig, numtoks: int, out_len: int, capacity: int):
+    @jax.jit
+    def prefill(params, input_ids, pixel_values):
+        spliced, gating_prob = prepare_multimodal(
+            params, cfg, input_ids, pixel_values, numtoks=numtoks,
+            out_len=out_len, padding_side="left")
+        B, L, _ = spliced.embeds.shape
+        cache = init_kv_cache(cfg.llama, B, capacity,
+                              dtype=jnp.dtype(cfg.llama.dtype))
+        hidden, cache = llama_forward(
+            params["llama"], cfg.llama, spliced.embeds,
+            position_ids=spliced.position_ids, attn_valid=spliced.attn_mask,
+            cache=cache)
+        logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
+        lengths = jnp.minimum(spliced.lengths, L)
+        return logits, cache, lengths, gating_prob
+
+    return prefill
+
+
+@lru_cache(maxsize=64)
+def _prefill_text_fn(cfg: LlavaConfig, text_len: int, capacity: int):
+    @jax.jit
+    def prefill(params, input_ids, attn_mask):
+        B, T = input_ids.shape
+        embeds = embed_tokens(params["llama"], input_ids)
+        pos = jnp.maximum(jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1, 0)
+        cache = init_kv_cache(cfg.llama, B, capacity,
+                              dtype=jnp.dtype(cfg.llama.dtype))
+        hidden, cache = llama_forward(
+            params["llama"], cfg.llama, embeds, position_ids=pos,
+            attn_valid=attn_mask, cache=cache)
+        logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
+        lengths = attn_mask.sum(axis=1)
+        return logits, cache, lengths
+
+    return prefill
+
+
+def _select_token(logits, gen_cfg: GenerationConfig, rng):
+    """Greedy argmax or temperature/top-p sample from (B, V) logits."""
+    if not gen_cfg.do_sample or gen_cfg.temperature == 0.0:
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), rng
+    logits = logits / gen_cfg.temperature
+    if gen_cfg.top_p < 1.0:
+        sorted_logits = jnp.sort(logits, axis=-1)[:, ::-1]
+        probs = jax.nn.softmax(sorted_logits, axis=-1)
+        cum = jnp.cumsum(probs, axis=-1)
+        cutoff_idx = jnp.sum(cum < gen_cfg.top_p, axis=-1, keepdims=True)
+        cutoff = jnp.take_along_axis(sorted_logits, cutoff_idx, axis=-1)
+        logits = jnp.where(logits < cutoff, -jnp.inf, logits)
+    rng, sub = jax.random.split(rng)
+    return jax.random.categorical(sub, logits, axis=-1).astype(jnp.int32), rng
+
+
+@lru_cache(maxsize=64)
+def _decode_chunk_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
+    @jax.jit
+    def decode(params, cache: KVCache, first_token, lengths, finished, rng):
+        """Run `steps` greedy/sampled tokens fully on device."""
+
+        def step(carry, t):
+            cache, token, lengths, finished, rng = carry
+            embeds = embed_tokens(params["llama"], token[:, None])
+            pos = (lengths + t)[:, None]
+            hidden, cache = llama_forward(
+                params["llama"], cfg.llama, embeds, position_ids=pos,
+                attn_valid=~finished[:, None], cache=cache)
+            logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
+            nxt, rng2 = _select_token(logits, gen_cfg, rng)
+            nxt = jnp.where(finished, gen_cfg.pad_token_id, nxt)
+            finished = finished | (nxt == gen_cfg.eos_token_id)
+            return (cache, nxt, lengths, finished, rng2), nxt
+
+        (cache, token, lengths, finished, rng), toks = jax.lax.scan(
+            step, (cache, first_token, lengths, finished, rng),
+            jnp.arange(steps))
+        return cache, token, finished, toks.T  # (B, steps)
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# v2 combine-logits decode (reference: generationmixin_patch.py:175-270)
+# ---------------------------------------------------------------------------
+
+def _combine_logits(logits_k: jnp.ndarray, kvs) -> jnp.ndarray:
+    """(K, B, V) per-scale logits -> (B, V) combined."""
+    if "betas" in kvs:
+        betas = jnp.asarray([float(b) for b in parse_list(kvs["betas"])],
+                            logits_k.dtype)
+        combined = jnp.einsum("k,kbv->bv", betas, logits_k)
+        gamma = float(kvs.get("gamma", 0))
+        if gamma > 0:
+            cutoff = jnp.log(gamma) + combined.max(axis=-1, keepdims=True)
+            combined = jnp.where(logits_k[-1] < cutoff, -jnp.inf, combined)
+        return combined
+    if kvs.get("pickby") == "entropy":
+        probs = jax.nn.softmax(logits_k, axis=-1)
+        logprobs = jax.nn.log_softmax(logits_k, axis=-1)
+        entropy = -jnp.sum(probs * logprobs, axis=-1)          # (K, B)
+        best = jnp.argmin(entropy, axis=0)                     # (B,)
+        return jnp.take_along_axis(
+            logits_k, best[None, :, None], axis=0)[0]
+    raise ValueError("v2 spec needs betas=... or pickby=entropy")
+
+
+@lru_cache(maxsize=16)
+def _decode_chunk_combine_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
+                             steps: int, spec: str, K: int):
+    kvs = parse_kv_from_string(spec)
+
+    @jax.jit
+    def decode(params, cache: KVCache, first_token, lengths, finished, rng):
+        """cache batch axis is K*B (scale-major); one shared token stream."""
+
+        def step(carry, t):
+            cache, token, lengths, finished, rng = carry
+            B = token.shape[0]
+            token_kb = jnp.tile(token, (K,))                   # (K*B,)
+            embeds = embed_tokens(params["llama"], token_kb[:, None])
+            pos = (lengths + t)[:, None]                       # (K*B, 1)
+            fin_kb = jnp.tile(finished, (K,))
+            hidden, cache = llama_forward(
+                params["llama"], cfg.llama, embeds, position_ids=pos,
+                attn_valid=~fin_kb[:, None], cache=cache)
+            logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
+            logits_k = logits.reshape(K, B, -1)
+            combined = _combine_logits(logits_k, kvs)
+            nxt, rng2 = _select_token(combined, gen_cfg, rng)
+            nxt = jnp.where(finished, gen_cfg.pad_token_id, nxt)
+            finished = finished | (nxt == gen_cfg.eos_token_id)
+            return (cache, nxt, lengths, finished, rng2), nxt
+
+        (cache, token, lengths, finished, rng), toks = jax.lax.scan(
+            step, (cache, first_token, lengths, finished, rng),
+            jnp.arange(steps))
+        return cache, token, finished, toks.T
+
+    return decode
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def generate(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: np.ndarray,                       # (B, T)
+    pixel_values: Optional[np.ndarray] = None,   # (B, 3, H, W)
+    *,
+    matryoshka_vis_token_scale: Optional[str] = None,
+    gen_cfg: GenerationConfig = GenerationConfig(),
+    stopping_criteria=None,
+    rng: Optional[jax.Array] = None,
+) -> np.ndarray:
+    """Generate token ids; returns (B, <=max_new_tokens) generated suffixes.
+
+    Mirrors ``LlavaLlamaForCausalLM.generate`` semantics including the M3
+    scale knob: ``ver=v0_numtoks=N`` fixed scale,
+    ``ver=v0_numtoks=gateprobargmax`` router-picked scale (batch 1), and
+    ``ver=v2_...`` multi-stream logit combination.
+    """
+    input_ids = jnp.asarray(np.asarray(input_ids, np.int32))
+    B, T = input_ids.shape
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    combine = False
+    numtoks = None
+    if matryoshka_vis_token_scale:
+        kvs = parse_kv_from_string(matryoshka_vis_token_scale)
+        if kvs["ver"] == "v2":
+            combine = True
+        elif kvs["numtoks"] == "gateprobargmax":
+            # Router argmax picks the scale (inference, batch 1):
+            # llava_arch.py:466-471.
+            if B != 1:
+                raise ValueError("gateprobargmax supports batch_size=1 only")
+            gp = np.asarray(gating_probs(params, cfg, pixel_values))
+            numtoks = cfg.tokscale_list[int(gp[0].argmax())]
+        else:
+            numtoks = int(kvs["numtoks"])
+
+    if pixel_values is None:
+        text_cap = _round_up(T, 64)
+        capacity = text_cap + gen_cfg.max_new_tokens
+        pad = text_cap - T
+        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
+        mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
+        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
+            params, ids_p, mask)
+        first, rng = _select_token(logits, gen_cfg, rng)
+        return _decode_loop(params, cfg, gen_cfg, cache, first, lengths,
+                            rng, stopping_criteria)
+
+    pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
+
+    if not combine:
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        L = _round_up(T - 1 + n, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, input_ids, pixel_values)
+        # left-padded prefill: slots [L - len, L); decode continues at L
+        first, rng = _select_token(logits, gen_cfg, rng)
+        return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
+                            stopping_criteria)
+
+    # ---- v2 combine-logits: K parallel scale streams ----
+    tokscales = [int(x) for x in parse_list(kvs["numtoks"])]
+    K = len(tokscales)
+    L = _round_up(T - 1 + max(tokscales), 64)
+    capacity = L + gen_cfg.max_new_tokens
+
+    logits_list, caches = [], []
+    for n in tokscales:
+        lg, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, input_ids, pixel_values)
+        logits_list.append(lg)
+        caches.append(cache)
+    # Stack scale streams into the batch axis (scale-major).  KVCache leaves:
+    # k/v are (n_layers, B, S, ...) -> concat axis=1; valid/positions are
+    # (B, S) -> concat axis=0; write_idx is a shared scalar.
+    cache_kb = KVCache(
+        k=jnp.concatenate([c.k for c in caches], axis=1),
+        v=jnp.concatenate([c.v for c in caches], axis=1),
+        valid=jnp.concatenate([c.valid for c in caches], axis=0),
+        positions=jnp.concatenate([c.positions for c in caches], axis=0),
+        write_idx=caches[0].write_idx,
+    )
+    lengths_kb = jnp.tile(lengths, (K,))
+    logits_k = jnp.stack(logits_list)                          # (K, B, V)
+    combined = _combine_logits(logits_k, kvs)
+    first, rng = _select_token(combined, gen_cfg, rng)
+
+    finished = first == gen_cfg.eos_token_id
+    out_tokens = [np.asarray(first)[:, None]]
+    steps_done = 1
+    decode = _decode_chunk_combine_fn(cfg, gen_cfg, gen_cfg.decode_chunk,
+                                      matryoshka_vis_token_scale, K)
+    token = first
+    while steps_done < gen_cfg.max_new_tokens:
+        nsteps = min(gen_cfg.decode_chunk, gen_cfg.max_new_tokens - steps_done)
+        if nsteps < gen_cfg.decode_chunk:
+            decode = _decode_chunk_combine_fn(
+                cfg, gen_cfg, nsteps, matryoshka_vis_token_scale, K)
+        rng, sub = jax.random.split(rng)
+        cache_kb, token, finished, toks = decode(
+            params, cache_kb, token, lengths_kb, finished, sub)
+        out_tokens.append(np.asarray(toks))
+        steps_done += nsteps
+        if bool(np.asarray(finished).all()):
+            break
+        if stopping_criteria is not None:
+            flat = np.concatenate(out_tokens, axis=1)
+            if stopping_criteria(list(flat[0])):
+                break
+    return _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
+
+
+def _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
+                 stopping_criteria):
+    finished = first == gen_cfg.eos_token_id
+    out_tokens = [np.asarray(first)[:, None]]
+    steps_done = 1
+    token = first
+    while steps_done < gen_cfg.max_new_tokens:
+        nsteps = min(gen_cfg.decode_chunk, gen_cfg.max_new_tokens - steps_done)
+        decode = _decode_chunk_fn(cfg, gen_cfg, nsteps)
+        rng, sub = jax.random.split(rng)
+        cache, token, finished, toks = decode(
+            params, cache, token, lengths, finished, sub)
+        out_tokens.append(np.asarray(toks))
+        steps_done += nsteps
+        if bool(np.asarray(finished).all()):
+            break
+        if stopping_criteria is not None:
+            flat = np.concatenate(out_tokens, axis=1)
+            if stopping_criteria(list(flat[0])):
+                break
+    return _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
+
+
+def _trim(tokens: np.ndarray, gen_cfg: GenerationConfig) -> np.ndarray:
+    """Cut everything at/after the first EOS per row (pad after)."""
+    out = tokens.copy()
+    for b in range(out.shape[0]):
+        eos = np.where(out[b] == gen_cfg.eos_token_id)[0]
+        if eos.size:
+            out[b, eos[0]:] = gen_cfg.pad_token_id
+    return out
+
+
+@lru_cache(maxsize=8)
+def _gating_fn(cfg: LlavaConfig):
+    @jax.jit
+    def run(params, pixel_values):
+        from .models.llava import encode_images, router_forward
+
+        outs = encode_images(params, cfg, pixel_values)
+        return router_forward(params, cfg, outs)
+
+    return run
+
+
+def gating_probs(params, cfg: LlavaConfig, pixel_values) -> jnp.ndarray:
+    """(B, K) router probabilities for scale selection."""
+    return _gating_fn(cfg)(params, jnp.asarray(np.asarray(pixel_values, np.float32)))
