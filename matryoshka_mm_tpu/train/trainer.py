@@ -1,0 +1,74 @@
+"""Trainer: sharded train state + jitted update step.
+
+The TPU-native replacement for ``LLaVATrainer`` + DeepSpeed
+(reference: llava/train/llava_trainer.py:254-810, scripts/zero3.json):
+
+* ``TrainState`` = params + optax state + step + argmaxcost EMA buffer;
+* ``make_train_step`` returns one jitted function computing the full M3
+  objective, gradients, and the optimizer update.  Parameters placed with
+  ``parallel.shard_params`` keep their FSDP/TP NamedShardings through the
+  step (ZeRO-equivalent without gather hooks — XLA inserts the
+  all-gather/reduce-scatter collectives);
+* metrics come back as a device dict per step (the reference's wandb
+  logging surface, llava_trainer.py:457-499).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.llava import LlavaConfig
+from .optimizer import OptimizerConfig, build_optimizer
+from .train_step import M3Batch, m3_loss
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    # argmaxcost EMA buffer (reference: llava_arch.py:42-53); negative value
+    # means "uninitialized" (first update adopts the batch statistic).
+    argmaxcost_ema: jnp.ndarray
+
+
+def create_train_state(params, opt_cfg: OptimizerConfig
+                       ) -> Tuple[TrainState, optax.GradientTransformation]:
+    tx = build_optimizer(params, opt_cfg)
+    opt_state = tx.init(params)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=opt_state,
+        argmaxcost_ema=jnp.full((), -1.0, jnp.float32),
+    )
+    return state, tx
+
+
+def make_train_step(cfg: LlavaConfig, tx: optax.GradientTransformation,
+                    donate: bool = True):
+    """Build the jitted (state, batch) -> (state, metrics) update."""
+
+    def step_fn(state: TrainState, batch: M3Batch):
+        def loss_fn(params):
+            return m3_loss(params, cfg, batch,
+                           argmaxcost_ema=state.argmaxcost_ema)
+
+        (loss, metrics), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_ema = metrics.pop("_state/argmaxcost_ema", state.argmaxcost_ema)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = TrainState(state.step + 1, new_params, new_opt_state,
+                               jnp.asarray(new_ema, jnp.float32))
+        return new_state, metrics
+
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def host_metrics(metrics: Dict[str, jnp.ndarray]) -> Dict[str, float]:
+    return {k: float(v) for k, v in metrics.items()}
