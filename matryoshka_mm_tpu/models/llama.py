@@ -101,7 +101,9 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
     keys = jax.random.split(rng, 4)
 
     def dense(key, in_dim, out_dim):
-        return (jax.random.normal(key, (in_dim, out_dim), jnp.float32) * 0.02).astype(dtype)
+        # generate directly in the target dtype: avoids a full-size f32
+        # intermediate per leaf (matters when initializing 7B bf16 on-chip)
+        return jax.random.normal(key, (in_dim, out_dim), dtype) * jnp.asarray(0.02, dtype)
 
     def layer(key):
         ks = jax.random.split(key, 7)

@@ -110,7 +110,7 @@ class LlavaConfig:
         scales = "[1,9,36,144,576]"
         return cls(
             llama=LlamaConfig.vicuna_7b(),
-            vision=ClipVisionConfig.vit_l_14_336(),
+            vision=ClipVisionConfig.vit_l_14_336(dtype="bfloat16"),
             preset=M3Preset(matryoshka_vis_token_scale=f"ver=v0_numtoks={scales}", moe=moe),
             tokenizer_model_max_length=2048,
             router_feature_types=("cls",) if moe else (),

@@ -1,0 +1,369 @@
+"""Pallas TPU flash attention.
+
+The framework's replacement for the reference's flash-attn / xformers CUDA
+kernels (reference: llava/train/llama_flash_attn_monkey_patch.py:1-115,
+llama_xformers_attn_monkey_patch.py) — an online-softmax tiled attention
+that never materializes the (Sq, Sk) score matrix in HBM.
+
+Forward and backward are Pallas kernels with a custom VJP (training-ready).
+Key design points for the v5e:
+
+* grid (B, H, num_q_blocks, num_kv_blocks) with the kv axis innermost —
+  TPU grid steps run sequentially per core, so the f32 accumulator / row
+  max / row sum live in VMEM scratch across kv iterations;
+* 128x128 blocks feed the MXU directly; bf16 inputs, f32 accumulation;
+* causality is index-based (valid for the monotonic position layouts the
+  splice produces) plus an explicit kv-validity mask for padding;
+* causal upper-triangle kv blocks are skipped with ``pl.when``;
+* GQA is handled in the wrapper (kv heads expanded for the kernel, grads
+  summed back over the group).
+
+Falls back to interpret mode off-TPU so the same code path is unit-tested
+on CPU against the jnp reference.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+DEFAULT_BLOCK_Q = 128
+DEFAULT_BLOCK_K = 128
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+# ---------------------------------------------------------------------------
+# forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
+                acc_ref, m_ref, l_ref, *, scale: float, causal: bool,
+                block_q: int, block_k: int, num_kv_blocks: int):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]                       # (BQ, Dh)
+        k = k_ref[0, 0]                       # (BK, Dh)
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+
+        kv_ok = kvmask_ref[0, 0] != 0         # (BK,)
+        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+            mask = mask & (cols <= rows)
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]                # (BQ, 1)
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)                # (BQ, BK) f32
+        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+
+        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        safe_l = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
+        lse_ref[0, 0, 0] = (m_ref[:, 0] + jnp.log(safe_l[:, 0]))
+
+
+def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k):
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    nq, nk = Sq // block_q, Sk // block_k
+
+    grid = (B, H, nq, nk)
+    kernel = functools.partial(
+        _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
+        block_k=block_k, num_kv_blocks=nk)
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, Sq, Dh), q.dtype),
+            jax.ShapeDtypeStruct((B, H, 1, Sq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_q, Dh), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((block_q, 128), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, kv_mask)
+    return out, lse
+
+
+# ---------------------------------------------------------------------------
+# backward kernels
+# ---------------------------------------------------------------------------
+
+def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
+                   dq_ref, dq_acc, *, scale, causal, block_q, block_k,
+                   num_kv_blocks):
+    iq = pl.program_id(2)
+    ik = pl.program_id(3)
+
+    @pl.when(ik == 0)
+    def _init():
+        dq_acc[:] = jnp.zeros_like(dq_acc)
+
+    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0]                # (BQ,)
+        delta = delta_ref[0, 0, 0]            # (BQ,)
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_ok = kvmask_ref[0, 0] != 0
+        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+            mask = mask & (cols <= rows)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)        # (BQ, BK)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale                     # (BQ, BK)
+        dq_acc[:] += jax.lax.dot_general(
+            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(ik == num_kv_blocks - 1)
+    def _finalize():
+        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+
+
+def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
+                    dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
+                    block_q, block_k, num_q_blocks):
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+
+    @pl.when(iq == 0)
+    def _init():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0]
+        lse = lse_ref[0, 0, 0]
+        delta = delta_ref[0, 0, 0]
+
+        s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale
+        kv_ok = kvmask_ref[0, 0] != 0
+        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
+            mask = mask & (cols <= rows)
+        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
+
+        # dV += P^T @ dO
+        dv_acc[:] += jax.lax.dot_general(
+            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
+                                 preferred_element_type=jnp.float32)
+        ds = p * (dp - delta[:, None]) * scale
+        # dK += dS^T @ Q
+        dk_acc[:] += jax.lax.dot_general(
+            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+
+    @pl.when(iq == num_q_blocks - 1)
+    def _finalize():
+        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
+              block_q, block_k):
+    B, H, Sq, Dh = q.shape
+    Sk = k.shape[2]
+    nq, nk = Sq // block_q, Sk // block_k
+
+    delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32),
+                    axis=-1)[:, :, None, :]               # (B, H, 1, Sq)
+
+    dq = pl.pallas_call(
+        functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, num_kv_blocks=nk),
+        grid=(B, H, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
+        ],
+        out_specs=pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+        out_shape=jax.ShapeDtypeStruct(q.shape, q.dtype),
+        scratch_shapes=[pltpu.VMEM((block_q, Dh), jnp.float32)],
+        interpret=_interpret(),
+    )(q, k, v, kv_mask, do, lse, delta)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
+                          block_q=block_q, block_k=block_k, num_q_blocks=nq),
+        grid=(B, H, nk, nq),
+        in_specs=[
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, ik, iq: (b, 0, ik)),
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(k.shape, k.dtype),
+            jax.ShapeDtypeStruct(v.shape, v.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_k, Dh), jnp.float32),
+            pltpu.VMEM((block_k, Dh), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(q, k, v, kv_mask, do, lse, delta)
+    return dq, dk, dv
+
+
+# ---------------------------------------------------------------------------
+# padded/custom-vjp wrapper
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _flash(q, k, v, kv_mask, scale, causal, block_q, block_k):
+    out, _ = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
+                       block_q=block_q, block_k=block_k)
+    return out
+
+
+def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k):
+    out, lse = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
+                         block_q=block_q, block_k=block_k)
+    return out, (q, k, v, kv_mask, out, lse)
+
+
+def _flash_bwd(scale, causal, block_q, block_k, res, do):
+    q, k, v, kv_mask, out, lse = res
+    dq, dk, dv = _bwd_call(q, k, v, kv_mask, out, lse, do, scale=scale,
+                           causal=causal, block_q=block_q, block_k=block_k)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,                          # (B, H, Sq, Dh)
+    k: jnp.ndarray,                          # (B, Hkv, Sk, Dh)
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    q_positions=None,                        # accepted for API parity;
+    kv_positions=None,                       # causality is index-based
+    kv_valid: Optional[jnp.ndarray] = None,  # (B, Sk) bool
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> jnp.ndarray:
+    """Flash attention with padding mask and index-based causality.
+
+    Requirement (met by every splice/prefill layout in this framework):
+    per-row positions are monotone in sequence index, so ``kv index <= q
+    index`` is equivalent to position causality once padding is masked.
+    """
+    B, H, Sq, Dh = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    scale = Dh ** -0.5
+
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, Sk), bool)
+
+    if Hkv != H:  # GQA: expand for the kernel, fold grads in the vjp chain
+        group = H // Hkv
+        k = jnp.repeat(k, group, axis=1)
+        v = jnp.repeat(v, group, axis=1)
+
+    # pad head dim to the 128-lane register width, sequences to block size
+    Dh_p = max(_round_up(Dh, 128), 128)
+    Sq_p = _round_up(Sq, block_q)
+    Sk_p = _round_up(Sk, block_k)
+    padded = (Dh_p != Dh) or (Sq_p != Sq) or (Sk_p != Sk)
+    if padded:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, Dh_p - Dh)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, Dh_p - Dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, Dh_p - Dh)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sk_p - Sk)))
+
+    out = _flash(q, k, v, kv_valid.astype(jnp.int32)[:, None, :], scale,
+                 causal, block_q, block_k)
+
+    if padded:
+        out = out[:, :, :Sq, :Dh]
+    return out
