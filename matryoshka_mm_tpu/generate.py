@@ -311,6 +311,73 @@ def generate(
     return _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
 
 
+def stream_generate(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: np.ndarray,
+    pixel_values: Optional[np.ndarray] = None,
+    *,
+    matryoshka_vis_token_scale: Optional[str] = None,
+    gen_cfg: GenerationConfig = GenerationConfig(),
+    rng: Optional[jax.Array] = None,
+):
+    """Generator yielding the cumulative generated ids after every decode
+    chunk — the TPU equivalent of HF's TextIteratorStreamer thread in the
+    reference worker (reference: llava/serve/model_worker.py:179-189)."""
+    input_ids = jnp.asarray(np.asarray(input_ids, np.int32))
+    B, T = input_ids.shape
+    rng = rng if rng is not None else jax.random.PRNGKey(0)
+
+    numtoks = None
+    if matryoshka_vis_token_scale:
+        kvs = parse_kv_from_string(matryoshka_vis_token_scale)
+        if kvs["ver"] == "v2":
+            # stream chunks through the blocking path (combine mode)
+            yield generate(params, cfg, np.asarray(input_ids), pixel_values,
+                           matryoshka_vis_token_scale=matryoshka_vis_token_scale,
+                           gen_cfg=gen_cfg, rng=rng)
+            return
+        if kvs["numtoks"] == "gateprobargmax":
+            gp = np.asarray(gating_probs(params, cfg, pixel_values))
+            numtoks = cfg.tokscale_list[int(gp[0].argmax())]
+        else:
+            numtoks = int(kvs["numtoks"])
+
+    if pixel_values is None:
+        text_cap = _round_up(T, 64)
+        capacity = text_cap + gen_cfg.max_new_tokens
+        pad = text_cap - T
+        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
+        mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
+        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
+            params, ids_p, mask)
+    else:
+        pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        L = _round_up(T - 1 + n, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, input_ids, pixel_values)
+
+    first, rng = _select_token(logits, gen_cfg, rng)
+    finished = first == gen_cfg.eos_token_id
+    out_tokens = [np.asarray(first)[:, None]]
+    yield _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
+    steps_done = 1
+    token = first
+    while steps_done < gen_cfg.max_new_tokens:
+        nsteps = min(gen_cfg.decode_chunk, gen_cfg.max_new_tokens - steps_done)
+        decode = _decode_chunk_fn(cfg, gen_cfg, nsteps)
+        rng, sub = jax.random.split(rng)
+        cache, token, finished, toks = decode(
+            params, cache, token, lengths, finished, sub)
+        out_tokens.append(np.asarray(toks))
+        steps_done += nsteps
+        yield _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
+        if bool(np.asarray(finished).all()):
+            break
+
+
 def _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
                  stopping_criteria):
     finished = first == gen_cfg.eos_token_id

@@ -1,0 +1,296 @@
+"""Model worker: serves one model behind the controller protocol.
+
+Port of the reference worker (reference: llava/serve/model_worker.py:44-291):
+registration + 15s heartbeats with queue length, a semaphore concurrency
+limit, and ``/worker_generate_stream`` streaming cumulative text as
+``\\0``-delimited JSON.  Generation runs through the framework's chunked
+on-device decode (generate.stream_generate) instead of a torch thread +
+TextIteratorStreamer.
+"""
+
+from __future__ import annotations
+
+import argparse
+import asyncio
+import json
+import threading
+import time
+import uuid
+from functools import partial
+
+import numpy as np
+import requests
+
+from ..constants import (
+    DEFAULT_IM_END_TOKEN,
+    DEFAULT_IM_START_TOKEN,
+    DEFAULT_IMAGE_TOKEN,
+    IMAGE_TOKEN_INDEX,
+    WORKER_HEART_BEAT_INTERVAL,
+)
+from ..mm_utils import load_image_from_base64, process_images, tokenizer_image_token
+from ..models.builder import load_pretrained_model
+from ..utils.logging import build_logger, pretty_print_semaphore, server_error_msg
+
+GB = 1 << 30
+
+worker_id = str(uuid.uuid4())[:6]
+logger = build_logger("model_worker", f"model_worker_{worker_id}.log")
+global_counter = 0
+model_semaphore = None
+
+
+def heart_beat_worker(worker):
+    while True:
+        time.sleep(WORKER_HEART_BEAT_INTERVAL)
+        worker.send_heart_beat()
+
+
+class ModelWorker:
+    def __init__(self, controller_addr, worker_addr, worker_id, no_register,
+                 model_path, model_base, model_name,
+                 load_8bit=False, load_4bit=False, device="tpu",
+                 use_flash_attn=True, limit_model_concurrency=5):
+        self.controller_addr = controller_addr
+        self.worker_addr = worker_addr
+        self.worker_id = worker_id
+        self.limit_model_concurrency = limit_model_concurrency
+        if model_path.endswith("/"):
+            model_path = model_path[:-1]
+        if model_name is None:
+            model_paths = model_path.split("/")
+            if model_paths[-1].startswith("checkpoint-"):
+                self.model_name = model_paths[-2] + "_" + model_paths[-1]
+            else:
+                self.model_name = model_paths[-1]
+        else:
+            self.model_name = model_name
+
+        self.device = device
+        logger.info(f"Loading the model {self.model_name} on worker {worker_id} ...")
+        (self.tokenizer, self.model, self.image_processor,
+         self.context_len) = load_pretrained_model(
+            model_path, model_base, self.model_name, load_8bit, load_4bit,
+            device=device, use_flash_attn=use_flash_attn)
+        self.is_multimodal = ("llava" in self.model_name.lower()
+                              or model_path.startswith("debug://"))
+
+        if not no_register:
+            self.register_to_controller()
+            self.heart_beat_thread = threading.Thread(
+                target=heart_beat_worker, args=(self,), daemon=True)
+            self.heart_beat_thread.start()
+
+    def register_to_controller(self):
+        logger.info("Register to controller")
+        url = self.controller_addr + "/register_worker"
+        data = {"worker_name": self.worker_addr, "check_heart_beat": True,
+                "worker_status": self.get_status()}
+        r = requests.post(url, json=data)
+        assert r.status_code == 200
+
+    def send_heart_beat(self):
+        logger.info(f"Send heart beat. Models: {[self.model_name]}. "
+                    f"Semaphore: {pretty_print_semaphore(model_semaphore)}. "
+                    f"global_counter: {global_counter}")
+        url = self.controller_addr + "/receive_heart_beat"
+        while True:
+            try:
+                ret = requests.post(url, json={
+                    "worker_name": self.worker_addr,
+                    "queue_length": self.get_queue_length()}, timeout=5)
+                exist = ret.json()["exist"]
+                break
+            except requests.exceptions.RequestException as e:
+                logger.error(f"heart beat error: {e}")
+            time.sleep(5)
+        if not exist:
+            self.register_to_controller()
+
+    def get_queue_length(self):
+        if model_semaphore is None:
+            return 0
+        waiters = (len(model_semaphore._waiters)
+                   if model_semaphore._waiters is not None else 0)
+        return self.limit_model_concurrency - model_semaphore._value + waiters
+
+    def get_status(self):
+        return {"model_names": [self.model_name], "speed": 1,
+                "queue_length": self.get_queue_length()}
+
+    def generate_stream(self, params):
+        from ..generate import GenerationConfig, stream_generate
+
+        tokenizer = self.tokenizer
+        model = self.model
+
+        prompt = params["prompt"]
+        ori_prompt = prompt
+        images = params.get("images", None)
+        num_image_tokens = 0
+        pixel_values = None
+        if images is not None and len(images) > 0 and self.is_multimodal:
+            if len(images) != prompt.count(DEFAULT_IMAGE_TOKEN):
+                raise ValueError("Number of images does not match number of "
+                                 "<image> tokens in prompt")
+            images = [load_image_from_base64(image) for image in images]
+            pixel_values = process_images(images, self.image_processor,
+                                          model.config)
+            replace_token = DEFAULT_IMAGE_TOKEN
+            if getattr(model.config, "mm_use_im_start_end", False):
+                replace_token = (DEFAULT_IM_START_TOKEN + replace_token
+                                 + DEFAULT_IM_END_TOKEN)
+            prompt = prompt.replace(DEFAULT_IMAGE_TOKEN, replace_token)
+            num_image_tokens = (prompt.count(replace_token)
+                                * model.cfg.vision.num_patches)
+
+        matryoshka_vis_token_scale = params.get("matryoshka_vis_token_scale", None)
+        temperature = float(params.get("temperature", 1.0))
+        top_p = float(params.get("top_p", 1.0))
+        max_context_length = model.cfg.llama.max_position_embeddings
+        max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
+        stop_str = params.get("stop", None)
+        do_sample = temperature > 0.001
+
+        input_ids = np.asarray(
+            tokenizer_image_token(prompt, tokenizer, IMAGE_TOKEN_INDEX),
+            np.int32)[None, :]
+        max_new_tokens = min(max_new_tokens,
+                             max_context_length - input_ids.shape[-1]
+                             - num_image_tokens)
+        if max_new_tokens < 1:
+            yield json.dumps({
+                "text": ori_prompt + "Exceeds max token length. Please start "
+                        "a new conversation, thanks.",
+                "error_code": 0}).encode() + b"\0"
+            return
+
+        gen_cfg = GenerationConfig(
+            max_new_tokens=max_new_tokens, temperature=temperature,
+            top_p=top_p, do_sample=do_sample,
+            eos_token_id=getattr(tokenizer, "eos_token_id", 2),
+            pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+            decode_chunk=8)
+
+        for ids in stream_generate(
+                model.params, model.cfg, input_ids,
+                np.asarray(pixel_values, np.float32) if pixel_values is not None else None,
+                matryoshka_vis_token_scale=matryoshka_vis_token_scale,
+                gen_cfg=gen_cfg):
+            new_text = tokenizer.decode(
+                [int(t) for t in ids[0] if t != gen_cfg.pad_token_id],
+                skip_special_tokens=True)
+            generated_text = ori_prompt + new_text
+            if stop_str and generated_text.endswith(stop_str):
+                generated_text = generated_text[: -len(stop_str)]
+            yield json.dumps({"text": generated_text,
+                              "error_code": 0}).encode() + b"\0"
+
+    def generate_stream_gate(self, params):
+        try:
+            for x in self.generate_stream(params):
+                yield x
+        except ValueError as e:
+            print("Caught ValueError:", e)
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 1}).encode() + b"\0"
+        except Exception as e:
+            print("Caught Unknown Error", e)
+            yield json.dumps({"text": server_error_msg,
+                              "error_code": 1}).encode() + b"\0"
+
+
+def build_app(worker: ModelWorker):
+    from aiohttp import web
+
+    routes = web.RouteTableDef()
+
+    def release_model_semaphore(fn=None):
+        model_semaphore.release()
+        if fn is not None:
+            fn()
+
+    @routes.post("/worker_generate_stream")
+    async def generate_stream_endpoint(request):
+        global model_semaphore, global_counter
+        global_counter += 1
+        params = await request.json()
+
+        if model_semaphore is None:
+            model_semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
+        await model_semaphore.acquire()
+        worker.send_heart_beat()
+
+        resp = web.StreamResponse()
+        await resp.prepare(request)
+        try:
+            loop = asyncio.get_event_loop()
+            gen = worker.generate_stream_gate(params)
+            while True:
+                chunk = await loop.run_in_executor(None, lambda: next(gen, None))
+                if chunk is None:
+                    break
+                await resp.write(chunk)
+        finally:
+            release_model_semaphore(fn=worker.send_heart_beat)
+        await resp.write_eof()
+        return resp
+
+    @routes.post("/worker_get_status")
+    async def get_status(request):
+        return web.json_response(worker.get_status())
+
+    @routes.post("/count_token")
+    async def count_token(request):
+        params = await request.json()
+        prompt = params["prompt"]
+        try:
+            input_ids = worker.tokenizer(prompt).input_ids
+            ret = {"count": len(input_ids), "error_code": 0}
+        except Exception:
+            ret = {"count": 0, "error_code": 1}
+        return web.json_response(ret)
+
+    @routes.post("/model_details")
+    async def model_details(request):
+        return web.json_response({"context_length": worker.context_len})
+
+    app = web.Application(client_max_size=64 * 1024 * 1024)
+    app.add_routes(routes)
+    return app
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--host", type=str, default="localhost")
+    parser.add_argument("--port", type=int, default=21002)
+    parser.add_argument("--worker-address", type=str,
+                        default="http://localhost:21002")
+    parser.add_argument("--controller-address", type=str,
+                        default="http://localhost:21001")
+    parser.add_argument("--model-path", type=str, default="debug://tiny")
+    parser.add_argument("--model-base", type=str, default=None)
+    parser.add_argument("--model-name", type=str)
+    parser.add_argument("--device", type=str, default="tpu")
+    parser.add_argument("--limit-model-concurrency", type=int, default=5)
+    parser.add_argument("--stream-interval", type=int, default=1)
+    parser.add_argument("--no-register", action="store_true")
+    parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--load-4bit", action="store_true")
+    parser.add_argument("--use-flash-attn", action="store_true")
+    args = parser.parse_args()
+    logger.info(f"args: {args}")
+
+    worker = ModelWorker(args.controller_address, args.worker_address,
+                         worker_id, args.no_register, args.model_path,
+                         args.model_base, args.model_name, args.load_8bit,
+                         args.load_4bit, args.device,
+                         limit_model_concurrency=args.limit_model_concurrency)
+
+    from aiohttp import web
+
+    web.run_app(build_app(worker), host=args.host, port=args.port, print=None)
+
+
+if __name__ == "__main__":
+    main()
