@@ -203,6 +203,10 @@ def load_pretrained_model(
             cfg = LlavaConfig.llava_v15_7b_m3()
         else:
             raise ValueError(f"unknown debug model {which!r}")
+        # size the image front-end to the config's crop (tiny = 56px)
+        s = cfg.vision.image_size
+        image_processor = ClipImageProcessor(
+            size={"shortest_edge": s}, crop_size={"height": s, "width": s})
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
         return DebugTokenizer(), LlavaModel(params, cfg), image_processor, \
             cfg.tokenizer_model_max_length
