@@ -146,18 +146,27 @@ def _cfg_from_hf_config(d: dict) -> LlavaConfig:
 
 
 class DebugTokenizer:
-    """Deterministic whitespace/byte tokenizer for offline tests & benches."""
+    """Deterministic whitespace tokenizer for offline tests & benches.
+
+    legacy=True + </s> as its own token keeps the v1 target-masking length
+    arithmetic exact (per-round BOS stands in for the </s> separator, like
+    the original slow Llama tokenizer)."""
 
     bos_token_id = 1
     eos_token_id = 2
     pad_token_id = 0
     unk_token_id = 3
     model_max_length = 2048
-    legacy = False
+    legacy = True
+
+    def __init__(self, vocab_size: int = 32000):
+        self.vocab_size = vocab_size
 
     def __call__(self, text, **kw):
+        span = self.vocab_size - 100
         ids = [self.bos_token_id] + [
-            (hash(w) % 31000) + 100 for w in text.split()
+            self.eos_token_id if w == "</s>" else (hash(w) % span) + 100
+            for w in text.replace("</s>", " </s> ").split()
         ]
 
         class Out:
@@ -208,8 +217,8 @@ def load_pretrained_model(
         image_processor = ClipImageProcessor(
             size={"shortest_edge": s}, crop_size={"height": s, "width": s})
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
-        return DebugTokenizer(), LlavaModel(params, cfg), image_processor, \
-            cfg.tokenizer_model_max_length
+        return DebugTokenizer(cfg.llama.vocab_size), LlavaModel(params, cfg), \
+            image_processor, cfg.tokenizer_model_max_length
 
     # ---- native orbax checkpoint ----
     if os.path.exists(os.path.join(model_path, "llava_config.json")):

@@ -40,12 +40,16 @@ def attention_reference(
     q_positions: Optional[jnp.ndarray] = None,   # (B, Sq) absolute positions
     kv_positions: Optional[jnp.ndarray] = None,  # (B, Sk)
     kv_valid: Optional[jnp.ndarray] = None,      # (B, Sk) bool
+    bias: Optional[jnp.ndarray] = None,          # (1|B, H, Sq, Sk) e.g. alibi
+    sliding_window: Optional[int] = None,
 ) -> jnp.ndarray:
     """Masked multi-head attention, fp32 softmax, output in q.dtype.
 
     Causality is defined on absolute positions so the same code covers
     prefill (q_pos == kv_pos) and single-token decode against a KV cache
-    (q_pos = current step, kv_pos = cache slots).
+    (q_pos = current step, kv_pos = cache slots).  ``bias`` supports
+    alibi-style score offsets (MPT); ``sliding_window`` restricts attention
+    to the last W positions (Mistral).
     """
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
@@ -55,16 +59,23 @@ def attention_reference(
     scale = Dh ** -0.5
     logits = jnp.einsum("bhqd,bhkd->bhqk", q, k,
                         preferred_element_type=jnp.float32) * scale
+    if bias is not None:
+        logits = logits + bias.astype(jnp.float32)
 
     mask = jnp.ones((B, 1, Sq, Sk), dtype=bool)
     if kv_valid is not None:
         mask &= kv_valid[:, None, None, :].astype(bool)
-    if causal:
+    if causal or sliding_window is not None:
         if q_positions is None:
             q_positions = jnp.broadcast_to(jnp.arange(Sq)[None, :], (B, Sq))
         if kv_positions is None:
             kv_positions = jnp.broadcast_to(jnp.arange(Sk)[None, :], (B, Sk))
-        mask &= (kv_positions[:, None, None, :] <= q_positions[:, None, :, None])
+        rel = (q_positions[:, None, :, None]
+               - kv_positions[:, None, None, :])     # q_pos - kv_pos
+        if causal:
+            mask &= rel >= 0
+        if sliding_window is not None:
+            mask &= rel < sliding_window
 
     logits = jnp.where(mask, logits, NEG_INF)
     probs = jax.nn.softmax(logits, axis=-1)
@@ -86,24 +97,31 @@ def attention(
     q_positions: Optional[jnp.ndarray] = None,
     kv_positions: Optional[jnp.ndarray] = None,
     kv_valid: Optional[jnp.ndarray] = None,
+    bias: Optional[jnp.ndarray] = None,
+    sliding_window: Optional[int] = None,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch to the fastest correct implementation.
 
     impl: 'auto' | 'flash' | 'reference'.  Decode steps (Sq == 1) always use
     the reference path — a single-row softmax is bandwidth-bound and XLA
-    already emits an optimal fused kernel for it.
+    already emits an optimal fused kernel for it.  Bias (alibi) routes to
+    the reference path for now.
     """
     Sq = q.shape[2]
-    use_flash = impl == "flash" or (impl == "auto" and _flash_available() and Sq > 1)
+    use_flash = (bias is None
+                 and (impl == "flash"
+                      or (impl == "auto" and _flash_available() and Sq > 1)))
     if use_flash:
         from .flash_attention import flash_attention
 
         return flash_attention(
             q, k, v, causal=causal, q_positions=q_positions,
             kv_positions=kv_positions, kv_valid=kv_valid,
+            sliding_window=sliding_window,
         )
     return attention_reference(
         q, k, v, causal=causal, q_positions=q_positions,
-        kv_positions=kv_positions, kv_valid=kv_valid,
+        kv_positions=kv_positions, kv_valid=kv_valid, bias=bias,
+        sliding_window=sliding_window,
     )

@@ -38,8 +38,12 @@ class DataArguments:
     image_folder: Optional[str] = None
     image_aspect_ratio: str = "square"
     train_size: Optional[int] = None
+    # attached at runtime like the reference (train.py:1044-1045):
+    # image_processor, mm_use_im_start_end
     image_processor: object = None
-    mm_use_im_start_end: bool = False
+
+    def __post_init__(self):
+        self.mm_use_im_start_end = getattr(self, "mm_use_im_start_end", False)
 
 
 def preprocess_multimodal(sources: Sequence, data_args: DataArguments):

@@ -39,7 +39,9 @@ def token_cross_entropy(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray
     """(B, S-1) per-token CE with invalid labels zeroed; also returns mask."""
     shift_logits, shift_labels = _shift(logits, labels)
     valid = shift_labels != IGNORE_INDEX
-    safe = jnp.where(valid, shift_labels, 0)
+    # clamp to vocab so out-of-range labels can't poison the gather with NaN
+    safe = jnp.clip(jnp.where(valid, shift_labels, 0), 0,
+                    logits.shape[-1] - 1)
     logprobs = jax.nn.log_softmax(shift_logits.astype(jnp.float32), axis=-1)
     ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
     return jnp.where(valid, -ll, 0.0), valid

@@ -25,7 +25,7 @@ def test_load_debug_model():
     assert isinstance(model, LlavaModel)
     assert model.cfg.is_m3
     assert ctx == model.cfg.tokenizer_model_max_length
-    assert proc.crop_size["height"] == 336
+    assert proc.crop_size["height"] == model.cfg.vision.image_size  # sized to config
 
 
 def test_is_mm_model():
