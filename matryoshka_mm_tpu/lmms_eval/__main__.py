@@ -1,0 +1,49 @@
+"""CLI (reference: lmms-eval/lmms_eval/__main__.py:1-355)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--model", type=str, default="llava")
+    parser.add_argument("--model_args", type=str, default="")
+    parser.add_argument("--tasks", type=str, required=True,
+                        help="comma-separated task names")
+    parser.add_argument("--limit", type=int, default=None)
+    parser.add_argument("--seed", type=int, default=1234)
+    parser.add_argument("--output_path", type=str, default=None)
+    parser.add_argument("--log_samples", action="store_true")
+    parser.add_argument("--matryoshka_vis_token_scale", type=str, default=None)
+    parser.add_argument("--list_tasks", action="store_true")
+    args = parser.parse_args()
+
+    from .api.registry import list_tasks
+    from .evaluator import make_table, simple_evaluate
+
+    if args.list_tasks:
+        print("\n".join(list_tasks()))
+        return
+
+    results = simple_evaluate(
+        model=args.model,
+        model_args=args.model_args,
+        tasks=args.tasks.split(","),
+        limit=args.limit,
+        seed=args.seed,
+        matryoshka_vis_token_scale=args.matryoshka_vis_token_scale,
+        log_samples=args.log_samples,
+    )
+    print(make_table(results))
+    if args.output_path:
+        os.makedirs(os.path.dirname(args.output_path) or ".", exist_ok=True)
+        with open(args.output_path, "w") as f:
+            json.dump(results, f, indent=2, default=str)
+        print(f"wrote {args.output_path}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,73 @@
+"""Metrics + aggregations + bootstrap stderr
+(reference: lmms-eval/lmms_eval/api/metrics.py)."""
+
+from __future__ import annotations
+
+import random
+import re
+from typing import Callable, Dict, List
+
+import numpy as np
+
+
+def exact_match(gold: str, pred: str) -> float:
+    return float(gold.strip().lower() == pred.strip().lower())
+
+
+def anls(gold_list: List[str], pred: str) -> float:
+    from ...eval.m4c_evaluator import STVQAANLSEvaluator
+
+    ev = STVQAANLSEvaluator()
+    return max(ev.get_anls(pred, g) for g in gold_list)
+
+
+def vqa_accuracy(gold_list: List[str], pred: str) -> float:
+    """VQAv2-style min(#matches/3, 1) consensus accuracy."""
+    from ...eval.m4c_evaluator import EvalAIAnswerProcessor
+
+    proc = EvalAIAnswerProcessor()
+    pred = proc(pred)
+    golds = [proc(g) for g in gold_list]
+    return min(sum(1 for g in golds if g == pred) / 3.0, 1.0)
+
+
+def pope_yes_no(gold: str, pred: str) -> float:
+    from ...eval.eval_pope import normalize_answer
+
+    return float(normalize_answer(pred) == gold.strip().lower())
+
+
+def multiple_choice_letter(gold: str, pred: str) -> float:
+    """First option letter in the prediction vs gold letter."""
+    pred = pred.strip()
+    m = re.match(r"^\(?([A-E])[).\s]?", pred)
+    letter = m.group(1) if m else pred[:1].upper()
+    return float(letter == gold.strip().upper())
+
+
+METRICS: Dict[str, Callable] = {
+    "exact_match": exact_match,
+    "anls": anls,
+    "vqa_accuracy": vqa_accuracy,
+    "pope_yes_no": pope_yes_no,
+    "multiple_choice_letter": multiple_choice_letter,
+}
+
+AGGREGATIONS = {
+    "mean": lambda xs: float(np.mean(xs)) if xs else 0.0,
+}
+
+
+def bootstrap_stderr(values: List[float], iters: int = 1000,
+                     seed: int = 1234) -> float:
+    """Percentile-bootstrap standard error of the mean
+    (reference: metrics.py bootstrap machinery)."""
+    if len(values) <= 1:
+        return 0.0
+    rng = random.Random(seed)
+    n = len(values)
+    means = []
+    for _ in range(iters):
+        sample = [values[rng.randrange(n)] for _ in range(n)]
+        means.append(sum(sample) / n)
+    return float(np.std(means))

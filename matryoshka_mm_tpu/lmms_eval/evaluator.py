@@ -1,0 +1,86 @@
+"""Evaluator (reference: lmms-eval/lmms_eval/evaluator.py:32-601).
+
+``simple_evaluate`` seeds, instantiates the model adapter (injecting
+``matryoshka_vis_token_scale`` into model kwargs like the reference's
+evaluator.py:98), builds task Instances, runs requests, and aggregates
+metrics with bootstrap stderr.
+"""
+
+from __future__ import annotations
+
+import collections
+import json
+import random
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from .api.registry import get_model, get_task
+from .api.task import ConfigurableTask
+
+
+def simple_evaluate(
+    model: str,
+    model_args: Optional[str] = None,
+    tasks: Optional[List[str]] = None,
+    limit: Optional[int] = None,
+    seed: int = 1234,
+    matryoshka_vis_token_scale: Optional[str] = None,
+    log_samples: bool = False,
+) -> Dict[str, Any]:
+    random.seed(seed)
+    np.random.seed(seed)
+
+    kwargs = {}
+    if model_args:
+        for part in model_args.split(","):
+            if not part:
+                continue
+            k, _, v = part.partition("=")
+            kwargs[k] = v
+    if matryoshka_vis_token_scale is not None:
+        # injected into model kwargs (reference: evaluator.py:98)
+        kwargs["matryoshka_vis_token_scale"] = matryoshka_vis_token_scale
+
+    lm = get_model(model)(**kwargs)
+
+    results: Dict[str, Any] = {"results": {}, "configs": {}, "samples": {}}
+    for task_name in tasks or []:
+        task = ConfigurableTask(get_task(task_name))
+        instances = task.build_instances(limit)
+        t0 = time.time()
+        if task.output_type == "generate_until":
+            responses = lm.generate_until(instances)
+        else:
+            responses = lm.loglikelihood(instances)
+        per_doc = []
+        samples = []
+        for inst, resp in zip(instances, responses):
+            scores = task.process_results(
+                inst.doc, resp if isinstance(resp, str) else resp[0])
+            per_doc.append(scores)
+            if log_samples:
+                samples.append({"doc_id": inst.doc_id, "resp": resp,
+                                "scores": scores})
+        agg = task.aggregate(per_doc)
+        agg["samples"] = len(per_doc)
+        agg["time_s"] = round(time.time() - t0, 1)
+        results["results"][task_name] = agg
+        results["configs"][task_name] = task.config
+        if log_samples:
+            results["samples"][task_name] = samples
+    return results
+
+
+def make_table(results: Dict[str, Any]) -> str:
+    """Rank-0 results table (reference: lmms-eval __main__ output)."""
+    lines = [f"{'Task':<20} {'Metric':<24} {'Value':>10} {'Stderr':>10} {'N':>6}"]
+    for task, agg in results["results"].items():
+        for k, v in agg.items():
+            if k.endswith("_stderr") or k in ("samples", "time_s"):
+                continue
+            stderr = agg.get(f"{k}_stderr", 0.0)
+            lines.append(f"{task:<20} {k:<24} {v:>10.4f} {stderr:>10.4f} "
+                         f"{agg['samples']:>6}")
+    return "\n".join(lines)

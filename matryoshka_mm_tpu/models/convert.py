@@ -122,6 +122,35 @@ def convert_llama(sd: Mapping[str, "np.ndarray"], cfg: LlamaConfig,
     }
 
 
+def convert_mpt(sd: Mapping[str, "np.ndarray"], cfg: LlamaConfig,
+                prefix: str = "") -> dict:
+    """HF MptForCausalLM state dict -> llama.py mpt-arch pytree."""
+
+    def w(k):
+        return _np(sd[prefix + k])
+
+    layers = []
+    for i in range(cfg.num_hidden_layers):
+        p = f"transformer.blocks.{i}."
+        layers.append({
+            "norm_1": w(p + "norm_1.weight"),
+            "norm_2": w(p + "norm_2.weight"),
+            "attn": {
+                "Wqkv": w(p + "attn.Wqkv.weight").T,
+                "out_proj": w(p + "attn.out_proj.weight").T,
+            },
+            "ffn": {
+                "up_proj": w(p + "ffn.up_proj.weight").T,
+                "down_proj": w(p + "ffn.down_proj.weight").T,
+            },
+        })
+    return {
+        "embed_tokens": w("transformer.wte.weight"),
+        "layers": _stack(layers),
+        "norm": w("transformer.norm_f.weight"),
+    }
+
+
 def convert_projector(sd: Mapping[str, "np.ndarray"], projector_type: str,
                       prefix: str = "model.mm_projector.") -> Optional[dict]:
     """LLaVA projector Sequential -> projector.py pytree.

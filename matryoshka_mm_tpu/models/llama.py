@@ -27,6 +27,12 @@ from ..ops.attention import attention
 
 @dataclasses.dataclass(frozen=True)
 class LlamaConfig:
+    """Decoder config covering the three LLM families the reference wraps
+    (reference: llava/model/language_model/llava_llama.py, llava_mistral.py,
+    llava_mpt.py): ``arch='llama'`` (RoPE + SwiGLU), ``'mistral'`` (same +
+    GQA + sliding window), ``'mpt'`` (alibi + fused qkv + GELU MLP, no
+    biasless LayerNorm, tied embeddings)."""
+
     vocab_size: int = 32000
     hidden_size: int = 4096
     intermediate_size: int = 11008
@@ -39,6 +45,9 @@ class LlamaConfig:
     dtype: str = "bfloat16"
     remat: bool = False
     attn_impl: str = "auto"
+    arch: str = "llama"
+    sliding_window: int = 0          # 0 = disabled
+    tie_word_embeddings: bool = False
 
     @property
     def head_dim(self) -> int:
@@ -53,6 +62,18 @@ class LlamaConfig:
         return cls(hidden_size=5120, intermediate_size=13824,
                    num_hidden_layers=40, num_attention_heads=40,
                    num_key_value_heads=40, **kw)
+
+    @classmethod
+    def mistral_7b(cls, **kw):
+        return cls(arch="mistral", intermediate_size=14336,
+                   num_key_value_heads=8, sliding_window=4096,
+                   rope_theta=1e6, max_position_embeddings=32768, **kw)
+
+    @classmethod
+    def mpt_7b(cls, **kw):
+        return cls(arch="mpt", vocab_size=50432, intermediate_size=16384,
+                   max_position_embeddings=2048, tie_word_embeddings=True,
+                   **kw)
 
     @classmethod
     def tiny_debug(cls, **kw):
@@ -104,6 +125,31 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
         # generate directly in the target dtype: avoids a full-size f32
         # intermediate per leaf (matters when initializing 7B bf16 on-chip)
         return jax.random.normal(key, (in_dim, out_dim), dtype) * jnp.asarray(0.02, dtype)
+
+    if cfg.arch == "mpt":
+        def layer(key):
+            ks = jax.random.split(key, 4)
+            return {
+                "norm_1": jnp.ones((D,), dtype),
+                "norm_2": jnp.ones((D,), dtype),
+                "attn": {
+                    "Wqkv": dense(ks[0], D, 3 * D),
+                    "out_proj": dense(ks[1], D, D),
+                },
+                "ffn": {
+                    "up_proj": dense(ks[2], D, I),
+                    "down_proj": dense(ks[3], I, D),
+                },
+            }
+
+        layers = jax.vmap(layer)(jax.random.split(keys[0], cfg.num_hidden_layers))
+        return {
+            "embed_tokens": dense(keys[1], cfg.vocab_size, D),
+            "layers": layers,
+            "norm": jnp.ones((D,), dtype),
+            # lm head tied to wte (MPT); kept as explicit transpose-view at
+            # init for a uniform pytree
+        }
 
     def layer(key):
         ks = jax.random.split(key, 7)
@@ -163,6 +209,30 @@ def apply_rope(x: jnp.ndarray, cos: jnp.ndarray, sin: jnp.ndarray) -> jnp.ndarra
     return jnp.concatenate([out1, out2], axis=-1).astype(x.dtype)
 
 
+def layer_norm_nobias(x: jnp.ndarray, weight: jnp.ndarray, eps: float) -> jnp.ndarray:
+    """Bias-free LayerNorm (MPT's LPLayerNorm with no_bias=True)."""
+    dtype = x.dtype
+    x = x.astype(jnp.float32)
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.var(x, axis=-1, keepdims=True)
+    x = (x - mean) * jax.lax.rsqrt(var + eps)
+    return (x * weight.astype(jnp.float32)).astype(dtype)
+
+
+def alibi_slopes(num_heads: int, alibi_bias_max: float = 8.0) -> jnp.ndarray:
+    """(H,) alibi slopes, MPT convention (power-of-two interleaving)."""
+    import math
+
+    n = 2 ** math.ceil(math.log2(num_heads))
+    m = jnp.arange(1, n + 1, dtype=jnp.float32)
+    m = m * (alibi_bias_max / n)
+    slopes = 1.0 / jnp.exp2(m)
+    if n != num_heads:
+        # interleave: odd-indexed first, then even (standard alibi recipe)
+        slopes = jnp.concatenate([slopes[1::2], slopes[0::2]])[:num_heads]
+    return slopes
+
+
 def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
     """Embedding lookup; negative sentinel ids are clamped (rows are
     overwritten by the splice so their value never matters)."""
@@ -178,9 +248,16 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
                    q_positions, kv_valid, kv_positions,
                    cache_k, cache_v, write_idx):
     """One decoder layer.  cache_k/v: (B, S_max, n_kv, Dh) or None."""
+    if cfg.arch == "mpt":
+        return _mpt_layer_forward(
+            layer_params, hidden, cfg=cfg, q_positions=q_positions,
+            kv_valid=kv_valid, kv_positions=kv_positions,
+            cache_k=cache_k, cache_v=cache_v, write_idx=write_idx)
+
     B, S, D = hidden.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
     a = layer_params["self_attn"]
+    window = cfg.sliding_window or None
 
     x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
     q = (x @ a["q_proj"]).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -201,11 +278,13 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
         attn_v = cache_v.transpose(0, 2, 1, 3)
         attn_out = attention(
             q, attn_k, attn_v, causal=True, q_positions=q_positions,
-            kv_positions=kv_positions, kv_valid=kv_valid, impl=cfg.attn_impl)
+            kv_positions=kv_positions, kv_valid=kv_valid,
+            sliding_window=window, impl=cfg.attn_impl)
     else:
         attn_out = attention(
             q, k, v, causal=True, q_positions=q_positions,
-            kv_positions=q_positions, kv_valid=kv_valid, impl=cfg.attn_impl)
+            kv_positions=q_positions, kv_valid=kv_valid,
+            sliding_window=window, impl=cfg.attn_impl)
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
     hidden = hidden + attn_out @ a["o_proj"]
@@ -214,6 +293,54 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     m = layer_params["mlp"]
     gate = jax.nn.silu(x @ m["gate_proj"])
     hidden = hidden + (gate * (x @ m["up_proj"])) @ m["down_proj"]
+    return hidden, (cache_k, cache_v)
+
+
+def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
+                       q_positions, kv_valid, kv_positions,
+                       cache_k, cache_v, write_idx):
+    """MPT block: bias-free LN, fused qkv, alibi attention, GELU MLP
+    (reference model family: llava/model/language_model/llava_mpt.py)."""
+    B, S, D = hidden.shape
+    H, Dh = cfg.num_attention_heads, cfg.head_dim
+    a = layer_params["attn"]
+
+    x = layer_norm_nobias(hidden, layer_params["norm_1"], 1e-5)
+    qkv = x @ a["Wqkv"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+
+    slopes = alibi_slopes(H)                                  # (H,)
+
+    if cache_k is not None:
+        cache_k = jax.lax.dynamic_update_slice(
+            cache_k, k.transpose(0, 2, 1, 3).astype(cache_k.dtype),
+            (0, write_idx, 0, 0))
+        cache_v = jax.lax.dynamic_update_slice(
+            cache_v, v.transpose(0, 2, 1, 3).astype(cache_v.dtype),
+            (0, write_idx, 0, 0))
+        attn_k = cache_k.transpose(0, 2, 1, 3)
+        attn_v = cache_v.transpose(0, 2, 1, 3)
+        kvp = kv_positions
+    else:
+        attn_k, attn_v = k, v
+        kvp = q_positions
+
+    # alibi bias = -slope * (q_pos - kv_pos); future positions are masked
+    rel = (q_positions[:, None, :, None] - kvp[:, None, None, :]).astype(jnp.float32)
+    bias = -slopes[None, :, None, None] * jnp.maximum(rel, 0)
+
+    attn_out = attention(
+        q, attn_k, attn_v, causal=True, q_positions=q_positions,
+        kv_positions=kvp, kv_valid=kv_valid, bias=bias, impl="reference")
+    attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, D)
+    hidden = hidden + attn_out @ a["out_proj"]
+
+    x = layer_norm_nobias(hidden, layer_params["norm_2"], 1e-5)
+    f = layer_params["ffn"]
+    hidden = hidden + jax.nn.gelu(x @ f["up_proj"], approximate=False) @ f["down_proj"]
     return hidden, (cache_k, cache_v)
 
 
@@ -273,13 +400,19 @@ def llama_forward(
         new_cache = KVCache(new_k, new_v, new_valid, new_positions,
                             write_idx + S)
 
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    if cfg.arch == "mpt":
+        hidden = layer_norm_nobias(hidden, params["norm"], 1e-5)
+    else:
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     return hidden, new_cache
 
 
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
-    """Project to vocab logits in float32 (reference: llava_llama.py:239-240)."""
-    return (hidden @ params["lm_head"]).astype(jnp.float32)
+    """Project to vocab logits in float32 (reference: llava_llama.py:239-240).
+    MPT ties the head to the embedding matrix."""
+    if "lm_head" in params:
+        return (hidden @ params["lm_head"]).astype(jnp.float32)
+    return (hidden @ params["embed_tokens"].T).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

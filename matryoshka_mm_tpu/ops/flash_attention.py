@@ -51,7 +51,8 @@ def _round_up(x: int, m: int) -> int:
 
 def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale: float, causal: bool,
-                block_q: int, block_k: int, num_kv_blocks: int):
+                block_q: int, block_k: int, num_kv_blocks: int,
+                window: int = 0):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -74,10 +75,13 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
 
         kv_ok = kvmask_ref[0, 0] != 0         # (BK,)
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal:
+        if causal or window:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            mask = mask & (cols <= rows)
+            if causal:
+                mask = mask & (cols <= rows)
+            if window:
+                mask = mask & (rows - cols < window)
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, 0:1]                # (BQ, 1)
@@ -102,7 +106,7 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
         lse_ref[0, 0, 0] = (m_ref[:, 0] + jnp.log(safe_l[:, 0]))
 
 
-def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k):
+def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0):
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
@@ -110,7 +114,7 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k):
     grid = (B, H, nq, nk)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk)
+        block_k=block_k, num_kv_blocks=nk, window=window)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -145,7 +149,7 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc, *, scale, causal, block_q, block_k,
-                   num_kv_blocks):
+                   num_kv_blocks, window: int = 0):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -168,10 +172,13 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                                 preferred_element_type=jnp.float32) * scale
         kv_ok = kvmask_ref[0, 0] != 0
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal:
+        if causal or window:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            mask = mask & (cols <= rows)
+            if causal:
+                mask = mask & (cols <= rows)
+            if window:
+                mask = mask & (rows - cols < window)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)        # (BQ, BK)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
@@ -187,7 +194,7 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                    block_q, block_k, num_q_blocks):
+                    block_q, block_k, num_q_blocks, window: int = 0):
     ik = pl.program_id(2)
     iq = pl.program_id(3)
 
@@ -211,10 +218,13 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                                 preferred_element_type=jnp.float32) * scale
         kv_ok = kvmask_ref[0, 0] != 0
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal:
+        if causal or window:
             rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            mask = mask & (cols <= rows)
+            if causal:
+                mask = mask & (cols <= rows)
+            if window:
+                mask = mask & (rows - cols < window)
         p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
 
         # dV += P^T @ dO
@@ -236,7 +246,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
-              block_q, block_k):
+              block_q, block_k, window=0):
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
@@ -246,7 +256,8 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
 
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, num_kv_blocks=nk),
+                          block_q=block_q, block_k=block_k, num_kv_blocks=nk,
+                          window=window),
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -265,7 +276,8 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
 
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
-                          block_q=block_q, block_k=block_k, num_q_blocks=nq),
+                          block_q=block_q, block_k=block_k, num_q_blocks=nq,
+                          window=window),
         grid=(B, H, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
@@ -297,23 +309,24 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
 # padded/custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
-def _flash(q, k, v, kv_mask, scale, causal, block_q, block_k):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
+def _flash(q, k, v, kv_mask, scale, causal, block_q, block_k, window):
     out, _ = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
-                       block_q=block_q, block_k=block_k)
+                       block_q=block_q, block_k=block_k, window=window)
     return out
 
 
-def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k):
+def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k, window):
     out, lse = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
-                         block_q=block_q, block_k=block_k)
+                         block_q=block_q, block_k=block_k, window=window)
     return out, (q, k, v, kv_mask, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, res, do):
+def _flash_bwd(scale, causal, block_q, block_k, window, res, do):
     q, k, v, kv_mask, out, lse = res
     dq, dk, dv = _bwd_call(q, k, v, kv_mask, out, lse, do, scale=scale,
-                           causal=causal, block_q=block_q, block_k=block_k)
+                           causal=causal, block_q=block_q, block_k=block_k,
+                           window=window)
     return dq, dk, dv, None
 
 
@@ -329,6 +342,7 @@ def flash_attention(
     q_positions=None,                        # accepted for API parity;
     kv_positions=None,                       # causality is index-based
     kv_valid: Optional[jnp.ndarray] = None,  # (B, Sk) bool
+    sliding_window: Optional[int] = None,
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
@@ -362,7 +376,7 @@ def flash_attention(
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sk_p - Sk)))
 
     out = _flash(q, k, v, kv_valid.astype(jnp.int32)[:, None, :], scale,
-                 causal, block_q, block_k)
+                 causal, block_q, block_k, int(sliding_window or 0))
 
     if padded:
         out = out[:, :, :Sq, :Dh]

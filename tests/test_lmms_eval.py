@@ -1,0 +1,73 @@
+"""End-to-end lmms-eval harness with a local task + debug model."""
+
+import json
+
+import pytest
+
+from matryoshka_mm_tpu.lmms_eval.api.metrics import (
+    bootstrap_stderr,
+    multiple_choice_letter,
+    pope_yes_no,
+    vqa_accuracy,
+)
+
+
+def test_metrics():
+    assert vqa_accuracy(["cat"] * 10, "cat") == 1.0
+    assert vqa_accuracy(["cat", "dog", "cat"] + ["fish"] * 7, "cat") == pytest.approx(2 / 3)
+    assert pope_yes_no("no", "No, there is not.") == 1.0
+    assert multiple_choice_letter("B", "B. because") == 1.0
+    assert multiple_choice_letter("B", "(A) something") == 0.0
+    s = bootstrap_stderr([0.0, 1.0] * 50)
+    assert 0.02 < s < 0.08
+
+
+def test_local_task_end_to_end(tmp_path):
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 64), (200, 0, 0)).save(img_dir / "r.jpg")
+    docs = [
+        {"question": "What color?", "answer": "red", "image": "r.jpg"},
+        {"question": "Is there a dog?", "answer": "no", "image": "r.jpg"},
+    ]
+    dpath = tmp_path / "docs.json"
+    with open(dpath, "w") as f:
+        json.dump(docs, f)
+
+    from matryoshka_mm_tpu.lmms_eval.api.registry import register_task
+    from matryoshka_mm_tpu.lmms_eval.evaluator import make_table, simple_evaluate
+
+    register_task("toy_vqa", {
+        "task": "toy_vqa",
+        "dataset_path": str(dpath),
+        "doc_to_visual": "image",
+        "doc_to_text": "{question}",
+        "post_prompt": "\nAnswer briefly.",
+        "doc_to_target": "answer",
+        "dataset_kwargs": {"image_folder": str(img_dir)},
+        "generation_kwargs": {"max_new_tokens": 4, "temperature": 0.0},
+        "metric_list": [{"metric": "exact_match"}],
+    })
+
+    results = simple_evaluate(
+        model="llava",
+        model_args="pretrained=debug://tiny",
+        tasks=["toy_vqa"],
+        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+        log_samples=True,
+    )
+    agg = results["results"]["toy_vqa"]
+    assert agg["samples"] == 2
+    assert 0.0 <= agg["exact_match"] <= 1.0
+    table = make_table(results)
+    assert "toy_vqa" in table
+
+
+def test_registered_tasks_load():
+    from matryoshka_mm_tpu.lmms_eval.api.registry import list_tasks
+
+    tasks = list_tasks()
+    for t in ("gqa", "pope", "textvqa", "scienceqa_img", "mmbench_en"):
+        assert t in tasks
