@@ -67,7 +67,8 @@ class LlamaConfig:
     def mistral_7b(cls, **kw):
         return cls(arch="mistral", intermediate_size=14336,
                    num_key_value_heads=8, sliding_window=4096,
-                   rope_theta=1e6, max_position_embeddings=32768, **kw)
+                   rms_norm_eps=1e-6, rope_theta=1e6,
+                   max_position_embeddings=32768, **kw)
 
     @classmethod
     def mpt_7b(cls, **kw):

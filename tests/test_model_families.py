@@ -31,7 +31,7 @@ def test_mistral_logits_match():
         arch="mistral", vocab_size=128, hidden_size=32, intermediate_size=64,
         num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
         max_position_embeddings=64, sliding_window=8, rope_theta=10000.0,
-        dtype="float32")
+        rms_norm_eps=1e-6, dtype="float32")  # Mistral default eps
     params = convert_llama(hf.state_dict(), cfg)
 
     ids = np.array([[3, 14, 15, 92, 65, 35, 89, 79, 32, 38, 46, 26]], np.int64)
@@ -46,9 +46,11 @@ def test_alibi_slopes_match_hf():
 
     for h in (4, 8, 6):
         got = np.asarray(alibi_slopes(h))
-        # HF builds the (1, H, 1, S) alibi tensor; slope = bias at distance -1
-        t = build_mpt_alibi_tensor(h, 2)  # seq len 2
-        want = (t[0, :, 0, 1] - t[0, :, 0, 0]).numpy()
+        # HF builds an (H, 1, S) tensor with bias = -slope * (S-1-j); that is
+        # softmax-equivalent to our per-row -slope*(i-j) form (row-constant
+        # offset).  slope = t[:, 0, 1] - t[:, 0, 0] at S=2.
+        t = build_mpt_alibi_tensor(h, 2)
+        want = (t[:, 0, 1] - t[:, 0, 0]).numpy()
         np.testing.assert_allclose(got, want, rtol=1e-5)
 
 
