@@ -1,0 +1,20 @@
+#!/bin/bash
+CKPT=${1:-debug://tiny}
+TOKEN_SCALE=${2:-576}
+SAVE_DIR=${3:-./eval_out/pope}
+POPEDIR=${POPEDIR:-./playground/data/eval/pope}
+mkdir -p "$SAVE_DIR"
+MERGE="$SAVE_DIR/merge.jsonl"
+if [ ! -f "$MERGE" ]; then
+    python -m matryoshka_mm_tpu.eval.model_vqa_loader \
+        --model-path "$CKPT" \
+        --question-file $POPEDIR/llava_pope_test.jsonl \
+        --image-folder $POPEDIR/val2014 \
+        --answers-file "$MERGE" \
+        --temperature 0 --conv-mode llava_v1 \
+        --matryoshka_vis_token_scale "ver=v0_numtoks=${TOKEN_SCALE}"
+fi
+python -m matryoshka_mm_tpu.eval.eval_pope \
+    --annotation-dir $POPEDIR/coco \
+    --question-file $POPEDIR/llava_pope_test.jsonl \
+    --result-file "$MERGE"
