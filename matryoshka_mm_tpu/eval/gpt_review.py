@@ -55,7 +55,7 @@ def parse_score(review: str) -> List[float]:
     (reference: eval_gpt_review*.py parse_score)."""
     try:
         score_pair = review.split("\n")[0].replace(",", " ")
-        sp = score_pair.split(" ")
+        sp = score_pair.split()
         if len(sp) == 2:
             return [float(sp[0]), float(sp[1])]
         print("error", review)

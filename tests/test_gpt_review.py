@@ -74,7 +74,9 @@ def test_grade_mmvet_with_fake_judge(tmp_path):
         }, f)
 
     def fake_judge(system, user):
-        return "1.0" if "x = -1 or x = -5" in user else "0.0"
+        # grade based on the final (non-few-shot) row only
+        last_row = user.strip().rsplit("\n", 1)[-1]
+        return "1.0" if "x = -1 or x = -5" in last_row else "0.0"
 
     summary = grade_mmvet(str(results), str(meta), str(out),
                           chat_fn=fake_judge)
