@@ -66,6 +66,30 @@ def _prefill_fn(cfg: LlavaConfig, numtoks: int, out_len: int, capacity: int):
     return prefill
 
 
+@lru_cache(maxsize=32)
+def _prefill_anyres_fn(cfg: LlavaConfig, numtoks: int, n_tiles: int,
+                       image_size: tuple, out_len: int, capacity: int):
+    from .models.llava import prepare_multimodal_anyres
+
+    @jax.jit
+    def prefill(params, input_ids, pixel_values):
+        spliced = prepare_multimodal_anyres(
+            params, cfg, input_ids, pixel_values, image_size,
+            numtoks=numtoks, out_len=out_len, padding_side="left")
+        B, L, _ = spliced.embeds.shape
+        cache = init_kv_cache(cfg.llama, B, capacity,
+                              dtype=jnp.dtype(cfg.llama.dtype))
+        hidden, cache = llama_forward(
+            params["llama"], cfg.llama, spliced.embeds,
+            position_ids=spliced.position_ids, attn_valid=spliced.attn_mask,
+            cache=cache)
+        logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
+        lengths = jnp.minimum(spliced.lengths, L)
+        return logits, cache, lengths
+
+    return prefill
+
+
 @lru_cache(maxsize=64)
 def _prefill_text_fn(cfg: LlavaConfig, text_len: int, capacity: int):
     @jax.jit
@@ -200,8 +224,9 @@ def generate(
     params: dict,
     cfg: LlavaConfig,
     input_ids: np.ndarray,                       # (B, T)
-    pixel_values: Optional[np.ndarray] = None,   # (B, 3, H, W)
+    pixel_values: Optional[np.ndarray] = None,   # (B, 3, H, W) or (1, T, 3, H, W)
     *,
+    image_sizes=None,                            # [(w, h), ...] for anyres
     matryoshka_vis_token_scale: Optional[str] = None,
     gen_cfg: GenerationConfig = GenerationConfig(),
     stopping_criteria=None,
@@ -246,7 +271,29 @@ def generate(
         return _decode_loop(params, cfg, gen_cfg, cache, first, lengths,
                             rng, stopping_criteria)
 
-    pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
+    pixel_values = np.asarray(pixel_values, np.float32)
+
+    # anyres: (1, T_tiles, 3, H, W) multi-tile input (LLaVA-NeXT)
+    if pixel_values.ndim == 5 and not combine:
+        if B != 1:
+            raise ValueError("anyres generation supports batch_size=1")
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        tiles = pixel_values[0]
+        n_tiles = tiles.shape[0]
+        size = tuple(image_sizes[0]) if image_sizes else \
+            (cfg.vision.image_size, cfg.vision.image_size)
+        # capacity bound: base + tiles pooled tokens + newline rows
+        max_img = n * n_tiles + int(np.sqrt(n)) * max(n_tiles - 1, 1) + 8
+        L = _round_up(T - 1 + max_img, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths = _prefill_anyres_fn(
+            cfg, n, n_tiles, size, L, capacity)(
+            params, input_ids, jnp.asarray(tiles))
+        first, rng = _select_token(logits, gen_cfg, rng)
+        return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
+                            stopping_criteria)
+
+    pixel_values = jnp.asarray(pixel_values)
 
     if not combine:
         n = numtoks if numtoks is not None else cfg.vision.num_patches

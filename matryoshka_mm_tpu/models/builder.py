@@ -62,6 +62,7 @@ class LlavaModel:
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
             pad_token_id=pad_token_id)
         return generate(self.params, self.cfg, input_ids, images,
+                        image_sizes=image_sizes,
                         matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg,
                         stopping_criteria=stopping_criteria)
 

@@ -236,6 +236,85 @@ def prepare_multimodal(
     return spliced, proj["gating_prob"]
 
 
+def unpad_image_features(grid: jnp.ndarray, original_size, current_hw) -> jnp.ndarray:
+    """Crop a (D, H, W) feature grid back to the image's aspect ratio
+    (reference: llava_arch.py:307-335 ``unpad_image``).  Static shapes: the
+    original size is a host-side python tuple."""
+    original_width, original_height = original_size
+    current_height, current_width = current_hw
+    original_aspect = original_width / original_height
+    current_aspect = current_width / current_height
+    if original_aspect > current_aspect:
+        scale = current_width / original_width
+        new_height = int(original_height * scale)
+        padding = (current_height - new_height) // 2
+        return grid[:, padding: current_height - padding, :]
+    scale = current_height / original_height
+    new_width = int(original_width * scale)
+    padding = (current_width - new_width) // 2
+    return grid[:, :, padding: current_width - padding]
+
+
+def encode_anyres_features(params: dict, cfg: LlavaConfig,
+                           pixel_values: jnp.ndarray,   # (T, 3, H, W)
+                           image_size, numtoks: int) -> jnp.ndarray:
+    """Anyres multi-tile encoding -> one (L_img, D) token sequence
+    (reference: llava_arch.py:552-589 spatial/spatial_unpad merge).
+
+    Tile 0 is the base resize; tiles 1..T are the grid patches.  Each tile
+    is matryoshka-pooled to ``numtoks`` tokens, the grid is reassembled,
+    optionally unpadded to the image aspect, an ``image_newline`` column is
+    appended per row, then base features are prepended."""
+    import math
+
+    from ..image_processing import get_anyres_image_grid_shape
+
+    proj = project(params, cfg, pixel_values, numtoks)
+    feats = proj["image_features"]                      # (T, n, D)
+    merge = cfg.mm_patch_merge_type
+    if merge == "flat":
+        return feats.reshape(-1, feats.shape[-1])
+
+    base = feats[0]                                     # (n, D)
+    tiles = feats[1:]
+    h = w = int(math.isqrt(base.shape[0]))
+    D = base.shape[-1]
+    if tiles.shape[0] == 0:
+        if "unpad" in merge:
+            base = jnp.concatenate([base, params["image_newline"][None]], axis=0)
+        return base
+
+    num_w, num_h = get_anyres_image_grid_shape(
+        image_size, cfg.image_grid_pinpoints, cfg.vision.image_size)
+    grid = tiles.reshape(num_h, num_w, h, w, D)
+    if "unpad" in merge:
+        # (D, num_h*h, num_w*w)
+        grid = grid.transpose(4, 0, 2, 1, 3).reshape(D, num_h * h, num_w * w)
+        grid = unpad_image_features(grid, image_size, (num_h * h, num_w * w))
+        newline = jnp.broadcast_to(
+            params["image_newline"][:, None, None], (D, grid.shape[1], 1))
+        grid = jnp.concatenate([grid, newline.astype(grid.dtype)], axis=2)
+        tile_feats = grid.reshape(D, -1).T               # (rows*(cols+1), D)
+    else:
+        tile_feats = grid.transpose(0, 2, 1, 3, 4).reshape(-1, D)
+    return jnp.concatenate([base, tile_feats], axis=0)
+
+
+def prepare_multimodal_anyres(
+    params: dict, cfg: LlavaConfig, input_ids: jnp.ndarray,
+    pixel_values: jnp.ndarray, image_size, *, numtoks: int,
+    out_len: int, padding_side: str = "left",
+) -> SplicedBatch:
+    """Batch-1 anyres input preparation: variable tile counts compile one
+    graph per (tile-count, grid-shape) via the static args."""
+    feats = encode_anyres_features(params, cfg, pixel_values, image_size,
+                                   numtoks)
+    text = embed_tokens(params["llama"], input_ids)
+    return splice_multimodal(
+        input_ids, text, feats[None, None], out_len=out_len,
+        padding_side=padding_side)
+
+
 def forward_spliced(params: dict, cfg: LlavaConfig, spliced: SplicedBatch
                     ) -> jnp.ndarray:
     """LLM forward over spliced embeddings -> float32 logits (B, L, V)."""
