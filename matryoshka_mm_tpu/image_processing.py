@@ -56,14 +56,35 @@ class ClipImageProcessor:
         return image.crop((left, top, left + cw, top + ch))
 
     def preprocess(self, image, return_tensors: str = "np"):
-        """PIL image -> normalized CHW float32 array, shaped like HF output."""
+        """PIL image -> normalized CHW float32 array, shaped like HF output.
+
+        Uses the C++ fast path (native/image_ops.cpp: fused bicubic resize +
+        crop + normalize in one pass) when available, PIL otherwise.
+        """
         if not isinstance(image, (list, tuple)):
             images = [image]
         else:
             images = list(image)
+
+        native = None
+        if self.crop_size["height"] == self.crop_size["width"]:
+            try:
+                from .native import clip_preprocess_native, native_available
+
+                if native_available():
+                    native = clip_preprocess_native
+            except Exception:
+                native = None
+
         out = []
         for im in images:
             im = im.convert("RGB")
+            if native is not None:
+                out.append(native(np.asarray(im, np.uint8),
+                                  self.size["shortest_edge"],
+                                  self.crop_size["height"],
+                                  self.image_mean, self.image_std))
+                continue
             im = self.resize_shortest_edge(im)
             im = self.center_crop(im)
             arr = np.asarray(im, dtype=np.float32) / 255.0  # HWC
