@@ -25,7 +25,8 @@ _load_failed = False
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", _LIB],
+            ["g++", "-O3", "-march=native", "-funroll-loops", "-shared",
+             "-fPIC", _SRC, "-o", _LIB],
             check=True, capture_output=True)
         return True
     except Exception as e:  # toolchain missing / build error

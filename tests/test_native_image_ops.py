@@ -60,7 +60,7 @@ def test_clip_preprocess_matches_pil_pipeline():
     # intermediate differ by a few levels on sharp-edge pixels only
     d = np.abs(got - want)
     assert d.mean() < 0.01
-    assert np.quantile(d, 0.999) < 0.06
+    assert np.quantile(d, 0.99) < 0.03
 
 
 def test_processor_uses_native_and_agrees():
