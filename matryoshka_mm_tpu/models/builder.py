@@ -218,6 +218,7 @@ def load_pretrained_model(
         image_processor = ClipImageProcessor(
             size={"shortest_edge": s}, crop_size={"height": s, "width": s})
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        params = maybe_quantize(params, load_8bit, load_4bit)
         return DebugTokenizer(cfg.llama.vocab_size), LlavaModel(params, cfg), \
             image_processor, cfg.tokenizer_model_max_length
 
@@ -279,6 +280,7 @@ def load_pretrained_model(
 
         params["vision_tower"] = init_clip_params(jax.random.PRNGKey(0), cfg.vision)
     params = cast_pytree(params, "bfloat16")
+    params = maybe_quantize(params, load_8bit, load_4bit)
 
     tokenizer = _load_tokenizer(model_path, model_base)
     context_len = hf_cfg.get("max_sequence_length",
@@ -297,3 +299,15 @@ def _load_tokenizer(model_path: str, model_base: Optional[str]):
             except Exception:
                 pass
     return DebugTokenizer()
+
+
+def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
+    """bitsandbytes-equivalent weight compression (reference:
+    builder.py:51-60).  int8 covers both flags (int4 packing: future)."""
+    if not (load_8bit or load_4bit):
+        return params
+    from ..ops.quant import quantize_llama_params
+
+    out = dict(params)
+    out["llama"] = quantize_llama_params(params["llama"], min_size=4096)
+    return out

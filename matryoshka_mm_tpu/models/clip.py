@@ -226,3 +226,50 @@ def feature_select(outputs: Dict[str, jnp.ndarray], select_feature: str) -> jnp.
     if select_feature == "cls_patch":
         return outputs["cls_patch"]
     raise ValueError(f"Unexpected select feature: {select_feature}")
+
+
+def s2_multiscale_forward(params: dict, pixel_values: jnp.ndarray,
+                          cfg: ClipVisionConfig,
+                          scales=(336, 672, 1008)) -> jnp.ndarray:
+    """Multi-scale (S2) vision tower forward — the TPU-native equivalent of
+    the s2wrapper dependency (reference: llava/model/multimodal_encoder/
+    clip_encoder.py:93-148 ``CLIPVisionTowerS2``).
+
+    For each scale s: resize the (B, 3, S_max, S_max) input to s x s, split
+    into (s/base)^2 base-size tiles, run the tower batched over tiles,
+    reassemble the per-tile patch grids spatially, and area-interpolate back
+    to the base grid.  Per-scale features concat channel-wise ->
+    (B, P^2, D * len(scales)), matching the S2 tower's hidden_size
+    (clip_encoder.py:146-148).
+
+    Everything is reshape/resize under jit: no host loops, one compiled
+    graph for the full pyramid.
+    """
+    base = min(scales)
+    assert base == cfg.image_size, (base, cfg.image_size)
+    B = pixel_values.shape[0]
+    G = cfg.num_patches_per_side
+    D = cfg.hidden_size
+
+    outs = []
+    for s in sorted(scales):
+        k = s // base
+        if s == pixel_values.shape[-1]:
+            img = pixel_values
+        else:
+            img = jax.image.resize(pixel_values, (B, 3, s, s), method="bilinear")
+        if k == 1:
+            tiles = img
+        else:
+            # (B, 3, k, base, k, base) -> (B*k*k, 3, base, base), row-major
+            tiles = img.reshape(B, 3, k, base, k, base) \
+                .transpose(0, 2, 4, 1, 3, 5).reshape(B * k * k, 3, base, base)
+        feats = clip_vision_forward(params, tiles, cfg)["patch"]  # (B*k², G², D)
+        if k > 1:
+            # reassemble spatial grid: (B, kG, kG, D)
+            feats = feats.reshape(B, k, k, G, G, D) \
+                .transpose(0, 1, 3, 2, 4, 5).reshape(B, k * G, k * G, D)
+            feats = jax.image.resize(feats, (B, G, G, D), method="bilinear")
+            feats = feats.reshape(B, G * G, D)
+        outs.append(feats)
+    return jnp.concatenate(outs, axis=-1)

@@ -23,6 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
+from ..ops.quant import dequantize_array as _w
 
 
 @dataclasses.dataclass(frozen=True)
@@ -261,9 +262,9 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     window = cfg.sliding_window or None
 
     x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    q = (x @ a["q_proj"]).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    k = (x @ a["k_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
-    v = (x @ a["v_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    q = (x @ _w(a["q_proj"])).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    k = (x @ _w(a["k_proj"])).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    v = (x @ _w(a["v_proj"])).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -288,12 +289,12 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             sliding_window=window, impl=cfg.attn_impl)
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-    hidden = hidden + attn_out @ a["o_proj"]
+    hidden = hidden + attn_out @ _w(a["o_proj"])
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
     m = layer_params["mlp"]
-    gate = jax.nn.silu(x @ m["gate_proj"])
-    hidden = hidden + (gate * (x @ m["up_proj"])) @ m["down_proj"]
+    gate = jax.nn.silu(x @ _w(m["gate_proj"]))
+    hidden = hidden + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
     return hidden, (cache_k, cache_v)
 
 
@@ -307,7 +308,7 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
     a = layer_params["attn"]
 
     x = layer_norm_nobias(hidden, layer_params["norm_1"], 1e-5)
-    qkv = x @ a["Wqkv"]
+    qkv = x @ _w(a["Wqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -337,11 +338,11 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
         q, attn_k, attn_v, causal=True, q_positions=q_positions,
         kv_positions=kvp, kv_valid=kv_valid, bias=bias, impl="reference")
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, D)
-    hidden = hidden + attn_out @ a["out_proj"]
+    hidden = hidden + attn_out @ _w(a["out_proj"])
 
     x = layer_norm_nobias(hidden, layer_params["norm_2"], 1e-5)
     f = layer_params["ffn"]
-    hidden = hidden + jax.nn.gelu(x @ f["up_proj"], approximate=False) @ f["down_proj"]
+    hidden = hidden + jax.nn.gelu(x @ _w(f["up_proj"]), approximate=False) @ _w(f["down_proj"])
     return hidden, (cache_k, cache_v)
 
 
@@ -412,8 +413,8 @@ def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project to vocab logits in float32 (reference: llava_llama.py:239-240).
     MPT ties the head to the embedding matrix."""
     if "lm_head" in params:
-        return (hidden @ params["lm_head"]).astype(jnp.float32)
-    return (hidden @ params["embed_tokens"].T).astype(jnp.float32)
+        return (hidden @ _w(params["lm_head"])).astype(jnp.float32)
+    return (hidden @ _w(params["embed_tokens"]).T).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

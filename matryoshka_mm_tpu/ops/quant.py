@@ -1,0 +1,64 @@
+"""Weight-only int8 quantization.
+
+TPU-native replacement for the reference's bitsandbytes 4/8-bit loading
+(reference: llava/model/builder.py:51-60, ``load_8bit/load_4bit``).
+Per-output-channel symmetric int8: a 7B LLaMA drops from ~13.5GB bf16 to
+~6.8GB; weights dequantize per-layer inside the ``lax.scan`` decoder body,
+so peak HBM is int8 weights + one bf16 layer.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+import jax
+import jax.numpy as jnp
+
+QKEY = "qint8"
+
+
+def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(…, in, out) float -> int8 values + per-output-channel f32 scale."""
+    w = jnp.asarray(w)
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
+    return {QKEY: q, "scale": scale.astype(jnp.float32)}
+
+
+def is_quantized(leaf: Any) -> bool:
+    return isinstance(leaf, dict) and QKEY in leaf
+
+
+def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if not is_quantized(leaf):
+        return leaf
+    return (leaf[QKEY].astype(jnp.float32) * leaf["scale"]).astype(dtype)
+
+
+def quantize_llama_params(params: dict, min_size: int = 1 << 16) -> dict:
+    """Quantize the big dense kernels of a llama param tree; norms, biases
+    and embeddings stay bf16 (embeddings feed gathers)."""
+
+    def walk(path, leaf):
+        name = path[-1] if path else ""
+        if (hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.size >= min_size
+                and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+                and name not in ("embed_tokens",)):
+            return quantize_array(leaf)
+        return leaf
+
+    def rec(tree, path=()):
+        if isinstance(tree, dict):
+            return {k: rec(v, path + (k,)) for k, v in tree.items()}
+        if isinstance(tree, (list, tuple)):
+            return type(tree)(rec(v, path) for v in tree)
+        return walk(path, tree)
+
+    return rec(params)
+
+
+def tree_nbytes(tree) -> int:
+    return sum(x.size * x.dtype.itemsize
+               for x in jax.tree_util.tree_leaves(tree)
+               if hasattr(x, "dtype"))

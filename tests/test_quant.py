@@ -1,0 +1,54 @@
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from matryoshka_mm_tpu.models.llama import LlamaConfig, init_llama_params, llama_logits
+from matryoshka_mm_tpu.ops.quant import (
+    dequantize_array,
+    is_quantized,
+    quantize_array,
+    quantize_llama_params,
+    tree_nbytes,
+)
+
+CFG = LlamaConfig.tiny_debug()
+
+
+def test_quantize_roundtrip_error():
+    w = np.random.default_rng(0).standard_normal((64, 128)).astype(np.float32)
+    q = quantize_array(jnp.asarray(w))
+    assert is_quantized(q)
+    deq = np.asarray(dequantize_array(q, jnp.float32))
+    # per-channel int8: relative error bounded by half a quantization step
+    col_max = np.abs(w).max(axis=0)
+    np.testing.assert_array_less(np.abs(deq - w).max(axis=0),
+                                 col_max / 127.0 + 1e-6)
+
+
+def test_quantized_llama_runs_and_matches():
+    params = init_llama_params(jax.random.PRNGKey(0), CFG)
+    qparams = quantize_llama_params(params, min_size=1024)
+    ids = jnp.arange(8).reshape(1, 8)
+    full = np.asarray(llama_logits(params, CFG, ids))
+    quant = np.asarray(llama_logits(qparams, CFG, ids))
+    # int8 weights shift logits slightly; argmax should mostly agree
+    agree = (full.argmax(-1) == quant.argmax(-1)).mean()
+    assert agree >= 0.5
+    assert np.isfinite(quant).all()
+
+
+def test_memory_savings():
+    cfg = LlamaConfig.tiny_debug(hidden_size=128, intermediate_size=256)
+    params = init_llama_params(jax.random.PRNGKey(1), cfg)
+    q = quantize_llama_params(params, min_size=1024)
+    assert tree_nbytes(q) < 0.45 * tree_nbytes(params)
+
+
+def test_load_4bit_flag():
+    from matryoshka_mm_tpu.models.builder import load_pretrained_model
+
+    tok, model, proc, ctx = load_pretrained_model(
+        "debug://tiny", None, "tiny", load_8bit=True)
+    assert is_quantized(model.params["llama"]["layers"]["self_attn"]["q_proj"])
+    out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
+    assert out.shape[0] == 1
