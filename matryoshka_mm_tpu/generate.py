@@ -127,7 +127,9 @@ def _select_token(logits, gen_cfg: GenerationConfig, rng):
 
 @lru_cache(maxsize=64)
 def _decode_chunk_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
-    @jax.jit
+    # donate the cache: decode updates it in place instead of copying the
+    # multi-GB KV buffers every chunk
+    @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache: KVCache, first_token, lengths, finished, rng):
         """Run `steps` greedy/sampled tokens fully on device."""
 
@@ -182,7 +184,7 @@ def _decode_chunk_combine_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
                              steps: int, spec: str, K: int):
     kvs = parse_kv_from_string(spec)
 
-    @jax.jit
+    @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache: KVCache, first_token, lengths, finished, rng):
         """cache batch axis is K*B (scale-major); one shared token stream."""
 
