@@ -94,12 +94,13 @@ def main():
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         finished = jnp.zeros((1,), bool)
         key = jax.random.PRNGKey(0)
-        c, tok, fin, toks = decode(params, cache, first, lengths, finished, key)
+        c, tok, lens, fin, toks = decode(params, cache, first, lengths,
+                                         finished, key)
         _ = np.asarray(jax.device_get(tok))  # compile+sync
         t0 = time.perf_counter()
         n_chunks = 2
         for _ in range(n_chunks):
-            c, tok, fin, toks = decode(params, c, tok, lengths, fin, key)
+            c, tok, lens, fin, toks = decode(params, c, tok, lens, fin, key)
         _ = np.asarray(jax.device_get(tok))
         dt = time.perf_counter() - t0
         tok_per_sec = (32 * n_chunks) / dt

@@ -131,12 +131,15 @@ def _decode_chunk_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
     # multi-GB KV buffers every chunk
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache: KVCache, first_token, lengths, finished, rng):
-        """Run `steps` greedy/sampled tokens fully on device."""
+        """Run `steps` greedy/sampled tokens fully on device.
 
-        def step(carry, t):
+        ``lengths`` is each row's NEXT position; it is carried and returned
+        so successive chunks continue the position sequence."""
+
+        def step(carry, _):
             cache, token, lengths, finished, rng = carry
             embeds = embed_tokens(params["llama"], token[:, None])
-            pos = (lengths + t)[:, None]
+            pos = lengths[:, None]
             hidden, cache = llama_forward(
                 params["llama"], cfg.llama, embeds, position_ids=pos,
                 attn_valid=~finished[:, None], cache=cache)
@@ -144,12 +147,12 @@ def _decode_chunk_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
             nxt, rng2 = _select_token(logits, gen_cfg, rng)
             nxt = jnp.where(finished, gen_cfg.pad_token_id, nxt)
             finished = finished | (nxt == gen_cfg.eos_token_id)
-            return (cache, nxt, lengths, finished, rng2), nxt
+            return (cache, nxt, lengths + 1, finished, rng2), nxt
 
         (cache, token, lengths, finished, rng), toks = jax.lax.scan(
             step, (cache, first_token, lengths, finished, rng),
             jnp.arange(steps))
-        return cache, token, finished, toks.T  # (B, steps)
+        return cache, token, lengths, finished, toks.T  # (B, steps)
 
     return decode
 
@@ -186,14 +189,15 @@ def _decode_chunk_combine_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
 
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache: KVCache, first_token, lengths, finished, rng):
-        """cache batch axis is K*B (scale-major); one shared token stream."""
+        """cache batch axis is K*B (scale-major); one shared token stream.
+        ``lengths`` carries each row's next position across chunks."""
 
-        def step(carry, t):
+        def step(carry, _):
             cache, token, lengths, finished, rng = carry
             B = token.shape[0]
             token_kb = jnp.tile(token, (K,))                   # (K*B,)
             embeds = embed_tokens(params["llama"], token_kb[:, None])
-            pos = (lengths + t)[:, None]                       # (K*B, 1)
+            pos = lengths[:, None]                             # (K*B, 1)
             fin_kb = jnp.tile(finished, (K,))
             hidden, cache = llama_forward(
                 params["llama"], cfg.llama, embeds, position_ids=pos,
@@ -204,12 +208,12 @@ def _decode_chunk_combine_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
             nxt, rng2 = _select_token(combined, gen_cfg, rng)
             nxt = jnp.where(finished, gen_cfg.pad_token_id, nxt)
             finished = finished | (nxt == gen_cfg.eos_token_id)
-            return (cache, nxt, lengths, finished, rng2), nxt
+            return (cache, nxt, lengths + 1, finished, rng2), nxt
 
         (cache, token, lengths, finished, rng), toks = jax.lax.scan(
             step, (cache, first_token, lengths, finished, rng),
             jnp.arange(steps))
-        return cache, token, finished, toks.T
+        return cache, token, lengths, finished, toks.T
 
     return decode
 
@@ -347,7 +351,7 @@ def generate(
             decode = _decode_chunk_combine_fn(
                 cfg, gen_cfg, nsteps, matryoshka_vis_token_scale, K)
         rng, sub = jax.random.split(rng)
-        cache_kb, token, finished, toks = decode(
+        cache_kb, token, lengths_kb, finished, toks = decode(
             params, cache_kb, token, lengths_kb, finished, sub)
         out_tokens.append(np.asarray(toks))
         steps_done += nsteps
@@ -418,7 +422,7 @@ def stream_generate(
         nsteps = min(gen_cfg.decode_chunk, gen_cfg.max_new_tokens - steps_done)
         decode = _decode_chunk_fn(cfg, gen_cfg, nsteps)
         rng, sub = jax.random.split(rng)
-        cache, token, finished, toks = decode(
+        cache, token, lengths, finished, toks = decode(
             params, cache, token, lengths, finished, sub)
         out_tokens.append(np.asarray(toks))
         steps_done += nsteps
@@ -437,7 +441,7 @@ def _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
         nsteps = min(gen_cfg.decode_chunk, gen_cfg.max_new_tokens - steps_done)
         decode = _decode_chunk_fn(cfg, gen_cfg, nsteps)
         rng, sub = jax.random.split(rng)
-        cache, token, finished, toks = decode(
+        cache, token, lengths, finished, toks = decode(
             params, cache, token, lengths, finished, sub)
         out_tokens.append(np.asarray(toks))
         steps_done += nsteps

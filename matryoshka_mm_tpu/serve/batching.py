@@ -1,0 +1,228 @@
+"""Continuous batching for the serving worker.
+
+The reference worker runs one torch generation thread per request behind an
+asyncio semaphore (reference: llava/serve/model_worker.py:240-268) — K
+concurrent requests mean K independent decode loops.  On TPU a single
+batched decode is far cheaper than K sequential ones, so this module keeps
+ONE batched KV-cache pool and continuously admits/retires requests between
+decode chunks (SURVEY.md §7 step 9):
+
+* the pool is a fixed (max_batch, capacity) KV cache; every request is
+  left-padded into the same prefill region so all rows share write slots;
+* new requests prefill with the existing batch=1 jitted prefill, then their
+  cache rows are inserted into the pool with ``dynamic_update_slice``;
+* one jitted decode-chunk advances all active rows; finished rows free
+  their slot and late joiners reuse it (validity masks keep causality
+  exact regardless of join time);
+* per-request token streams come out of thread-safe queues.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+import time
+from dataclasses import dataclass, field
+from functools import lru_cache
+from typing import Dict, List, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..generate import GenerationConfig, _prefill_fn, _round_up, _select_token
+from ..models.llama import KVCache, embed_tokens, init_kv_cache, llama_forward, lm_head
+from ..models.llava import LlavaConfig
+
+
+@dataclass
+class _Request:
+    rid: int
+    input_ids: np.ndarray
+    pixel_values: Optional[np.ndarray]
+    numtoks: Optional[int]
+    max_new_tokens: int
+    out_queue: "queue.Queue" = field(default_factory=queue.Queue)
+    emitted: int = 0
+    slot: int = -1
+
+
+@lru_cache(maxsize=8)
+def _pool_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
+    @jax.jit
+    def decode(params, cache: KVCache, tokens, lengths, active, budget, rng):
+        """Advance all pool rows `steps` tokens; inactive rows are masked."""
+
+        def step(carry, _):
+            cache, token, lengths, budget, active, rng = carry
+            embeds = embed_tokens(params["llama"], token[:, None])
+            pos = lengths[:, None]
+            hidden, cache = llama_forward(
+                params["llama"], cfg.llama, embeds, position_ids=pos,
+                attn_valid=active[:, None], cache=cache)
+            logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
+            nxt, rng2 = _select_token(logits, gen_cfg, rng)
+            nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
+            budget = jnp.where(active, budget - 1, budget)
+            active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
+            return (cache, nxt, lengths + 1, budget, active, rng2), nxt
+
+        (cache, token, lengths, budget, active, rng), toks = jax.lax.scan(
+            step, (cache, tokens, lengths, budget, active, rng),
+            jnp.arange(steps))
+        return cache, token, lengths, budget, active, toks.T
+
+    return decode
+
+
+class ContinuousBatcher:
+    """Single-model continuous batcher; thread-safe submit/stream API."""
+
+    def __init__(self, params, cfg: LlavaConfig, max_batch: int = 4,
+                 prefill_len: int = 1024, max_new_tokens: int = 512,
+                 gen_cfg: Optional[GenerationConfig] = None,
+                 chunk: int = 8):
+        self.params = params
+        self.cfg = cfg
+        self.max_batch = max_batch
+        self.L = _round_up(prefill_len, 64)
+        self.capacity = self.L + max_new_tokens
+        self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
+        self.chunk = chunk
+
+        self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
+                                  dtype=jnp.dtype(cfg.llama.dtype))
+        self.tokens = jnp.zeros((max_batch,), jnp.int32)
+        self.lengths = jnp.zeros((max_batch,), jnp.int32)
+        self.active = jnp.zeros((max_batch,), bool)
+        self.budget = jnp.zeros((max_batch,), jnp.int32)
+
+        self.pending: "queue.Queue[_Request]" = queue.Queue()
+        self.slots: List[Optional[_Request]] = [None] * max_batch
+        self._rid = 0
+        self._lock = threading.Lock()
+        self._stop = False
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+        self._thread.start()
+
+    # ---- client API ----
+    def submit(self, input_ids: np.ndarray, pixel_values=None,
+               numtoks: Optional[int] = None,
+               max_new_tokens: int = 128) -> _Request:
+        with self._lock:
+            self._rid += 1
+            req = _Request(self._rid, np.asarray(input_ids, np.int32),
+                           None if pixel_values is None
+                           else np.asarray(pixel_values, np.float32),
+                           numtoks, max_new_tokens)
+        self.pending.put(req)
+        return req
+
+    def stream(self, req: _Request):
+        """Yield np arrays of new token ids until the request finishes."""
+        while True:
+            item = req.out_queue.get()
+            if item is None:
+                return
+            yield item
+
+    def shutdown(self):
+        self._stop = True
+        self._thread.join(timeout=5)
+
+    # ---- scheduler ----
+    def _admit(self, req: _Request, slot: int):
+        n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
+        if req.pixel_values is not None:
+            prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
+            logits, cache, lengths, _ = prefill(
+                self.params, jnp.asarray(req.input_ids),
+                jnp.asarray(req.pixel_values))
+        else:
+            from ..generate import _prefill_text_fn
+
+            T = req.input_ids.shape[1]
+            pad = self.L - T
+            ids_p = jnp.pad(jnp.asarray(req.input_ids), ((0, 0), (pad, 0)))
+            mask = jnp.pad(jnp.ones((1, T), bool), ((0, 0), (pad, 0)))
+            logits, cache, lengths = _prefill_text_fn(
+                self.cfg, self.L, self.capacity)(self.params, ids_p, mask)
+
+        first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
+
+        # insert row `slot`: kv (n_layers, B, S, ...) axis 1; valid/positions
+        # (B, S) axis 0.  The pool's write_idx may have advanced past this
+        # request's prefill; its unwritten slots stay invalid, which the
+        # position-based attention masks handle exactly.
+        self.pool = KVCache(
+            k=jax.lax.dynamic_update_slice(self.pool.k, cache.k, (0, slot, 0, 0, 0)),
+            v=jax.lax.dynamic_update_slice(self.pool.v, cache.v, (0, slot, 0, 0, 0)),
+            valid=jax.lax.dynamic_update_slice(self.pool.valid, cache.valid, (slot, 0)),
+            positions=jax.lax.dynamic_update_slice(self.pool.positions,
+                                                   cache.positions, (slot, 0)),
+            write_idx=self.pool.write_idx,
+        )
+        self.tokens = self.tokens.at[slot].set(first[0])
+        self.lengths = self.lengths.at[slot].set(lengths[0])
+        self.active = self.active.at[slot].set(True)
+        self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
+        req.slot = slot
+        self.slots[slot] = req
+        req.out_queue.put(np.asarray(first))
+        req.emitted = 1
+
+    def _loop(self):
+        decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
+        rng = jax.random.PRNGKey(0)
+        while not self._stop:
+            # admit as many pending requests as there are free slots
+            admitted = False
+            for slot in range(self.max_batch):
+                if self.slots[slot] is None:
+                    try:
+                        req = self.pending.get_nowait()
+                    except queue.Empty:
+                        break
+                    self._admit(req, slot)
+                    admitted = True
+
+            if not bool(np.asarray(self.active).any()):
+                if not admitted:
+                    time.sleep(0.005)
+                continue
+
+            # NOTE: write_idx advances pool-wide each chunk; capacity bounds
+            # total decoded tokens across the pool's lifetime between resets
+            if int(self.pool.write_idx) + self.chunk >= self.capacity:
+                self._retire_all("capacity exhausted")
+                continue
+
+            rng, sub = jax.random.split(rng)
+            (self.pool, self.tokens, self.lengths, self.budget, self.active,
+             toks) = decode(self.params, self.pool, self.tokens,
+                            self.lengths, self.active, self.budget, sub)
+            toks_np = np.asarray(toks)
+            active_np = np.asarray(self.active)
+            for slot, req in enumerate(self.slots):
+                if req is None:
+                    continue
+                row = toks_np[slot]
+                row = row[row != self.gen_cfg.pad_token_id]
+                if row.size:
+                    req.out_queue.put(row)
+                    req.emitted += row.size
+                if not active_np[slot]:
+                    req.out_queue.put(None)
+                    self.slots[slot] = None
+
+    def _retire_all(self, reason: str):
+        for slot, req in enumerate(self.slots):
+            if req is not None:
+                req.out_queue.put(None)
+                self.slots[slot] = None
+        self.active = jnp.zeros_like(self.active)
+        # reset the pool for a fresh write region
+        self.pool = init_kv_cache(self.cfg.llama, self.max_batch,
+                                  self.capacity,
+                                  dtype=jnp.dtype(self.cfg.llama.dtype))
