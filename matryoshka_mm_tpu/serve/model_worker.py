@@ -50,10 +50,12 @@ class ModelWorker:
     def __init__(self, controller_addr, worker_addr, worker_id, no_register,
                  model_path, model_base, model_name,
                  load_8bit=False, load_4bit=False, device="tpu",
-                 use_flash_attn=True, limit_model_concurrency=5):
+                 use_flash_attn=True, limit_model_concurrency=5,
+                 continuous_batching=False, max_batch=4):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
+        self.no_register = no_register
         self.limit_model_concurrency = limit_model_concurrency
         if model_path.endswith("/"):
             model_path = model_path[:-1]
@@ -75,6 +77,16 @@ class ModelWorker:
         self.is_multimodal = ("llava" in self.model_name.lower()
                               or model_path.startswith("debug://"))
 
+        self.batcher = None
+        if continuous_batching:
+            from .batching import ContinuousBatcher
+
+            self.batcher = ContinuousBatcher(
+                self.model.params, self.model.cfg, max_batch=max_batch,
+                prefill_len=min(self.model.cfg.tokenizer_model_max_length, 1024)
+                + self.model.cfg.vision.num_patches,
+                max_new_tokens=1024)
+
         if not no_register:
             self.register_to_controller()
             self.heart_beat_thread = threading.Thread(
@@ -90,6 +102,8 @@ class ModelWorker:
         assert r.status_code == 200
 
     def send_heart_beat(self):
+        if self.no_register:
+            return  # standalone worker: no controller to talk to
         logger.info(f"Send heart beat. Models: {[self.model_name]}. "
                     f"Semaphore: {pretty_print_semaphore(model_semaphore)}. "
                     f"global_counter: {global_counter}")
@@ -171,6 +185,38 @@ class ModelWorker:
             eos_token_id=getattr(tokenizer, "eos_token_id", 2),
             pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
             decode_chunk=8)
+
+        # continuous-batching path: greedy v0 fixed-scale requests share one
+        # batched decode pool; everything else uses the solo stream
+        use_batcher = self.batcher is not None and not do_sample
+        numtoks = None
+        if matryoshka_vis_token_scale:
+            from ..kvconfig import parse_kv_from_string
+
+            kvs = parse_kv_from_string(matryoshka_vis_token_scale)
+            if kvs.get("ver") != "v0" or not isinstance(kvs.get("numtoks"), int):
+                use_batcher = False
+            else:
+                numtoks = int(kvs["numtoks"])
+
+        if use_batcher:
+            req = self.batcher.submit(
+                input_ids,
+                None if pixel_values is None
+                else np.asarray(pixel_values, np.float32),
+                numtoks=numtoks, max_new_tokens=max_new_tokens)
+            acc = []
+            for chunk_toks in self.batcher.stream(req):
+                acc.extend(int(t) for t in np.ravel(chunk_toks)
+                           if t not in (gen_cfg.pad_token_id,
+                                        gen_cfg.eos_token_id))
+                generated_text = ori_prompt + tokenizer.decode(
+                    acc, skip_special_tokens=True)
+                if stop_str and generated_text.endswith(stop_str):
+                    generated_text = generated_text[: -len(stop_str)]
+                yield json.dumps({"text": generated_text,
+                                  "error_code": 0}).encode() + b"\0"
+            return
 
         for ids in stream_generate(
                 model.params, model.cfg, input_ids,
@@ -278,6 +324,8 @@ def main():
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
     parser.add_argument("--use-flash-attn", action="store_true")
+    parser.add_argument("--continuous-batching", action="store_true")
+    parser.add_argument("--max-batch", type=int, default=4)
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -285,7 +333,9 @@ def main():
                          worker_id, args.no_register, args.model_path,
                          args.model_base, args.model_name, args.load_8bit,
                          args.load_4bit, args.device,
-                         limit_model_concurrency=args.limit_model_concurrency)
+                         limit_model_concurrency=args.limit_model_concurrency,
+                         continuous_batching=args.continuous_batching,
+                         max_batch=args.max_batch)
 
     from aiohttp import web
 
