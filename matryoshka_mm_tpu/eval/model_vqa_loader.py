@@ -91,35 +91,56 @@ def eval_model(args):
 
     Thread(target=producer, daemon=True).start()
 
-    while True:
-        item = q.get()
-        if item is None:
-            break
-        line, (input_ids, pixels, image_size, prompt) = item
-        idx = line["question_id"]
-
+    def flush_batch(batch):
+        """Left-pad the batch to a shared bucketed length, one generate call
+        for all rows (TPU prefers batched decodes; greedy outputs are
+        identical to batch-1 thanks to the attention mask)."""
+        if not batch:
+            return
+        pad_id = getattr(tokenizer, "pad_token_id", 0) or 0
+        T = max(x[1][0].shape[1] for x in batch)
+        T = -(-T // 32) * 32
+        B = len(batch)
+        ids = np.full((B, T), pad_id, np.int32)
+        mask = np.zeros((B, T), bool)
+        pixels = np.concatenate([x[1][1] for x in batch], axis=0)
+        for b, (_, (row_ids, _, _, _)) in enumerate(batch):
+            n = row_ids.shape[1]
+            ids[b, T - n:] = row_ids[0]
+            mask[b, T - n:] = True
         output_ids = model.generate(
-            input_ids, images=pixels, image_sizes=[image_size],
+            ids, images=pixels, attention_mask=mask,
+            image_sizes=[x[1][2] for x in batch],
             matryoshka_vis_token_scale=args.matryoshka_vis_token_scale,
             do_sample=args.temperature > 0,
             temperature=args.temperature,
             top_p=args.top_p if args.top_p is not None else 1.0,
             max_new_tokens=args.max_new_tokens,
             eos_token_id=getattr(tokenizer, "eos_token_id", 2),
-            pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
+            pad_token_id=pad_id,
         )
-        outputs = tokenizer.batch_decode(output_ids,
-                                         skip_special_tokens=True)[0].strip()
-
-        ans_file.write(json.dumps({
-            "question_id": idx,
-            "prompt": line["text"],
-            "text": outputs,
-            "answer_id": str(uuid.uuid4())[:8],
-            "model_id": model_name,
-            "metadata": {},
-        }) + "\n")
+        texts = tokenizer.batch_decode(output_ids, skip_special_tokens=True)
+        for (line, _), text in zip(batch, texts):
+            ans_file.write(json.dumps({
+                "question_id": line["question_id"],
+                "prompt": line["text"],
+                "text": text.strip(),
+                "answer_id": str(uuid.uuid4())[:8],
+                "model_id": model_name,
+                "metadata": {},
+            }) + "\n")
         ans_file.flush()
+
+    batch = []
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        batch.append(item)
+        if len(batch) >= args.batch_size:
+            flush_batch(batch)
+            batch = []
+    flush_batch(batch)
     ans_file.close()
 
 
@@ -134,6 +155,9 @@ def build_parser():
     parser.add_argument("--conv-mode", type=str, default="llava_v1")
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
+    parser.add_argument("--batch-size", type=int, default=1,
+                        help="TPU batched generation (greedy outputs match "
+                             "batch-1 exactly)")
     parser.add_argument("--temperature", type=float, default=0.0)
     parser.add_argument("--top_p", type=float, default=None)
     parser.add_argument("--num_beams", type=int, default=1)

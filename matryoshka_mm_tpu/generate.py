@@ -48,10 +48,10 @@ class GenerationConfig:
 @lru_cache(maxsize=64)
 def _prefill_fn(cfg: LlavaConfig, numtoks: int, out_len: int, capacity: int):
     @jax.jit
-    def prefill(params, input_ids, pixel_values):
+    def prefill(params, input_ids, pixel_values, attn_mask=None):
         spliced, gating_prob = prepare_multimodal(
             params, cfg, input_ids, pixel_values, numtoks=numtoks,
-            out_len=out_len, padding_side="left")
+            attn_mask=attn_mask, out_len=out_len, padding_side="left")
         B, L, _ = spliced.embeds.shape
         cache = init_kv_cache(cfg.llama, B, capacity,
                               dtype=jnp.dtype(cfg.llama.dtype))
@@ -233,6 +233,7 @@ def generate(
     pixel_values: Optional[np.ndarray] = None,   # (B, 3, H, W) or (1, T, 3, H, W)
     *,
     image_sizes=None,                            # [(w, h), ...] for anyres
+    attention_mask: Optional[np.ndarray] = None,  # (B, T) for padded batches
     matryoshka_vis_token_scale: Optional[str] = None,
     gen_cfg: GenerationConfig = GenerationConfig(),
     stopping_criteria=None,
@@ -305,8 +306,10 @@ def generate(
         n = numtoks if numtoks is not None else cfg.vision.num_patches
         L = _round_up(T - 1 + n, 64)
         capacity = L + gen_cfg.max_new_tokens
+        mask = None if attention_mask is None else \
+            jnp.asarray(np.asarray(attention_mask, bool))
         logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
-            params, input_ids, pixel_values)
+            params, input_ids, pixel_values, mask)
         # left-padded prefill: slots [L - len, L); decode continues at L
         first, rng = _select_token(logits, gen_cfg, rng)
         return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,

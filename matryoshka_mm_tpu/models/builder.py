@@ -47,6 +47,7 @@ class LlavaModel:
         self.config = _ConfigView(cfg)
 
     def generate(self, input_ids, images=None, image_sizes=None,
+                 attention_mask=None,
                  matryoshka_vis_token_scale=None, max_new_tokens=128,
                  temperature=0.0, top_p=1.0, do_sample=False,
                  eos_token_id=2, pad_token_id=0, stopping_criteria=None,
@@ -62,7 +63,7 @@ class LlavaModel:
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
             pad_token_id=pad_token_id)
         return generate(self.params, self.cfg, input_ids, images,
-                        image_sizes=image_sizes,
+                        image_sizes=image_sizes, attention_mask=attention_mask,
                         matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg,
                         stopping_criteria=stopping_criteria)
 
