@@ -109,7 +109,32 @@ def main():
             "decode_tok_s": round(tok_per_sec, 2),
         }
         del cache, c
-    del params
+    # --------------------------------------------------------------
+    # 3) batched decode throughput (continuous-batching regime), B=8
+    # --------------------------------------------------------------
+    B = 8
+    numtoks = 144
+    L = -(-(T - 1 + numtoks) // 64) * 64
+    capacity = L + gen_cfg.max_new_tokens
+    ids_b = jnp.tile(ids, (B, 1))
+    px_b = jnp.tile(px1, (B, 1, 1, 1))
+    prefill = _prefill_fn(cfg, numtoks, L, capacity)
+    logits, cache, lengths, _ = prefill(params, ids_b, px_b)
+    _ = np.asarray(jax.device_get(logits[0, :2]))
+    decode = _decode_chunk_fn(cfg, gen_cfg, 32)
+    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    c, tok, lens, fin, toks = decode(params, cache, first, lengths,
+                                     jnp.zeros((B,), bool),
+                                     jax.random.PRNGKey(0))
+    _ = np.asarray(jax.device_get(tok))
+    t0 = time.perf_counter()
+    for _ in range(2):
+        c, tok, lens, fin, toks = decode(params, c, tok, lens, fin,
+                                         jax.random.PRNGKey(0))
+    _ = np.asarray(jax.device_get(tok))
+    dt = time.perf_counter() - t0
+    results["batched_decode_tok_s_b8"] = round(B * 64 / dt, 2)
+    del params, cache, c
 
     results["scales"] = scale_metrics
 

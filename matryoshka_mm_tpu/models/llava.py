@@ -65,6 +65,7 @@ class LlavaConfig:
     tokenizer_model_max_length: int = 2048
     tokenizer_padding_side: str = "right"
     router_feature_types: Tuple[str, ...] = ()
+    text_embed_dim: int = 384  # bge-small-en-v1.5 (llava_arch.py:259)
 
     # ----- reference property parity (llava_arch.py:283-297) -----
     @property
@@ -123,7 +124,7 @@ def router_embed_dim(cfg: LlavaConfig) -> int:
     dim = 0
     fts = cfg.router_feature_types
     if "textcls" in fts:
-        dim += 384  # bge-small-en-v1.5 hidden size
+        dim += cfg.text_embed_dim
     if any(x in fts for x in ("cls", "clslast", "patchavgpool", "poolout")):
         dim += cfg.mm_hidden_size
     elif any(x in fts for x in ("attnqk", "attnkk")):

@@ -293,6 +293,17 @@ def train(attn_implementation: str = "flash"):
         else:
             sampler = None
 
+        # frozen BERT prompt embedder for the router's textcls feature
+        # (reference: llava_arch.py:250-259)
+        text_embedder = None
+        if "textcls" in cfg.router_feature_types:
+            from ..models.text_embedder import BertConfig, TextEmbedder
+
+            bert_cfg = (BertConfig.tiny_debug()
+                        if model_args.model_name_or_path.startswith("debug://")
+                        else BertConfig.bge_small())
+            text_embedder = TextEmbedder(tokenizer, cfg=bert_cfg)
+
         metrics_path = os.path.join(training_args.output_dir, "metrics.jsonl")
         metrics_file = open(metrics_path, "a")
         global_step = start_step
@@ -309,11 +320,16 @@ def train(attn_implementation: str = "flash"):
             for raw in _batches(dataset, collator, indices, micro_bsz):
                 if len(raw["input_ids"]) < micro_bsz:
                     continue  # drop ragged tail (static shapes)
+                text_embed = None
+                if text_embedder is not None:
+                    text_embed = jax.device_put(
+                        np.asarray(text_embedder(raw["input_ids"])), bshard)
                 batch = M3Batch(
                     input_ids=jax.device_put(raw["input_ids"], bshard),
                     pixel_values=jax.device_put(raw["images"], bshard),
                     labels=jax.device_put(raw["labels"], bshard),
                     attn_mask=jax.device_put(raw["attention_mask"], bshard),
+                    text_embed=text_embed,
                 )
                 state, metrics = step_fn(state, batch)
                 global_step += 1

@@ -42,6 +42,10 @@ class M3Batch(NamedTuple):
     pixel_values: jnp.ndarray  # (B, 3, H, W)
     labels: jnp.ndarray       # (B, T)
     attn_mask: jnp.ndarray    # (B, T)
+    # optional frozen text embedding for the router's `textcls` feature,
+    # computed host-side by models.text_embedder.TextEmbedder (the BERT is
+    # frozen, so it lives outside the differentiated graph): (B, D_text)
+    text_embed: Optional[jnp.ndarray] = None
 
 
 def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
@@ -62,7 +66,8 @@ def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
     feats = outs["patch"]
     if cfg.preset.projector_loc == "after_vision_tower":
         feats = apply_projector(params["mm_projector"], cfg.mm_projector_type, feats)
-    gating_prob = router_forward(params, cfg, outs)
+    gating_prob = router_forward(params, cfg, outs,
+                                 text_embed=batch.text_embed)
 
     # ---- pool + splice per scale, left-aligned into a shared buffer ----
     text = embed_tokens(params["llama"], batch.input_ids)
