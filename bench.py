@@ -110,9 +110,10 @@ def main():
         }
         del cache, c
     # --------------------------------------------------------------
-    # 3) batched decode throughput (continuous-batching regime), B=8
+    # 3) batched decode throughput (continuous-batching regime), B=4
+    # (B=8 with the 7B's 13.5GB of bf16 weights overruns the 16GB HBM)
     # --------------------------------------------------------------
-    B = 8
+    B = 4
     numtoks = 144
     L = -(-(T - 1 + numtoks) // 64) * 64
     capacity = L + gen_cfg.max_new_tokens
@@ -133,7 +134,7 @@ def main():
                                          jax.random.PRNGKey(0))
     _ = np.asarray(jax.device_get(tok))
     dt = time.perf_counter() - t0
-    results["batched_decode_tok_s_b8"] = round(B * 64 / dt, 2)
+    results["batched_decode_tok_s_b4"] = round(B * 64 / dt, 2)
     del params, cache, c
 
     results["scales"] = scale_metrics
