@@ -110,32 +110,39 @@ def main():
         }
         del cache, c
     # --------------------------------------------------------------
-    # 3) batched decode throughput (continuous-batching regime), B=4
-    # (B=8 with the 7B's 13.5GB of bf16 weights overruns the 16GB HBM)
+    # 3) int8 weights: single-stream + batched decode (serving config)
+    # bf16 at B>=2 OOMs: XLA inserts ~3.6GB of transposed weight copies
+    # for narrow-batch matvecs, and 13.5GB of weights leaves no headroom.
+    # int8 (load_8bit) is the intended continuous-batching deployment.
     # --------------------------------------------------------------
-    B = 4
-    numtoks = 144
-    L = -(-(T - 1 + numtoks) // 64) * 64
-    capacity = L + gen_cfg.max_new_tokens
-    ids_b = jnp.tile(ids, (B, 1))
-    px_b = jnp.tile(px1, (B, 1, 1, 1))
-    prefill = _prefill_fn(cfg, numtoks, L, capacity)
-    logits, cache, lengths, _ = prefill(params, ids_b, px_b)
-    _ = np.asarray(jax.device_get(logits[0, :2]))
-    decode = _decode_chunk_fn(cfg, gen_cfg, 32)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    c, tok, lens, fin, toks = decode(params, cache, first, lengths,
-                                     jnp.zeros((B,), bool),
-                                     jax.random.PRNGKey(0))
-    _ = np.asarray(jax.device_get(tok))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        c, tok, lens, fin, toks = decode(params, c, tok, lens, fin,
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
+
+    params["llama"] = quantize_llama_params_inplace(params["llama"])
+
+    for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4")):
+        numtoks = 144
+        L = -(-(T - 1 + numtoks) // 64) * 64
+        capacity = L + gen_cfg.max_new_tokens
+        ids_b = jnp.tile(ids, (B, 1))
+        px_b = jnp.tile(px1, (B, 1, 1, 1))
+        prefill = _prefill_fn(cfg, numtoks, L, capacity)
+        logits, cache, lengths, _ = prefill(params, ids_b, px_b)
+        _ = np.asarray(jax.device_get(logits[0, :2]))
+        decode = _decode_chunk_fn(cfg, gen_cfg, 32)
+        first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        c, tok, lens, fin, toks = decode(params, cache, first, lengths,
+                                         jnp.zeros((B,), bool),
                                          jax.random.PRNGKey(0))
-    _ = np.asarray(jax.device_get(tok))
-    dt = time.perf_counter() - t0
-    results["batched_decode_tok_s_b4"] = round(B * 64 / dt, 2)
-    del params, cache, c
+        _ = np.asarray(jax.device_get(tok))
+        t0 = time.perf_counter()
+        for _ in range(2):
+            c, tok, lens, fin, toks = decode(params, c, tok, lens, fin,
+                                             jax.random.PRNGKey(0))
+        _ = np.asarray(jax.device_get(tok))
+        dt = time.perf_counter() - t0
+        results[tag] = round(B * 64 / dt, 2)
+        del cache, c
+    del params
 
     results["scales"] = scale_metrics
 

@@ -58,6 +58,34 @@ def quantize_llama_params(params: dict, min_size: int = 1 << 16) -> dict:
     return rec(params)
 
 
+def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16) -> dict:
+    """Like :func:`quantize_llama_params` but replaces leaves one at a time
+    so the bf16 original is freed as quantization proceeds — peak HBM is the
+    full bf16 tree plus ONE int8 leaf, not both trees (needed to quantize a
+    7B resident on a 16GB chip)."""
+
+    def rec(tree, path=()):
+        if isinstance(tree, dict):
+            for k in list(tree):
+                child = tree[k]
+                if isinstance(child, (dict, list, tuple)):
+                    rec(child, path + (k,))
+                else:
+                    name = k
+                    if (hasattr(child, "ndim") and child.ndim >= 2
+                            and child.size >= min_size
+                            and jnp.issubdtype(jnp.asarray(child).dtype, jnp.floating)
+                            and name not in ("embed_tokens",)):
+                        tree[k] = quantize_array(child)
+                        del child  # drop the bf16 leaf before the next one
+        elif isinstance(tree, (list, tuple)):
+            for v in tree:
+                rec(v, path)
+
+    rec(params)
+    return params
+
+
 def tree_nbytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(tree)
