@@ -17,13 +17,36 @@ import jax.numpy as jnp
 QKEY = "qint8"
 
 
-def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """(…, in, out) float -> int8 values + per-output-channel f32 scale."""
-    w = jnp.asarray(w)
+def _quantize_2d(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return {QKEY: q, "scale": scale.astype(jnp.float32)}
+
+
+@jax.jit
+def _quantize_2d_jit(w):
+    return _quantize_2d(w)
+
+
+def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(…, in, out) float -> int8 values + per-output-channel f32 scale.
+
+    Stacked 3D leaves quantize one leading slice at a time so the f32
+    intermediate is per-layer, not leaf-sized (a 2.8GB bf16 leaf would
+    otherwise need a 5.6GB f32 copy — fatal with a 7B resident in HBM).
+    """
+    w = jnp.asarray(w)
+    if w.ndim <= 2:
+        return _quantize_2d(w)
+    n = w.shape[0]
+    q = jnp.zeros(w.shape, jnp.int8)
+    scale = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
+    for i in range(n):
+        part = _quantize_2d_jit(w[i])
+        q = q.at[i].set(part[QKEY])
+        scale = scale.at[i].set(part["scale"])
+    return {QKEY: q, "scale": scale}
 
 
 def is_quantized(leaf: Any) -> bool:
