@@ -29,24 +29,31 @@ def _quantize_2d_jit(w):
     return _quantize_2d(w)
 
 
-def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """(…, in, out) float -> int8 values + per-output-channel f32 scale.
+@jax.jit
+def _quantize_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Quantize a (n, in, out) stacked leaf slice-by-slice inside one jit:
+    the f32 intermediate is per-slice and the int8 outputs update in place
+    (a 2.8GB bf16 leaf would otherwise need a 5.6GB f32 copy — fatal with
+    a 7B resident in HBM)."""
+    n = w.shape[0]
 
-    Stacked 3D leaves quantize one leading slice at a time so the f32
-    intermediate is per-layer, not leaf-sized (a 2.8GB bf16 leaf would
-    otherwise need a 5.6GB f32 copy — fatal with a 7B resident in HBM).
-    """
+    def body(i, carry):
+        q, scale = carry
+        part = _quantize_2d(w[i])
+        return (q.at[i].set(part[QKEY]), scale.at[i].set(part["scale"]))
+
+    q0 = jnp.zeros(w.shape, jnp.int8)
+    s0 = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
+    q, scale = jax.lax.fori_loop(0, n, body, (q0, s0))
+    return {QKEY: q, "scale": scale}
+
+
+def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """(…, in, out) float -> int8 values + per-output-channel f32 scale."""
     w = jnp.asarray(w)
     if w.ndim <= 2:
         return _quantize_2d(w)
-    n = w.shape[0]
-    q = jnp.zeros(w.shape, jnp.int8)
-    scale = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
-    for i in range(n):
-        part = _quantize_2d_jit(w[i])
-        q = q.at[i].set(part[QKEY])
-        scale = scale.at[i].set(part["scale"])
-    return {QKEY: q, "scale": scale}
+    return dict(_quantize_stacked(w))
 
 
 def is_quantized(leaf: Any) -> bool:

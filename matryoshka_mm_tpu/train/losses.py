@@ -73,6 +73,61 @@ def lm_loss_weighted(logits, labels, sample_weights,
     raise ValueError(f"invalid lm_loss_type = {lm_loss_type}")
 
 
+def chunked_token_cross_entropy(hidden: jnp.ndarray, lm_head_w,
+                                labels: jnp.ndarray,
+                                chunk: int = 256):
+    """Per-token CE computed from hidden states WITHOUT materializing the
+    (B, S, V) float32 logits — the dominant training-memory term at
+    ctx 2048+576 with V=32000 (the reference materializes and even concats
+    K scale copies, llava_llama.py:342).
+
+    The sequence is processed in chunks: each chunk projects to logits,
+    reduces to per-token CE, and the logits are freed.  Returns
+    ((B, S-1) ce, (B, S-1) valid) matching :func:`token_cross_entropy`.
+    """
+    from ..ops.quant import dequantize_array
+
+    w = dequantize_array(lm_head_w)
+    B, S, D = hidden.shape
+    shift_hidden = hidden[:, :-1, :]
+    shift_labels = labels[..., 1:]
+    Sm1 = S - 1
+    pad = (-Sm1) % chunk
+    h = jnp.pad(shift_hidden, ((0, 0), (0, pad), (0, 0)))
+    l = jnp.pad(shift_labels, ((0, 0), (0, pad)),
+                constant_values=IGNORE_INDEX)
+    n_chunks = (Sm1 + pad) // chunk
+    h = h.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
+    l = l.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
+
+    def body(carry, hl):
+        hc, lc = hl
+        logits = (hc @ w).astype(jnp.float32)          # (B, chunk, V)
+        valid = lc != IGNORE_INDEX
+        safe = jnp.clip(jnp.where(valid, lc, 0), 0, logits.shape[-1] - 1)
+        logprobs = jax.nn.log_softmax(logits, axis=-1)
+        ll = jnp.take_along_axis(logprobs, safe[..., None], axis=-1)[..., 0]
+        return carry, (jnp.where(valid, -ll, 0.0), valid)
+
+    _, (ce, valid) = jax.lax.scan(body, None, (h, l))
+    ce = ce.transpose(1, 0, 2).reshape(B, Sm1 + pad)[:, :Sm1]
+    valid = valid.transpose(1, 0, 2).reshape(B, Sm1 + pad)[:, :Sm1]
+    return ce, valid
+
+
+def chunked_lm_loss_unreduced(hidden, lm_head_w, labels,
+                              lm_loss_type: str = "micro",
+                              chunk: int = 256) -> jnp.ndarray:
+    """(B,) per-sample loss from hidden states, logits never materialized."""
+    losses, valid = chunked_token_cross_entropy(hidden, lm_head_w, labels, chunk)
+    if lm_loss_type == "micro":
+        per_seq = losses.sum(-1)
+        return per_seq * per_seq.shape[0] / (valid.sum() + _EPS)
+    if lm_loss_type == "macro":
+        return losses.sum(-1) / (valid.sum(-1) + _EPS)
+    raise ValueError(f"invalid lm_loss_type = {lm_loss_type}")
+
+
 def lm_loss_unreduced(logits, labels, lm_loss_type: str = "micro") -> jnp.ndarray:
     """(B,) per-sample losses whose mean equals the reduced loss
     (reference: llava_llama.py:114-138)."""

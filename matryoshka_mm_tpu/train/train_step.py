@@ -49,12 +49,21 @@ class M3Batch(NamedTuple):
 
 
 def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
-                       out_len: Optional[int] = None
-                       ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray]:
+                       out_len: Optional[int] = None,
+                       need_logits: bool = True
+                       ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One batched forward over all K token scales.
 
-    Returns (logits (K, B, L, V) fp32, labels (K, B, L), gating_prob (B, K)
-    or None, losses_lm (B, K)).
+    Returns (logits (K, B, L, V) fp32 or None, labels (K, B, L),
+    gating_prob (B, K) or None, losses_lm (B, K), ce (K, B, L-1),
+    valid (K, B, L-1)).
+
+    With ``need_logits=False`` the (K, B, L, V) float32 logits are never
+    materialized: per-token CE is computed from hidden states in sequence
+    chunks (losses.chunked_token_cross_entropy) — the dominant memory term
+    at ctx 2048+576 with V=32000 (the reference materializes and concats K
+    copies of it, llava_llama.py:342).  Only the distillation objectives
+    need real logits.
     """
     scales = cfg.tokscale_list
     K = len(scales)
@@ -89,13 +98,49 @@ def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
     # ---- one LLM forward for all scales ----
     hidden, _ = llama_forward(params["llama"], cfg.llama, embeds,
                               position_ids=pos, attn_valid=mask)
-    logits = lm_head(params["llama"], hidden).reshape(K, B, buf_len, -1)
+    hidden = hidden.reshape(K, B, buf_len, -1)
+
+    lm_head_w = params["llama"].get("lm_head", params["llama"]["embed_tokens"])
+    ce_list, valid_list = [], []
+    for k in range(K):
+        ce_k, valid_k = L.chunked_token_cross_entropy(
+            hidden[k], lm_head_w, labels[k])
+        ce_list.append(ce_k)
+        valid_list.append(valid_k)
+    ce = jnp.stack(ce_list)          # (K, B, L-1)
+    valid = jnp.stack(valid_list)
 
     losses_lm = jnp.stack([
-        L.lm_loss_unreduced(logits[k], labels[k], cfg.preset.lm_loss_type)
+        _unreduced_from_ce(ce[k], valid[k], cfg.preset.lm_loss_type)
         for k in range(K)
     ], axis=1)  # (B, K)
-    return logits, labels, gating_prob, losses_lm
+
+    logits = (lm_head(params["llama"], hidden.reshape(K * B, buf_len, -1))
+              .reshape(K, B, buf_len, -1) if need_logits else None)
+    return logits, labels, gating_prob, losses_lm, ce, valid
+
+
+def _unreduced_from_ce(ce, valid, lm_loss_type):
+    """(B,) per-sample loss from per-token CE (llava_llama.py:114-138)."""
+    if lm_loss_type == "micro":
+        per_seq = ce.sum(-1)
+        return per_seq * per_seq.shape[0] / (valid.sum() + 1e-8)
+    return ce.sum(-1) / (valid.sum(-1) + 1e-8)
+
+
+def _plain_from_ce(ce, valid, lm_loss_type):
+    """Scalar LM loss from per-token CE (llava_llama.py:40-72)."""
+    if lm_loss_type == "micro":
+        return ce.sum() / jnp.maximum(valid.sum(), 1)
+    return (ce.sum(-1) / (valid.sum(-1) + 1e-8)).mean()
+
+
+def _weighted_from_ce(ce, valid, w, lm_loss_type):
+    """Gating-weighted LM loss from per-token CE (llava_llama.py:75-111)."""
+    w = w.reshape(ce.shape[0]).astype(jnp.float32)
+    if lm_loss_type == "micro":
+        return (ce.sum(-1) * w).sum() / (valid.sum() + 1e-8)
+    return ((ce.sum(-1) / (valid.sum(-1) + 1e-8)) * w).mean()
 
 
 def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
@@ -111,7 +156,16 @@ def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
     K = len(scales)
     lm_loss_type = cfg.preset.lm_loss_type
 
-    logits, labels, gating_prob, losses_lm = multiscale_forward(params, cfg, batch)
+    # distillation objectives are the only consumers of raw logits; every
+    # other objective derives from per-token CE (memory-efficient path)
+    need_logits = False
+    if cfg.is_m3_moe:
+        obj_probe = str(parse_kv_from_string(cfg.preset.moe).get("obj",
+                                                                 "weightedlm"))
+        need_logits = obj_probe in ("distil", "distilpickteacher")
+
+    logits, labels, gating_prob, losses_lm, ce, valid = multiscale_forward(
+        params, cfg, batch, need_logits=need_logits)
     metrics: Dict[str, jnp.ndarray] = {}
 
     losses_lm_reduced = losses_lm.mean(axis=0)  # (K,) unweighted per-scale
@@ -121,7 +175,7 @@ def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
     if gating_prob is None:
         # plain M3: average of per-scale LM losses (llava_llama.py:327-329)
         loss = sum(
-            L.lm_loss(logits[k], labels[k], lm_loss_type) for k in range(K)
+            _plain_from_ce(ce[k], valid[k], lm_loss_type) for k in range(K)
         ) / K
         metrics["loss"] = loss
         return loss, metrics
@@ -132,7 +186,7 @@ def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
 
     # base: gating-weighted LM loss summed over scales (llava_llama.py:264-267,344-346)
     loss = sum(
-        L.lm_loss_weighted(logits[k], labels[k], gating_prob[:, k], lm_loss_type)
+        _weighted_from_ce(ce[k], valid[k], gating_prob[:, k], lm_loss_type)
         for k in range(K)
     )
 

@@ -140,3 +140,22 @@ def test_beta_logprob_matches_torch():
     dist = torch.distributions.Beta(2.0, 3.0)
     want = 0.1 * dist.log_prob(torch.tensor([0.7, 0.1])).sum().item()
     assert abs(got - want) < 1e-4
+
+
+def test_chunked_ce_matches_unchunked():
+    """chunked_token_cross_entropy == token_cross_entropy(lm_head(hidden))."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    Bc, Sc, D, Vc = 2, 11, 8, 13
+    hidden = jnp.asarray(rng.standard_normal((Bc, Sc, D)).astype(np.float32))
+    w = jnp.asarray(rng.standard_normal((D, Vc)).astype(np.float32))
+    labels = rng.integers(0, Vc, (Bc, Sc)).astype(np.int32)
+    labels[:, :3] = IGNORE_INDEX
+    labels = jnp.asarray(labels)
+
+    logits = (hidden @ w).astype(jnp.float32)
+    want_ce, want_valid = L.token_cross_entropy(logits, labels)
+    got_ce, got_valid = L.chunked_token_cross_entropy(hidden, w, labels, chunk=4)
+    np.testing.assert_allclose(np.asarray(got_ce), np.asarray(want_ce), atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got_valid), np.asarray(want_valid))

@@ -26,10 +26,12 @@ def test_multiscale_forward_shapes():
     cfg = LlavaConfig.tiny_debug()
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     batch = _batch(cfg)
-    logits, labels, gp, losses_lm = multiscale_forward(params, cfg, batch)
+    logits, labels, gp, losses_lm, ce, valid = multiscale_forward(
+        params, cfg, batch)
     K = len(cfg.tokscale_list)
     assert logits.shape[0] == K and labels.shape[0] == K
     assert losses_lm.shape == (2, K)
+    assert ce.shape[:2] == (K, 2)
     assert gp is None
 
 
@@ -42,7 +44,7 @@ def test_m3_loss_plain_equals_mean_of_scales():
     loss, metrics = m3_loss(params, cfg, batch)
     from matryoshka_mm_tpu.train.losses import lm_loss
 
-    logits, labels, _, _ = multiscale_forward(params, cfg, batch)
+    logits, labels, _, _, _, _ = multiscale_forward(params, cfg, batch)
     want = np.mean([float(lm_loss(logits[k], labels[k])) for k in
                     range(len(cfg.tokscale_list))])
     assert abs(float(loss) - want) < 1e-5
