@@ -66,15 +66,22 @@ def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (leaf[QKEY].astype(jnp.float32) * leaf["scale"]).astype(dtype)
 
 
+def _should_quantize(name: str, leaf, min_size: int) -> bool:
+    """Dense kernels only: norms are stacked (n_layers, D) 2D leaves that
+    must NOT be quantized (their per-layer semantics break 2D per-channel
+    scales), and embeddings feed gathers."""
+    return (hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.size >= min_size
+            and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
+            and "norm" not in name and "embed" not in name)
+
+
 def quantize_llama_params(params: dict, min_size: int = 1 << 16) -> dict:
     """Quantize the big dense kernels of a llama param tree; norms, biases
     and embeddings stay bf16 (embeddings feed gathers)."""
 
     def walk(path, leaf):
         name = path[-1] if path else ""
-        if (hasattr(leaf, "ndim") and leaf.ndim >= 2 and leaf.size >= min_size
-                and jnp.issubdtype(jnp.asarray(leaf).dtype, jnp.floating)
-                and name not in ("embed_tokens",)):
+        if _should_quantize(name, leaf, min_size):
             return quantize_array(leaf)
         return leaf
 
@@ -101,11 +108,7 @@ def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16) -> dict
                 if isinstance(child, (dict, list, tuple)):
                     rec(child, path + (k,))
                 else:
-                    name = k
-                    if (hasattr(child, "ndim") and child.ndim >= 2
-                            and child.size >= min_size
-                            and jnp.issubdtype(jnp.asarray(child).dtype, jnp.floating)
-                            and name not in ("embed_tokens",)):
+                    if _should_quantize(k, child, min_size):
                         tree[k] = quantize_array(child)
                         del child  # drop the bf16 leaf before the next one
         elif isinstance(tree, (list, tuple)):
