@@ -367,6 +367,33 @@ def generate(
     return _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
 
 
+def chunked_prefill(params, cfg: LlavaConfig, embeds: jnp.ndarray,
+                    position_ids: jnp.ndarray, attn_valid: jnp.ndarray,
+                    capacity: int, chunk: int = 512):
+    """Prefill a long prompt in fixed-size chunks against the cache.
+
+    Bounds prefill activation memory to O(chunk) instead of O(prompt) for
+    very long contexts; each chunk's cache-slot offset is static so the
+    flash kernel's index-based causality stays exact.  Returns
+    (last_logits, cache).
+    """
+    from .models.llama import init_kv_cache, llama_forward, lm_head
+
+    B, S, D = embeds.shape
+    assert S % chunk == 0, (S, chunk)
+    cache = init_kv_cache(cfg.llama, B, capacity,
+                          dtype=jnp.dtype(cfg.llama.dtype))
+    hidden = None
+    for i in range(S // chunk):
+        sl = slice(i * chunk, (i + 1) * chunk)
+        hidden, cache = llama_forward(
+            params["llama"], cfg.llama, embeds[:, sl],
+            position_ids=position_ids[:, sl], attn_valid=attn_valid[:, sl],
+            cache=cache, q_index_offset=i * chunk)
+    logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
+    return logits, cache
+
+
 def stream_generate(
     params: dict,
     cfg: LlavaConfig,

@@ -248,7 +248,7 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
                    q_positions, kv_valid, kv_positions,
-                   cache_k, cache_v, write_idx):
+                   cache_k, cache_v, write_idx, q_index_offset: int = 0):
     """One decoder layer.  cache_k/v: (B, S_max, n_kv, Dh) or None."""
     if cfg.arch == "mpt":
         return _mpt_layer_forward(
@@ -281,7 +281,8 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
         attn_out = attention(
             q, attn_k, attn_v, causal=True, q_positions=q_positions,
             kv_positions=kv_positions, kv_valid=kv_valid,
-            sliding_window=window, impl=cfg.attn_impl)
+            sliding_window=window, q_index_offset=q_index_offset,
+            impl=cfg.attn_impl)
     else:
         attn_out = attention(
             q, k, v, causal=True, q_positions=q_positions,
@@ -354,6 +355,7 @@ def llama_forward(
     position_ids: jnp.ndarray,                  # (B, S)
     attn_valid: Optional[jnp.ndarray] = None,   # (B, S) bool
     cache: Optional[KVCache] = None,
+    q_index_offset: int = 0,                    # static: for chunked prefill
 ) -> Tuple[jnp.ndarray, Optional[KVCache]]:
     """Run the decoder stack.  Returns (hidden_states, updated_cache).
 
@@ -394,7 +396,7 @@ def llama_forward(
                 layer_params, h, cfg=cfg, cos=cos, sin=sin,
                 q_positions=position_ids, kv_valid=new_valid,
                 kv_positions=new_positions, cache_k=ck, cache_v=cv,
-                write_idx=write_idx)
+                write_idx=write_idx, q_index_offset=q_index_offset)
             return h, (ck, cv)
 
         hidden, (new_k, new_v) = jax.lax.scan(

@@ -99,6 +99,7 @@ def attention(
     kv_valid: Optional[jnp.ndarray] = None,
     bias: Optional[jnp.ndarray] = None,
     sliding_window: Optional[int] = None,
+    q_index_offset: int = 0,
     impl: str = "auto",
 ) -> jnp.ndarray:
     """Dispatch to the fastest correct implementation.
@@ -118,7 +119,7 @@ def attention(
         return flash_attention(
             q, k, v, causal=causal, q_positions=q_positions,
             kv_positions=kv_positions, kv_valid=kv_valid,
-            sliding_window=sliding_window,
+            sliding_window=sliding_window, q_index_offset=q_index_offset,
         )
     return attention_reference(
         q, k, v, causal=causal, q_positions=q_positions,

@@ -55,7 +55,7 @@ def _round_up(x: int, m: int) -> int:
 def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale: float, causal: bool,
                 block_q: int, block_k: int, num_kv_blocks: int,
-                window: int = 0):
+                window: int = 0, q_offset: int = 0):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -65,7 +65,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+    run = True if not causal else (
+        ik * block_k <= q_offset + iq * block_q + block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -79,7 +80,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
         kv_ok = kvmask_ref[0, 0] != 0         # (BK,)
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
         if causal or window:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + iq * block_q + q_offset)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
             if causal:
                 mask = mask & (cols <= rows)
@@ -109,7 +111,8 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
         lse_ref[0, 0, 0] = (m_ref[:, 0] + jnp.log(safe_l[:, 0]))
 
 
-def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0):
+def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
+              q_offset=0):
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
@@ -117,7 +120,7 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0):
     grid = (B, H, nq, nk)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
-        block_k=block_k, num_kv_blocks=nk, window=window)
+        block_k=block_k, num_kv_blocks=nk, window=window, q_offset=q_offset)
 
     out, lse = pl.pallas_call(
         kernel,
@@ -152,7 +155,7 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0):
 
 def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                    dq_ref, dq_acc, *, scale, causal, block_q, block_k,
-                   num_kv_blocks, window: int = 0):
+                   num_kv_blocks, window: int = 0, q_offset: int = 0):
     iq = pl.program_id(2)
     ik = pl.program_id(3)
 
@@ -160,7 +163,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
     def _init():
         dq_acc[:] = jnp.zeros_like(dq_acc)
 
-    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+    run = True if not causal else (
+        ik * block_k <= q_offset + iq * block_q + block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -176,7 +180,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
         kv_ok = kvmask_ref[0, 0] != 0
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
         if causal or window:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + iq * block_q + q_offset)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
             if causal:
                 mask = mask & (cols <= rows)
@@ -197,7 +202,8 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                    block_q, block_k, num_q_blocks, window: int = 0):
+                    block_q, block_k, num_q_blocks, window: int = 0,
+                    q_offset: int = 0):
     ik = pl.program_id(2)
     iq = pl.program_id(3)
 
@@ -206,7 +212,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
 
-    run = True if not causal else (ik * block_k <= iq * block_q + block_q - 1)
+    run = True if not causal else (
+        ik * block_k <= q_offset + iq * block_q + block_q - 1)
 
     @pl.when(run)
     def _compute():
@@ -222,7 +229,8 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
         kv_ok = kvmask_ref[0, 0] != 0
         mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
         if causal or window:
-            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + iq * block_q
+            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + iq * block_q + q_offset)
             cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
             if causal:
                 mask = mask & (cols <= rows)
@@ -249,7 +257,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 
 
 def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
-              block_q, block_k, window=0):
+              block_q, block_k, window=0, q_offset=0):
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
@@ -260,7 +268,7 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
     dq = pl.pallas_call(
         functools.partial(_bwd_dq_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, num_kv_blocks=nk,
-                          window=window),
+                          window=window, q_offset=q_offset),
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
@@ -280,7 +288,7 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, num_q_blocks=nq,
-                          window=window),
+                          window=window, q_offset=q_offset),
         grid=(B, H, nk, nq),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
@@ -312,24 +320,27 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
 # padded/custom-vjp wrapper
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8))
-def _flash(q, k, v, kv_mask, scale, causal, block_q, block_k, window):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7, 8, 9))
+def _flash(q, k, v, kv_mask, scale, causal, block_q, block_k, window, q_offset):
     out, _ = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
-                       block_q=block_q, block_k=block_k, window=window)
+                       block_q=block_q, block_k=block_k, window=window,
+                       q_offset=q_offset)
     return out
 
 
-def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k, window):
+def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k, window,
+               q_offset):
     out, lse = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
-                         block_q=block_q, block_k=block_k, window=window)
+                         block_q=block_q, block_k=block_k, window=window,
+                         q_offset=q_offset)
     return out, (q, k, v, kv_mask, out, lse)
 
 
-def _flash_bwd(scale, causal, block_q, block_k, window, res, do):
+def _flash_bwd(scale, causal, block_q, block_k, window, q_offset, res, do):
     q, k, v, kv_mask, out, lse = res
     dq, dk, dv = _bwd_call(q, k, v, kv_mask, out, lse, do, scale=scale,
                            causal=causal, block_q=block_q, block_k=block_k,
-                           window=window)
+                           window=window, q_offset=q_offset)
     return dq, dk, dv, None
 
 
@@ -346,6 +357,7 @@ def flash_attention(
     kv_positions=None,                       # causality is index-based
     kv_valid: Optional[jnp.ndarray] = None,  # (B, Sk) bool
     sliding_window: Optional[int] = None,
+    q_index_offset: int = 0,                 # static: q row i <-> kv slot i+offset
     block_q: int = DEFAULT_BLOCK_Q,
     block_k: int = DEFAULT_BLOCK_K,
 ) -> jnp.ndarray:
@@ -383,7 +395,8 @@ def flash_attention(
         kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sk_p - Sk)))
 
     out = _flash(q, k, v, kv_valid.astype(jnp.int32)[:, None, :], scale,
-                 causal, block_q, block_k, int(sliding_window or 0))
+                 causal, block_q, block_k, int(sliding_window or 0),
+                 int(q_index_offset))
 
     if padded:
         out = out[:, :, :Sq, :Dh]
