@@ -18,6 +18,64 @@ def _median(xs):
     return float(np.median(np.asarray(xs)))
 
 
+def _train_bench():
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+
+    from matryoshka_mm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.models.clip import ClipVisionConfig
+    from matryoshka_mm_tpu.models.llama import LlamaConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, M3Preset, init_llava_params
+    from matryoshka_mm_tpu.train.optimizer import OptimizerConfig
+    from matryoshka_mm_tpu.train.train_step import M3Batch
+    from matryoshka_mm_tpu.train.trainer import create_train_state, make_train_step
+
+    # ~1.1B decoder (2048 hidden, 16 layers) + ViT-L tower, K=3 scales
+    cfg = LlavaConfig(
+        llama=LlamaConfig(hidden_size=2048, intermediate_size=5504,
+                          num_hidden_layers=16, num_attention_heads=16,
+                          num_key_value_heads=16, vocab_size=32000,
+                          dtype="bfloat16", remat=True),
+        vision=ClipVisionConfig.vit_l_14_336(dtype="bfloat16"),
+        preset=M3Preset(
+            matryoshka_vis_token_scale="ver=v0_numtoks=[1,36,144]",
+            moe="t=dense_ft=cls_obj=weightedlm_loadb=switch_alpha=0.01_costt=count"),
+        router_feature_types=("cls",),
+        tokenizer_model_max_length=1024,
+    )
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    state, tx = create_train_state(params, OptimizerConfig(total_steps=10))
+    step = make_train_step(cfg, tx, donate=True)
+
+    B, T = 4, 256
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 31000, (B, T)).astype(np.int32)
+    ids[:, 3] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :T // 2] = IGNORE_INDEX
+    px = rng.standard_normal((B, 3, 336, 336)).astype(np.float32)
+    batch = M3Batch(jnp.asarray(ids), jnp.asarray(px), jnp.asarray(labels),
+                    jnp.ones((B, T), bool))
+
+    state, metrics = step(state, batch)   # compile
+    _ = float(metrics["loss"])
+    n_steps = 3
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = step(state, batch)
+    _ = float(metrics["loss"])            # host pull = sync
+    dt = (time.perf_counter() - t0) / n_steps
+    K = len(cfg.tokscale_list)
+    # tokens processed per optimizer step: K scale-sequences per sample
+    toks = B * sum(T - 1 + s for s in cfg.tokscale_list)
+    return {
+        "config": "1.1B llama + ViT-L, K=3 scales, B=4, T=256, remat",
+        "step_time_s": round(dt, 3),
+        "train_tokens_per_sec": round(toks / dt, 1),
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -145,6 +203,16 @@ def main():
     del params
 
     results["scales"] = scale_metrics
+
+    # --------------------------------------------------------------
+    # 4) M3 training-step throughput on a ~1.1B-param config
+    # (7B training needs a pod; this measures the single-chip step:
+    # vision once + K=3 scales folded into one batched forward + remat)
+    # --------------------------------------------------------------
+    try:
+        results["train"] = _train_bench()
+    except Exception as e:  # keep the bench line even if training OOMs
+        results["train"] = {"error": str(e)[:200]}
 
     headline = scale_metrics["144"]["decode_tok_s"]
     # BASELINE north-star: >=5x CPU-reference throughput per chip.  A 7B
