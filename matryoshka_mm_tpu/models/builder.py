@@ -307,8 +307,14 @@ def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
     builder.py:51-60).  int8 covers both flags (int4 packing: future)."""
     if not (load_8bit or load_4bit):
         return params
-    from ..ops.quant import quantize_llama_params
-
     out = dict(params)
-    out["llama"] = quantize_llama_params(params["llama"], min_size=4096)
+    if load_4bit:
+        from ..ops.quant import quantize_llama_params_int4
+
+        out["llama"] = quantize_llama_params_int4(
+            params["llama"], min_size=4096, inplace=True)
+    else:
+        from ..ops.quant import quantize_llama_params
+
+        out["llama"] = quantize_llama_params(params["llama"], min_size=4096)
     return out

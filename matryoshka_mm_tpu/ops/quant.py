@@ -57,12 +57,14 @@ def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def is_quantized(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and QKEY in leaf
+    return isinstance(leaf, dict) and (QKEY in leaf or "qint4" in leaf)
 
 
 def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     if not is_quantized(leaf):
         return leaf
+    if "qint4" in leaf:
+        return _dequantize_int4(leaf, dtype)
     return (leaf[QKEY].astype(jnp.float32) * leaf["scale"]).astype(dtype)
 
 
@@ -115,6 +117,84 @@ def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16) -> dict
             for v in tree:
                 rec(v, path)
 
+    rec(params)
+    return params
+
+
+# ---------------------------------------------------------------------------
+# int4 (packed pairs) — the load_4bit analog
+# ---------------------------------------------------------------------------
+
+Q4KEY = "qint4"
+
+
+def _quantize_2d_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    """Symmetric int4 per output channel, two values packed per int8 along
+    the input dim (which must be even)."""
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True) / 7.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
+    lo = q[..., 0::2, :]
+    hi = q[..., 1::2, :]
+    packed = ((hi.astype(jnp.uint8) & 0xF) << 4) | (lo.astype(jnp.uint8) & 0xF)
+    return {Q4KEY: packed.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
+
+
+@jax.jit
+def _quantize_stacked_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    n = w.shape[0]
+
+    def body(i, carry):
+        q, scale = carry
+        part = _quantize_2d_int4(w[i])
+        return (q.at[i].set(part[Q4KEY]), scale.at[i].set(part["scale"]))
+
+    q0 = jnp.zeros(w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1]), jnp.int8)
+    s0 = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
+    q, scale = jax.lax.fori_loop(0, n, body, (q0, s0))
+    return {Q4KEY: q, "scale": scale}
+
+
+def quantize_array_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
+    w = jnp.asarray(w)
+    assert w.shape[-2] % 2 == 0, w.shape
+    if w.ndim <= 2:
+        return _quantize_2d_int4(w)
+    return dict(_quantize_stacked_int4(w))
+
+
+def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
+    packed = leaf[Q4KEY]
+    u = packed.astype(jnp.uint8)
+    lo = (u & 0xF).astype(jnp.int8)
+    hi = ((u >> 4) & 0xF).astype(jnp.int8)
+    # sign-extend 4-bit two's complement
+    lo = jnp.where(lo >= 8, lo - 16, lo)
+    hi = jnp.where(hi >= 8, hi - 16, hi)
+    stacked = jnp.stack([lo, hi], axis=-2)              # (..., n/2, 2, out)
+    n2 = packed.shape[-2]
+    q = stacked.reshape(packed.shape[:-2] + (n2 * 2, packed.shape[-1]))
+    return (q.astype(jnp.float32) * leaf["scale"]).astype(dtype)
+
+
+def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
+                               inplace: bool = False) -> dict:
+    """int4-pack the dense kernels (reference: builder.py load_4bit)."""
+
+    def rec(tree):
+        for k in list(tree):
+            child = tree[k]
+            if isinstance(child, dict) and QKEY not in child and Q4KEY not in child:
+                rec(child)
+            elif _should_quantize(k, child, min_size) and \
+                    getattr(child, "shape", (0, 0))[-2] % 2 == 0:
+                tree[k] = quantize_array_int4(child)
+                del child
+
+    if not inplace:
+        import copy
+
+        params = jax.tree.map(lambda x: x, params)
     rec(params)
     return params
 

@@ -52,3 +52,43 @@ def test_load_4bit_flag():
     assert is_quantized(model.params["llama"]["layers"]["self_attn"]["q_proj"])
     out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
     assert out.shape[0] == 1
+
+
+def test_int4_roundtrip():
+    from matryoshka_mm_tpu.ops.quant import dequantize_array, quantize_array_int4
+
+    w = np.random.default_rng(3).standard_normal((64, 128)).astype(np.float32)
+    q = quantize_array_int4(jnp.asarray(w))
+    assert q["qint4"].shape == (32, 128)  # packed pairs
+    deq = np.asarray(dequantize_array(q, jnp.float32))
+    assert deq.shape == w.shape
+    # int4: error bounded by half a step of the per-channel scale
+    col_max = np.abs(w).max(axis=0)
+    np.testing.assert_array_less(np.abs(deq - w).max(axis=0),
+                                 col_max / 7.0 + 1e-6)
+
+
+def test_int4_stacked_and_memory():
+    from matryoshka_mm_tpu.ops.quant import (
+        dequantize_array, quantize_llama_params_int4, tree_nbytes)
+
+    cfg = LlamaConfig.tiny_debug(hidden_size=128, intermediate_size=256)
+    params = init_llama_params(jax.random.PRNGKey(2), cfg)
+    q = quantize_llama_params_int4(params, min_size=1024)
+    assert tree_nbytes(q) < 0.3 * tree_nbytes(params)
+    # dequantized stacked leaf keeps original shape
+    leaf = q["layers"]["self_attn"]["q_proj"]
+    deq = dequantize_array(leaf, jnp.float32)
+    assert deq.shape == params["layers"]["self_attn"]["q_proj"].shape
+
+
+def test_load_4bit_generate():
+    from matryoshka_mm_tpu.models.builder import load_pretrained_model
+    from matryoshka_mm_tpu.ops.quant import is_quantized
+
+    tok, model, proc, ctx = load_pretrained_model(
+        "debug://tiny", None, "tiny", load_4bit=True)
+    leaf = model.params["llama"]["layers"]["self_attn"]["q_proj"]
+    assert is_quantized(leaf) and "qint4" in leaf
+    out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
+    assert out.shape[0] == 1
