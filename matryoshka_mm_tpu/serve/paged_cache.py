@@ -1,0 +1,192 @@
+"""Paged KV cache.
+
+Beyond-reference serving capability: instead of one fixed (B, capacity)
+cache region per pool (which strands slots when requests join late or end
+early), KV storage is a flat pool of fixed-size **pages**; each request
+maps its logical token positions onto pages through a per-row page table.
+
+* ``PagedKVCache``: (n_layers, n_pages, page_size, n_kv, Dh) K/V pools.
+* ``PageAllocator``: host-side free list; admission takes pages for the
+  prefill + headroom, decode extends a row page-by-page, retirement frees.
+* ``paged_decode_step``: one jitted batched decode step — gathers each
+  row's pages for attention, writes the new token's K/V into the row's
+  current page slot.  Rows never share a page, so scatters don't conflict.
+* dense->paged import scatters a solo prefill cache into a row's pages.
+
+The gather materializes each row's KV view per layer (same HBM reads any
+attention must do, plus one transient write); a Pallas paged-attention
+kernel that reads pages in place is the planned upgrade.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import List, NamedTuple, Optional, Tuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..models.llama import (
+    KVCache,
+    LlamaConfig,
+    apply_rope,
+    embed_tokens,
+    layer_norm_nobias,
+    lm_head,
+    rms_norm,
+    rope_cos_sin,
+)
+from ..ops.attention import attention_reference
+from ..ops.quant import dequantize_array as _w
+
+
+class PagedKVCache(NamedTuple):
+    k: jnp.ndarray  # (n_layers, n_pages, page_size, n_kv, Dh)
+    v: jnp.ndarray
+
+
+def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
+                     dtype=None) -> PagedKVCache:
+    dtype = dtype or jnp.dtype(cfg.dtype)
+    shape = (cfg.num_hidden_layers, n_pages, page_size,
+             cfg.num_key_value_heads, cfg.head_dim)
+    return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+
+
+class PageAllocator:
+    """Host-side page bookkeeping (free list + per-row tables)."""
+
+    def __init__(self, n_pages: int, page_size: int, max_rows: int,
+                 max_pages_per_row: int):
+        self.page_size = page_size
+        self.max_pages_per_row = max_pages_per_row
+        self.free: List[int] = list(range(n_pages))
+        self.tables = np.full((max_rows, max_pages_per_row), 0, np.int32)
+        self.n_alloc = np.zeros(max_rows, np.int32)
+
+    def allocate_row(self, row: int, n_tokens: int, headroom: int = 0) -> bool:
+        need = -(-(n_tokens + headroom) // self.page_size)
+        if need > self.max_pages_per_row or len(self.free) < need:
+            return False
+        self.tables[row, :] = 0
+        for i in range(need):
+            self.tables[row, i] = self.free.pop()
+        self.n_alloc[row] = need
+        return True
+
+    def extend_row(self, row: int) -> bool:
+        if (self.n_alloc[row] >= self.max_pages_per_row
+                or not self.free):
+            return False
+        self.tables[row, self.n_alloc[row]] = self.free.pop()
+        self.n_alloc[row] += 1
+        return True
+
+    def capacity(self, row: int) -> int:
+        return int(self.n_alloc[row]) * self.page_size
+
+    def free_row(self, row: int):
+        for i in range(int(self.n_alloc[row])):
+            self.free.append(int(self.tables[row, i]))
+        self.n_alloc[row] = 0
+        self.tables[row, :] = 0
+
+
+def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
+                       page_size: int) -> PagedKVCache:
+    """Scatter a solo (B=1) dense prefill cache into a row's pages.
+
+    dense.k: (n_layers, 1, S, n_kv, Dh) with S a multiple of page_size;
+    row_table: (P,) page indices for ceil(S/page_size) pages (numpy).
+    """
+    n_layers, _, S, n_kv, Dh = dense.k.shape
+    n_p = S // page_size
+    k_pages = dense.k[:, 0].reshape(n_layers, n_p, page_size, n_kv, Dh)
+    v_pages = dense.v[:, 0].reshape(n_layers, n_p, page_size, n_kv, Dh)
+    idx = jnp.asarray(np.asarray(row_table[:n_p], np.int32))
+    return PagedKVCache(
+        k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
+        v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
+    )
+
+
+@lru_cache(maxsize=8)
+def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int):
+    """(params, paged, tables (B,P), row_len (B,), tokens (B,), active (B,))
+    -> (paged, logits).  One decode step for every active row."""
+
+    @jax.jit
+    def step(params, paged: PagedKVCache, tables, row_len, tokens, active):
+        B = tokens.shape[0]
+        H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                      cfg.head_dim)
+        S_virt = max_pages * page_size
+
+        hidden = embed_tokens(params, tokens[:, None])        # (B, 1, D)
+        pos = row_len[:, None]
+        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+
+        # per-row write location (clipped for retired/full rows; their
+        # writes are no-ops via the `active` select)
+        w_page = jnp.minimum(row_len // page_size, max_pages - 1)
+        w_off = row_len % page_size
+        w_page_id = jnp.take_along_axis(tables, w_page[:, None], axis=1)[:, 0]
+
+        kv_pos = (jnp.arange(S_virt)[None, :]).astype(jnp.int32)
+        kv_valid_base = kv_pos < (row_len + 1)[:, None]       # includes new token
+        kv_valid = kv_valid_base & active[:, None]
+
+        def body(h, xs):
+            lp, k_pool, v_pool = xs
+            a = lp["self_attn"]
+            x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+            q = (x @ _w(a["q_proj"])).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+            k = (x @ _w(a["k_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+            v = (x @ _w(a["v_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+            q = apply_rope(q, cos, sin)
+            k = apply_rope(k, cos, sin)
+
+            # write new kv into each row's current page slot
+            k_new = k[:, :, 0].astype(k_pool.dtype)          # (B, Hkv, Dh)
+            v_new = v[:, :, 0].astype(v_pool.dtype)
+            k_pool = k_pool.at[w_page_id, w_off].set(
+                jnp.where(active[:, None, None], k_new,
+                          k_pool[w_page_id, w_off]))
+            v_pool = v_pool.at[w_page_id, w_off].set(
+                jnp.where(active[:, None, None], v_new,
+                          v_pool[w_page_id, w_off]))
+
+            # gather each row's pages -> (B, S_virt, n_kv, Dh)
+            k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
+            v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
+            attn = attention_reference(
+                q, k_rows.transpose(0, 2, 1, 3), v_rows.transpose(0, 2, 1, 3),
+                causal=True, q_positions=pos, kv_positions=kv_pos,
+                kv_valid=kv_valid)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+            h = h + attn @ _w(a["o_proj"])
+
+            x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+            m = lp["mlp"]
+            gate = jax.nn.silu(x @ _w(m["gate_proj"]))
+            h = h + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
+            return h, (k_pool, v_pool)
+
+        hidden, (new_k, new_v) = jax.lax.scan(
+            body, hidden, (params["layers"], paged.k, paged.v))
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+        logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
+        return PagedKVCache(new_k, new_v), logits
+
+    return step
+
+
+def paged_decode_step(params, cfg: LlamaConfig, paged: PagedKVCache,
+                      tables: jnp.ndarray, row_len: jnp.ndarray,
+                      tokens: jnp.ndarray, active: jnp.ndarray,
+                      page_size: int) -> Tuple[PagedKVCache, jnp.ndarray]:
+    max_pages = tables.shape[1]
+    fn = _paged_decode_fn(cfg, max_pages, page_size)
+    return fn(params, paged, tables, row_len, tokens, active)
