@@ -1,0 +1,130 @@
+"""Pallas paged-attention decode kernel.
+
+Companion to serve/paged_cache.py: single-token decode attention that reads
+each request's KV **pages in place** instead of materializing a gathered
+contiguous copy (which doubles HBM traffic).  The page table rides the
+grid as a scalar-prefetch operand, so each grid step's BlockSpec index_map
+looks up the physical page to DMA — the PrefetchScalarGridSpec pattern.
+
+Grid: (B, n_pages_per_row); the page axis is innermost, so the per-row
+online-softmax state (f32 accumulator, running max/sum) lives in VMEM
+scratch across a row's pages, exactly like the flash kernel's kv axis.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _kernel(tables_ref, row_len_ref,           # scalar prefetch
+            q_ref, k_ref, v_ref, out_ref,
+            acc_ref, m_ref, l_ref, *, page_size: int, num_pages: int,
+            scale: float):
+    b = pl.program_id(0)
+    p = pl.program_id(1)
+
+    @pl.when(p == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    seq_len = row_len_ref[b] + 1               # includes the current token
+    # pages beyond the row's length contribute nothing
+    run = p * page_size < seq_len
+
+    @pl.when(run)
+    def _compute():
+        q = q_ref[0]                           # (H, Dh)
+        k = k_ref[0]                           # (page, H, Dh) — kv expanded
+        v = v_ref[0]
+
+        # s[h, t] = q[h] . k[t, h] — batched matvec over heads
+        s = jax.lax.dot_general(
+            q[:, None, :], k.transpose(1, 0, 2),
+            (((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :] * scale  # (H, page)
+
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + p * page_size
+        mask = idx < seq_len
+        s = jnp.where(mask, s, NEG_INF)
+
+        m_prev = m_ref[:, 0:1]
+        l_prev = l_ref[:, 0:1]
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        pexp = jnp.exp(s - m_new)
+        pexp = jnp.where(mask, pexp, 0.0)
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+
+        # out[h, d] += p[h, t] v[t, h, d]
+        pv = jax.lax.dot_general(
+            pexp[:, None, :].astype(v.dtype), v.transpose(1, 0, 2),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)[:, 0, :]          # (H, Dh)
+        acc_ref[:] = acc_ref[:] * alpha + pv
+        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
+        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+
+    @pl.when(p == num_pages - 1)
+    def _finalize():
+        l = l_ref[:, 0:1]
+        safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = (acc_ref[:] / safe).astype(out_ref.dtype)
+
+
+def paged_decode_attention(
+    q: jnp.ndarray,             # (B, H, Dh) current-token queries
+    k_pages: jnp.ndarray,       # (n_pages, page, Hkv, Dh)
+    v_pages: jnp.ndarray,
+    page_tables: jnp.ndarray,   # (B, P) int32 physical page per logical slot
+    row_len: jnp.ndarray,       # (B,) tokens already stored (excl. current)
+) -> jnp.ndarray:
+    """Online-softmax attention over each row's pages; returns (B, H, Dh)."""
+    B, H, Dh = q.shape
+    n_pages, page_size, Hkv, _ = k_pages.shape
+    P = page_tables.shape[1]
+    scale = Dh ** -0.5
+
+    if Hkv != H:  # GQA: expand for the kernel
+        k_pages = jnp.repeat(k_pages, H // Hkv, axis=2)
+        v_pages = jnp.repeat(v_pages, H // Hkv, axis=2)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, P),
+        in_specs=[
+            pl.BlockSpec((1, H, Dh), lambda b, p, tbl, rl: (b, 0, 0)),
+            pl.BlockSpec((1, page_size, H, Dh),
+                         lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
+            pl.BlockSpec((1, page_size, H, Dh),
+                         lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, H, Dh), lambda b, p, tbl, rl: (b, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((H, Dh), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((H, 128), jnp.float32),
+        ],
+    )
+    kernel = functools.partial(_kernel, page_size=page_size, num_pages=P,
+                               scale=scale)
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
+        interpret=_interpret(),
+    )(page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
+      q, k_pages, v_pages)

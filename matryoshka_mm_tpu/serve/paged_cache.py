@@ -113,9 +113,14 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
 
 
 @lru_cache(maxsize=8)
-def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int):
+def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
+                     use_kernel: bool):
     """(params, paged, tables (B,P), row_len (B,), tokens (B,), active (B,))
-    -> (paged, logits).  One decode step for every active row."""
+    -> (paged, logits).  One decode step for every active row.
+
+    ``use_kernel`` routes attention through the Pallas paged-attention
+    kernel (pages read in place); otherwise pages are gathered and fed to
+    the reference attention."""
 
     @jax.jit
     def step(params, paged: PagedKVCache, tables, row_len, tokens, active):
@@ -158,14 +163,24 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int):
                 jnp.where(active[:, None, None], v_new,
                           v_pool[w_page_id, w_off]))
 
-            # gather each row's pages -> (B, S_virt, n_kv, Dh)
-            k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
-            v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
-            attn = attention_reference(
-                q, k_rows.transpose(0, 2, 1, 3), v_rows.transpose(0, 2, 1, 3),
-                causal=True, q_positions=pos, kv_positions=kv_pos,
-                kv_valid=kv_valid)
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+            if use_kernel:
+                from ..ops.paged_attention import paged_decode_attention
+
+                # retired rows get 0-length attention (harmless; masked out)
+                eff_len = jnp.where(active, row_len, 0)
+                attn = paged_decode_attention(
+                    q[:, :, 0, :], k_pool, v_pool, tables, eff_len)
+                attn = attn.reshape(B, 1, H * Dh)
+            else:
+                # gather each row's pages -> (B, S_virt, n_kv, Dh)
+                k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
+                v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
+                attn = attention_reference(
+                    q, k_rows.transpose(0, 2, 1, 3),
+                    v_rows.transpose(0, 2, 1, 3),
+                    causal=True, q_positions=pos, kv_positions=kv_pos,
+                    kv_valid=kv_valid)
+                attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
             h = h + attn @ _w(a["o_proj"])
 
             x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -186,7 +201,11 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int):
 def paged_decode_step(params, cfg: LlamaConfig, paged: PagedKVCache,
                       tables: jnp.ndarray, row_len: jnp.ndarray,
                       tokens: jnp.ndarray, active: jnp.ndarray,
-                      page_size: int) -> Tuple[PagedKVCache, jnp.ndarray]:
+                      page_size: int,
+                      use_kernel: Optional[bool] = None
+                      ) -> Tuple[PagedKVCache, jnp.ndarray]:
+    if use_kernel is None:
+        use_kernel = jax.default_backend() == "tpu"
     max_pages = tables.shape[1]
-    fn = _paged_decode_fn(cfg, max_pages, page_size)
+    fn = _paged_decode_fn(cfg, max_pages, page_size, bool(use_kernel))
     return fn(params, paged, tables, row_len, tokens, active)

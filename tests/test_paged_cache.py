@@ -109,3 +109,48 @@ def test_paged_rows_are_isolated():
                                  active, PAGE)
     after = np.asarray(paged.k[:, alloc.tables[1]])
     np.testing.assert_array_equal(before, after)
+
+
+def test_paged_decode_kernel_path_matches_gather():
+    """use_kernel=True (Pallas, interpret on CPU) == gather path."""
+    params = init_llama_params(jax.random.PRNGKey(3), CFG)
+    rng = np.random.default_rng(3)
+    B, S = 2, 16
+    ids = jnp.asarray(rng.integers(5, 100, (B, S)).astype(np.int32))
+    embeds = embed_tokens(params, ids)
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    dense = init_kv_cache(CFG, B, S + 8, dtype=jnp.float32)
+    hidden, dense = llama_forward(params, CFG, embeds, position_ids=pos,
+                                  attn_valid=jnp.ones((B, S), bool),
+                                  cache=dense)
+    tok = jnp.argmax(lm_head(params, hidden[:, -1:, :])[:, 0], -1).astype(jnp.int32)
+
+    from matryoshka_mm_tpu.models.llama import KVCache
+
+    def build_paged():
+        paged = init_paged_cache(CFG, n_pages=12, page_size=PAGE,
+                                 dtype=jnp.float32)
+        alloc = PageAllocator(12, PAGE, max_rows=B, max_pages_per_row=4)
+        for b in range(B):
+            assert alloc.allocate_row(b, n_tokens=S, headroom=8)
+            solo = KVCache(dense.k[:, b:b + 1, :S], dense.v[:, b:b + 1, :S],
+                           dense.valid[b:b + 1, :S],
+                           dense.positions[b:b + 1, :S], dense.write_idx)
+            paged = import_dense_cache(paged, solo, alloc.tables[b], PAGE)
+        return paged, jnp.asarray(alloc.tables)
+
+    row_len = jnp.full((B,), S, jnp.int32)
+    active = jnp.ones((B,), bool)
+
+    paged_g, tables = build_paged()
+    paged_k, _ = build_paged()
+    for step in range(3):
+        paged_g, logits_g = paged_decode_step(
+            params, CFG, paged_g, tables, row_len + step, tok, active, PAGE,
+            use_kernel=False)
+        paged_k, logits_k = paged_decode_step(
+            params, CFG, paged_k, tables, row_len + step, tok, active, PAGE,
+            use_kernel=True)
+        np.testing.assert_allclose(np.asarray(logits_k), np.asarray(logits_g),
+                                   atol=2e-4)
+        tok = jnp.argmax(logits_g, -1).astype(jnp.int32)
