@@ -15,6 +15,12 @@ decode chunks (SURVEY.md §7 step 9):
   their slot and late joiners reuse it (validity masks keep causality
   exact regardless of join time);
 * per-request token streams come out of thread-safe queues.
+
+``backend="paged"`` swaps the fixed pool for the paged KV cache
+(serve/paged_cache.py): each row maps its tokens onto free-list pages, so
+capacity is per-row instead of pool-lifetime — finished rows return their
+pages immediately and there is no pool-wide reset when write_idx runs out.
+On TPU the paged path attends through the Pallas paged-attention kernel.
 """
 
 from __future__ import annotations
@@ -82,7 +88,8 @@ class ContinuousBatcher:
     def __init__(self, params, cfg: LlavaConfig, max_batch: int = 4,
                  prefill_len: int = 1024, max_new_tokens: int = 512,
                  gen_cfg: Optional[GenerationConfig] = None,
-                 chunk: int = 8):
+                 chunk: int = 8, backend: str = "dense",
+                 page_size: int = 64, use_kernel: Optional[bool] = None):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -90,9 +97,28 @@ class ContinuousBatcher:
         self.capacity = self.L + max_new_tokens
         self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
         self.chunk = chunk
+        self.backend = backend
 
-        self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
-                                  dtype=jnp.dtype(cfg.llama.dtype))
+        dtype = jnp.dtype(cfg.llama.dtype)
+        if backend == "paged":
+            from .paged_cache import PageAllocator, init_paged_cache
+
+            self.page_size = page_size
+            # prefill caches must cover a whole number of pages (import
+            # carves n_p full pages out of the compacted cache)
+            self.capacity = _round_up(self.capacity, page_size)
+            self.pages_per_row = -(-self.capacity // page_size)
+            n_pages = max_batch * self.pages_per_row
+            self.paged = init_paged_cache(cfg.llama, n_pages, page_size,
+                                          dtype=dtype)
+            self.alloc = PageAllocator(n_pages, page_size, max_batch,
+                                       self.pages_per_row)
+            self.tables = jnp.asarray(self.alloc.tables)
+            self.use_kernel = (jax.default_backend() == "tpu"
+                               if use_kernel is None else bool(use_kernel))
+        else:
+            self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
+                                      dtype=dtype)
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.active = jnp.zeros((max_batch,), bool)
@@ -132,7 +158,7 @@ class ContinuousBatcher:
         self._thread.join(timeout=5)
 
     # ---- scheduler ----
-    def _admit(self, req: _Request, slot: int):
+    def _admit(self, req: _Request, slot: int) -> bool:
         n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
         if req.pixel_values is not None:
             prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
@@ -151,6 +177,22 @@ class ContinuousBatcher:
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
 
+        if self.backend == "paged":
+            if not self._insert_paged(req, slot, cache, lengths):
+                return False
+        else:
+            self._insert_dense(slot, cache)
+        self.tokens = self.tokens.at[slot].set(first[0])
+        self.lengths = self.lengths.at[slot].set(lengths[0])
+        self.active = self.active.at[slot].set(True)
+        self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
+        req.slot = slot
+        self.slots[slot] = req
+        req.out_queue.put(np.asarray(first))
+        req.emitted = 1
+        return True
+
+    def _insert_dense(self, slot: int, cache: KVCache):
         # insert row `slot`: kv (n_layers, B, S, ...) axis 1; valid/positions
         # (B, S) axis 0.  The pool's write_idx may have advanced past this
         # request's prefill; its unwritten slots stay invalid, which the
@@ -163,17 +205,55 @@ class ContinuousBatcher:
                                                    cache.positions, (slot, 0)),
             write_idx=self.pool.write_idx,
         )
-        self.tokens = self.tokens.at[slot].set(first[0])
-        self.lengths = self.lengths.at[slot].set(lengths[0])
-        self.active = self.active.at[slot].set(True)
-        self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
-        req.slot = slot
-        self.slots[slot] = req
-        req.out_queue.put(np.asarray(first))
-        req.emitted = 1
+
+    def _insert_paged(self, req: _Request, slot: int, cache: KVCache,
+                      lengths) -> bool:
+        from .paged_cache import import_prefill
+
+        T = int(np.asarray(lengths)[0])
+        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1):
+            need = -(-(T + self.chunk + 1) // self.page_size)
+            if need > self.pages_per_row:      # can never fit: fail it
+                req.out_queue.put(None)
+            else:                              # out of pages now: retry later
+                self.pending.put(req)
+            return False
+        self.paged = import_prefill(self.paged, cache, self.L - T,
+                                    self.alloc.tables[slot],
+                                    int(self.alloc.n_alloc[slot]),
+                                    self.page_size)
+        self.tables = jnp.asarray(self.alloc.tables)
+        return True
+
+    def _ensure_pages(self):
+        """Grow each active row to cover the next chunk; rows that cannot be
+        extended (pool exhausted) are finished early — per-row, not pool-wide."""
+        lengths = np.asarray(self.lengths)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            need = int(lengths[slot]) + self.chunk + 1
+            ok = True
+            while self.alloc.capacity(slot) < need:
+                if not self.alloc.extend_row(slot):
+                    ok = False
+                    break
+            if not ok:
+                req.out_queue.put(None)
+                self.slots[slot] = None
+                self.alloc.free_row(slot)
+                self.active = self.active.at[slot].set(False)
+        self.tables = jnp.asarray(self.alloc.tables)
 
     def _loop(self):
-        decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
+        if self.backend == "paged":
+            from .paged_cache import _paged_pool_decode_fn
+
+            decode = _paged_pool_decode_fn(
+                self.cfg, self.gen_cfg, self.chunk, self.pages_per_row,
+                self.page_size, self.use_kernel)
+        else:
+            decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
         rng = jax.random.PRNGKey(0)
         while not self._stop:
             # admit as many pending requests as there are free slots
@@ -184,7 +264,8 @@ class ContinuousBatcher:
                         req = self.pending.get_nowait()
                     except queue.Empty:
                         break
-                    self._admit(req, slot)
+                    if not self._admit(req, slot):
+                        break
                     admitted = True
 
             if not bool(np.asarray(self.active).any()):
@@ -192,16 +273,26 @@ class ContinuousBatcher:
                     time.sleep(0.005)
                 continue
 
-            # NOTE: write_idx advances pool-wide each chunk; capacity bounds
-            # total decoded tokens across the pool's lifetime between resets
-            if int(self.pool.write_idx) + self.chunk >= self.capacity:
-                self._retire_all("capacity exhausted")
-                continue
-
             rng, sub = jax.random.split(rng)
-            (self.pool, self.tokens, self.lengths, self.budget, self.active,
-             toks) = decode(self.params, self.pool, self.tokens,
-                            self.lengths, self.active, self.budget, sub)
+            if self.backend == "paged":
+                self._ensure_pages()
+                if not bool(np.asarray(self.active).any()):
+                    continue
+                (self.paged, self.tokens, self.lengths, self.budget,
+                 self.active, toks) = decode(
+                     self.params, self.paged.k, self.paged.v, self.tables,
+                     self.lengths, self.tokens, self.budget, self.active, sub)
+            else:
+                # NOTE: write_idx advances pool-wide each chunk; capacity
+                # bounds total decoded tokens across the pool's lifetime
+                # between resets
+                if int(self.pool.write_idx) + self.chunk >= self.capacity:
+                    self._retire_all("capacity exhausted")
+                    continue
+                (self.pool, self.tokens, self.lengths, self.budget,
+                 self.active, toks) = decode(
+                     self.params, self.pool, self.tokens, self.lengths,
+                     self.active, self.budget, sub)
             toks_np = np.asarray(toks)
             active_np = np.asarray(self.active)
             for slot, req in enumerate(self.slots):
@@ -215,6 +306,8 @@ class ContinuousBatcher:
                 if not active_np[slot]:
                     req.out_queue.put(None)
                     self.slots[slot] = None
+                    if self.backend == "paged":
+                        self.alloc.free_row(slot)
 
     def _retire_all(self, reason: str):
         for slot, req in enumerate(self.slots):

@@ -51,7 +51,7 @@ class ModelWorker:
                  model_path, model_base, model_name,
                  load_8bit=False, load_4bit=False, device="tpu",
                  use_flash_attn=True, limit_model_concurrency=5,
-                 continuous_batching=False, max_batch=4):
+                 continuous_batching=False, max_batch=4, kv_backend="dense"):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -85,7 +85,7 @@ class ModelWorker:
                 self.model.params, self.model.cfg, max_batch=max_batch,
                 prefill_len=min(self.model.cfg.tokenizer_model_max_length, 1024)
                 + self.model.cfg.vision.num_patches,
-                max_new_tokens=1024)
+                max_new_tokens=1024, backend=kv_backend)
 
         if not no_register:
             self.register_to_controller()
@@ -326,6 +326,10 @@ def main():
     parser.add_argument("--use-flash-attn", action="store_true")
     parser.add_argument("--continuous-batching", action="store_true")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--kv-backend", type=str, default="dense",
+                        choices=["dense", "paged"],
+                        help="continuous-batching KV layout: fixed pool or "
+                             "paged (per-row page tables, Pallas kernel on TPU)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -335,7 +339,8 @@ def main():
                          args.load_4bit, args.device,
                          limit_model_concurrency=args.limit_model_concurrency,
                          continuous_batching=args.continuous_batching,
-                         max_batch=args.max_batch)
+                         max_batch=args.max_batch,
+                         kv_backend=args.kv_backend)
 
     from aiohttp import web
 

@@ -112,6 +112,82 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
     )
 
 
+def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
+                 tokens, active, *, max_pages: int, page_size: int,
+                 use_kernel: bool):
+    """One batched paged decode step (traced); -> (k_all, v_all, logits).
+
+    Inactive rows neither read (0-length mask) nor write: their scatter
+    index is pushed out of bounds and dropped, so a retired row whose page
+    table was recycled can never clobber a live row's pages."""
+    B = tokens.shape[0]
+    H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
+                  cfg.head_dim)
+    n_pages = k_all.shape[1]
+    S_virt = max_pages * page_size
+
+    hidden = embed_tokens(params, tokens[:, None])        # (B, 1, D)
+    pos = row_len[:, None]
+    cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
+
+    # per-row write location; inactive rows go out of bounds -> dropped
+    w_page = jnp.minimum(row_len // page_size, max_pages - 1)
+    w_off = row_len % page_size
+    w_page_id = jnp.take_along_axis(tables, w_page[:, None], axis=1)[:, 0]
+    w_page_id = jnp.where(active, w_page_id, n_pages)
+
+    kv_pos = (jnp.arange(S_virt)[None, :]).astype(jnp.int32)
+    kv_valid = (kv_pos < (row_len + 1)[:, None]) & active[:, None]
+
+    def body(h, xs):
+        lp, k_pool, v_pool = xs
+        a = lp["self_attn"]
+        x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+        q = (x @ _w(a["q_proj"])).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        k = (x @ _w(a["k_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = (x @ _w(a["v_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = apply_rope(q, cos, sin)
+        k = apply_rope(k, cos, sin)
+
+        # write new kv into each row's current page slot
+        k_new = k[:, :, 0].astype(k_pool.dtype)          # (B, Hkv, Dh)
+        v_new = v[:, :, 0].astype(v_pool.dtype)
+        k_pool = k_pool.at[w_page_id, w_off].set(k_new, mode="drop")
+        v_pool = v_pool.at[w_page_id, w_off].set(v_new, mode="drop")
+
+        if use_kernel:
+            from ..ops.paged_attention import paged_decode_attention
+
+            # retired rows get 0-length attention (harmless; masked out)
+            eff_len = jnp.where(active, row_len, 0)
+            attn = paged_decode_attention(
+                q[:, :, 0, :], k_pool, v_pool, tables, eff_len)
+            attn = attn.reshape(B, 1, H * Dh)
+        else:
+            # gather each row's pages -> (B, S_virt, n_kv, Dh)
+            k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
+            v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
+            attn = attention_reference(
+                q, k_rows.transpose(0, 2, 1, 3),
+                v_rows.transpose(0, 2, 1, 3),
+                causal=True, q_positions=pos, kv_positions=kv_pos,
+                kv_valid=kv_valid)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        h = h + attn @ _w(a["o_proj"])
+
+        x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        m = lp["mlp"]
+        gate = jax.nn.silu(x @ _w(m["gate_proj"]))
+        h = h + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
+        return h, (k_pool, v_pool)
+
+    hidden, (new_k, new_v) = jax.lax.scan(
+        body, hidden, (params["layers"], k_all, v_all))
+    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
+    return new_k, new_v, logits
+
+
 @lru_cache(maxsize=8)
 def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
                      use_kernel: bool):
@@ -124,78 +200,82 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
 
     @jax.jit
     def step(params, paged: PagedKVCache, tables, row_len, tokens, active):
-        B = tokens.shape[0]
-        H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
-                      cfg.head_dim)
-        S_virt = max_pages * page_size
-
-        hidden = embed_tokens(params, tokens[:, None])        # (B, 1, D)
-        pos = row_len[:, None]
-        cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
-
-        # per-row write location (clipped for retired/full rows; their
-        # writes are no-ops via the `active` select)
-        w_page = jnp.minimum(row_len // page_size, max_pages - 1)
-        w_off = row_len % page_size
-        w_page_id = jnp.take_along_axis(tables, w_page[:, None], axis=1)[:, 0]
-
-        kv_pos = (jnp.arange(S_virt)[None, :]).astype(jnp.int32)
-        kv_valid_base = kv_pos < (row_len + 1)[:, None]       # includes new token
-        kv_valid = kv_valid_base & active[:, None]
-
-        def body(h, xs):
-            lp, k_pool, v_pool = xs
-            a = lp["self_attn"]
-            x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-            q = (x @ _w(a["q_proj"])).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-            k = (x @ _w(a["k_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-            v = (x @ _w(a["v_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-            q = apply_rope(q, cos, sin)
-            k = apply_rope(k, cos, sin)
-
-            # write new kv into each row's current page slot
-            k_new = k[:, :, 0].astype(k_pool.dtype)          # (B, Hkv, Dh)
-            v_new = v[:, :, 0].astype(v_pool.dtype)
-            k_pool = k_pool.at[w_page_id, w_off].set(
-                jnp.where(active[:, None, None], k_new,
-                          k_pool[w_page_id, w_off]))
-            v_pool = v_pool.at[w_page_id, w_off].set(
-                jnp.where(active[:, None, None], v_new,
-                          v_pool[w_page_id, w_off]))
-
-            if use_kernel:
-                from ..ops.paged_attention import paged_decode_attention
-
-                # retired rows get 0-length attention (harmless; masked out)
-                eff_len = jnp.where(active, row_len, 0)
-                attn = paged_decode_attention(
-                    q[:, :, 0, :], k_pool, v_pool, tables, eff_len)
-                attn = attn.reshape(B, 1, H * Dh)
-            else:
-                # gather each row's pages -> (B, S_virt, n_kv, Dh)
-                k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
-                v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
-                attn = attention_reference(
-                    q, k_rows.transpose(0, 2, 1, 3),
-                    v_rows.transpose(0, 2, 1, 3),
-                    causal=True, q_positions=pos, kv_positions=kv_pos,
-                    kv_valid=kv_valid)
-                attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
-            h = h + attn @ _w(a["o_proj"])
-
-            x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-            m = lp["mlp"]
-            gate = jax.nn.silu(x @ _w(m["gate_proj"]))
-            h = h + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
-            return h, (k_pool, v_pool)
-
-        hidden, (new_k, new_v) = jax.lax.scan(
-            body, hidden, (params["layers"], paged.k, paged.v))
-        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
-        logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
+        new_k, new_v, logits = _decode_core(
+            params, cfg, paged.k, paged.v, tables, row_len, tokens, active,
+            max_pages=max_pages, page_size=page_size, use_kernel=use_kernel)
         return PagedKVCache(new_k, new_v), logits
 
     return step
+
+
+@lru_cache(maxsize=32)
+def _compact_pages_fn(n_p: int, page_size: int):
+    @jax.jit
+    def f(k, v, pad):
+        # k/v: (n_layers, 1, S, Hkv, Dh) left-padded solo prefill caches;
+        # valid tokens live at [pad, pad+T).  Roll them to the front and
+        # carve the first n_p pages.
+        n_layers, _, S, Hkv, Dh = k.shape
+        kr = jnp.roll(k[:, 0], -pad, axis=1)[:, : n_p * page_size]
+        vr = jnp.roll(v[:, 0], -pad, axis=1)[:, : n_p * page_size]
+        return (kr.reshape(n_layers, n_p, page_size, Hkv, Dh),
+                vr.reshape(n_layers, n_p, page_size, Hkv, Dh))
+
+    return f
+
+
+def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
+                   n_p: int, page_size: int) -> PagedKVCache:
+    """Compact a left-padded solo prefill cache into a row's first pages.
+
+    ``dense`` is a (B=1) cache whose valid tokens occupy [pad, pad+T);
+    after compaction token i lands in page i // page_size at offset
+    i % page_size.  Slots past T hold rolled-around pad garbage, masked
+    out by ``row_len`` at decode time."""
+    k_pages, v_pages = _compact_pages_fn(n_p, page_size)(
+        dense.k, dense.v, jnp.int32(pad))
+    idx = jnp.asarray(np.asarray(row_table[:n_p], np.int32))
+    return PagedKVCache(
+        k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
+        v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
+    )
+
+
+@lru_cache(maxsize=8)
+def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
+                          page_size: int, use_kernel: bool):
+    """Chunked batched decode over a paged pool with sampling/eos/budget —
+    the paged counterpart of batching._pool_decode_fn.  ``cfg`` is a
+    LlavaConfig (params carry the "llama" subtree).
+
+    The caller must guarantee every active row has page capacity for
+    row_len + steps tokens before invoking (the scheduler extends rows
+    between chunks); rows that finish mid-chunk simply stop writing."""
+    from ..generate import _select_token
+
+    @jax.jit
+    def decode(params, k_all, v_all, tables, row_len, tokens, budget,
+               active, rng):
+        def step(carry, _):
+            k_all, v_all, token, row_len, budget, active, rng = carry
+            k_all, v_all, logits = _decode_core(
+                params["llama"], cfg.llama, k_all, v_all, tables, row_len,
+                token, active, max_pages=max_pages, page_size=page_size,
+                use_kernel=use_kernel)
+            nxt, rng2 = _select_token(logits, gen_cfg, rng)
+            nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
+            row_len = row_len + active.astype(row_len.dtype)
+            budget = jnp.where(active, budget - 1, budget)
+            active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
+            return (k_all, v_all, nxt, row_len, budget, active, rng2), nxt
+
+        (k_all, v_all, token, row_len, budget, active, rng), toks = (
+            jax.lax.scan(step, (k_all, v_all, tokens, row_len, budget,
+                                active, rng), jnp.arange(steps)))
+        return (PagedKVCache(k_all, v_all), token, row_len, budget, active,
+                toks.T)
+
+    return decode
 
 
 def paged_decode_step(params, cfg: LlamaConfig, paged: PagedKVCache,

@@ -67,6 +67,61 @@ def test_continuous_batcher_matches_generate(params, cfg):
         batcher.shutdown()
 
 
+def test_paged_batcher_matches_generate(params, cfg):
+    """backend="paged" must produce the same greedy streams as solo
+    generation (pages + Pallas-or-gather attention vs dense cache)."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                                backend="paged", page_size=16)
+    try:
+        ids1, px1 = _inputs(1)
+        ids2, px2 = _inputs(2)
+        r1 = batcher.submit(ids1, px1, numtoks=4, max_new_tokens=8)
+        r2 = batcher.submit(ids2, px2, numtoks=4, max_new_tokens=8)
+        toks1 = np.concatenate(list(batcher.stream(r1)))
+        toks2 = np.concatenate(list(batcher.stream(r2)))
+
+        want1 = generate(params, cfg, ids1, px1,
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         gen_cfg=gen_cfg)[0]
+        want2 = generate(params, cfg, ids2, px2,
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks1[: len(want1)], want1)
+        np.testing.assert_array_equal(toks2[: len(want2)], want2)
+        # all pages returned to the free list after both requests retire
+        assert len(batcher.alloc.free) == batcher.max_batch * batcher.pages_per_row
+    finally:
+        batcher.shutdown()
+
+
+def test_paged_batcher_page_extension(params, cfg):
+    """A long decode must cross page boundaries (extend_row) and still
+    match solo generation."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=24, decode_chunk=4,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=40, gen_cfg=gen_cfg, chunk=4,
+                                backend="paged", page_size=8)
+    try:
+        ids1, px1 = _inputs(5)
+        r1 = batcher.submit(ids1, px1, numtoks=4, max_new_tokens=24)
+        toks1 = np.concatenate(list(batcher.stream(r1)))
+        want1 = generate(params, cfg, ids1, px1,
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks1[: len(want1)], want1)
+        assert len(toks1) == 24
+    finally:
+        batcher.shutdown()
+
+
 def test_batcher_late_joiner(params, cfg):
     """A request admitted mid-decode must still match solo generation."""
     import time
