@@ -61,6 +61,13 @@ def is_quantized(leaf: Any) -> bool:
 
 
 def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
+    if isinstance(leaf, dict) and "lora_a" in leaf:
+        # LoRA wrapper (ops/lora.py): frozen base + trainable low-rank
+        # delta, resolved per-layer inside the decoder scan.  The base is
+        # stop-gradiented: only A/B receive grads.
+        base = jax.lax.stop_gradient(dequantize_array(leaf["w"], dtype))
+        delta = (leaf["lora_a"] @ leaf["lora_b"]) * leaf["lora_scale"]
+        return base + delta.astype(base.dtype)
     if not is_quantized(leaf):
         return leaf
     if "qint4" in leaf:

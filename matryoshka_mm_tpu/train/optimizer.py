@@ -41,6 +41,10 @@ class OptimizerConfig:
     freeze_mm_mlp_adapter: bool = False
     unfreeze_mm_vision_tower: bool = False
     tune_router: bool = False
+    # LoRA (reference: train.py:117-123 lora_enable/lora_r/..): adapters
+    # train at the backbone lr; base weights freeze; projector/router keep
+    # their usual groups (the reference's modules_to_save)
+    lora_enable: bool = False
 
 
 def _path_str(path) -> str:
@@ -75,6 +79,15 @@ def trainable_labels(params, cfg: OptimizerConfig):
     def label(path, leaf):
         p = _path_str(path)
         mod = _module_of(p)
+        if cfg.lora_enable:
+            tail = p.rsplit("/", 1)[-1]
+            if tail in ("lora_a", "lora_b"):
+                return "backbone"
+            if mod == "mm_projector" and not cfg.freeze_mm_mlp_adapter:
+                return "mm_projector"
+            if mod == "router":
+                return "router"
+            return "frozen"
         if cfg.tune_router:
             # router-only training (train.py:1021-1024)
             return "router" if mod == "router" else "frozen"

@@ -104,6 +104,12 @@ class TrainingArguments:
     dp_size: Optional[int] = None
     tp_size: int = 1
     report_to: str = "jsonl"
+    # LoRA (reference: train.py:117-123; scripts use r=128 alpha=256)
+    lora_enable: bool = False
+    lora_r: int = 64
+    lora_alpha: int = 16
+    lora_dropout: float = 0.05      # accepted for CLI parity; merged-form
+    lora_bias: str = "none"         # adapters don't implement input dropout
 
 
 def build_llava_config(model_args: ModelArguments,
@@ -212,6 +218,15 @@ def train(attn_implementation: str = "flash"):
             model_args.model_name_or_path, None, None)
         params, cfg = model.params, model.cfg
 
+    if training_args.lora_enable:
+        # wrap the LM's linear projections with low-rank adapters
+        # (reference: train.py:923-943 get_peft_model)
+        from ..ops.lora import add_lora
+
+        params = add_lora(params, jax.random.PRNGKey(training_args.seed + 1),
+                          r=training_args.lora_r,
+                          alpha=float(training_args.lora_alpha))
+
     # ---- data ----
     from ..image_processing import ClipImageProcessor
 
@@ -250,6 +265,7 @@ def train(attn_implementation: str = "flash"):
         freeze_mm_mlp_adapter=training_args.freeze_mm_mlp_adapter,
         unfreeze_mm_vision_tower=model_args.unfreeze_mm_vision_tower,
         tune_router=model_args.tune_router,
+        lora_enable=training_args.lora_enable,
     )
 
     with mesh:
@@ -262,6 +278,15 @@ def train(attn_implementation: str = "flash"):
         if resume:
             print(f"Resuming from {resume}")
             restored, _ = load_checkpoint(os.path.join(resume))
+            if training_args.lora_enable and "lora" in restored:
+                # adapter-subset checkpoint: re-attach onto the base tree
+                from ..ops.lora import load_lora, strip_lora
+
+                merged = load_lora(strip_lora(state.params), restored["lora"])
+                for key in ("mm_projector", "router", "image_newline"):
+                    if key in restored:
+                        merged[key] = restored[key]
+                restored = merged
             state = state._replace(params=shard_params(mesh, restored))
             start_step = load_meta(resume).get("step", 0)
             state = state._replace(
@@ -361,7 +386,12 @@ def _save(training_args, model_args, state: TrainState, cfg, step: int,
     out = training_args.output_dir if final else os.path.join(
         training_args.output_dir, f"checkpoint-{step}")
     params = state.params
-    if model_args.tune_mm_mlp_adapter:
+    if getattr(training_args, "lora_enable", False):
+        # adapters + non-lora trainables (reference: train.py:1066-1080)
+        from ..utils.checkpoint import save_lora_checkpoint
+
+        save_lora_checkpoint(out, params, cfg, step=step)
+    elif model_args.tune_mm_mlp_adapter:
         # adapter-only save (reference: llava_trainer.py:393-412)
         save_projector_only(out, params, cfg, step=step)
     else:

@@ -59,6 +59,13 @@ def make_train_step(cfg: LlavaConfig, tx: optax.GradientTransformation,
 
         (loss, metrics), grads = jax.value_and_grad(
             loss_fn, has_aux=True)(state.params)
+        # integer leaves (int8/int4 QLoRA bases) get float0 tangents, which
+        # optax arithmetic can't consume — replace with typed zeros (they sit
+        # in the 'frozen' group, so the zeros are never applied anyway)
+        grads = jax.tree.map(
+            lambda g, p: jnp.zeros_like(p)
+            if getattr(g, "dtype", None) == jax.dtypes.float0 else g,
+            grads, state.params)
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_ema = metrics.pop("_state/argmaxcost_ema", state.argmaxcost_ema)

@@ -103,6 +103,20 @@ def save_projector_only(path: str, params, cfg, step: int = 0) -> None:
                     extra={"projector_only": True})
 
 
+def save_lora_checkpoint(path: str, params, cfg, step: int = 0) -> None:
+    """LoRA save split (reference: train.py:1066-1080): the adapter pytree
+    (``adapter_model``'s analog) plus the non-LoRA trainables (projector /
+    router, the reference's ``non_lora_trainables.bin``) in one checkpoint.
+    Load with :func:`load_checkpoint` and re-attach via ops.lora.load_lora."""
+    from ..ops.lora import extract_lora
+
+    subset = {"lora": extract_lora(params)}
+    for key in ("mm_projector", "router", "image_newline"):
+        if key in params:
+            subset[key] = params[key]
+    save_checkpoint(path, subset, cfg, step=step, extra={"lora_only": True})
+
+
 def latest_checkpoint(output_dir: str) -> Optional[str]:
     """Auto-resume discovery (reference: train.py:1059-1062
     ``checkpoint-*`` glob)."""
