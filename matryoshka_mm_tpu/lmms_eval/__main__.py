@@ -11,7 +11,7 @@ def main():
     parser = argparse.ArgumentParser()
     parser.add_argument("--model", type=str, default="llava")
     parser.add_argument("--model_args", type=str, default="")
-    parser.add_argument("--tasks", type=str, required=True,
+    parser.add_argument("--tasks", type=str, default=None,
                         help="comma-separated task names")
     parser.add_argument("--limit", type=int, default=None)
     parser.add_argument("--seed", type=int, default=1234)
@@ -27,6 +27,8 @@ def main():
     if args.list_tasks:
         print("\n".join(list_tasks()))
         return
+    if not args.tasks:
+        parser.error("--tasks is required (or use --list_tasks)")
 
     results = simple_evaluate(
         model=args.model,

@@ -45,7 +45,49 @@ def multiple_choice_letter(gold: str, pred: str) -> float:
     return float(letter == gold.strip().upper())
 
 
+def relaxed_accuracy(gold, pred: str, tolerance: float = 0.05) -> float:
+    """ChartQA scoring: numeric answers match within 5% relative error,
+    everything else falls back to exact string match."""
+    golds = gold if isinstance(gold, list) else [gold]
+    pred_s = str(pred).strip().rstrip("%").replace(",", "")
+    for g in golds:
+        g_s = str(g).strip().rstrip("%").replace(",", "")
+        try:
+            gv, pv = float(g_s), float(pred_s)
+            denom = abs(gv) if gv != 0 else 1.0
+            if abs(gv - pv) / denom <= tolerance:
+                return 1.0
+        except ValueError:
+            if g_s.lower() == str(pred).strip().lower():
+                return 1.0
+    return 0.0
+
+
+def contains_match(gold, pred: str) -> float:
+    """OCRBench scoring: any gold string appears (case/space-insensitive)
+    inside the prediction."""
+    golds = gold if isinstance(gold, list) else [gold]
+    norm = re.sub(r"\s+", " ", str(pred).strip().lower())
+    for g in golds:
+        if re.sub(r"\s+", " ", str(g).strip().lower()) in norm:
+            return 1.0
+    return 0.0
+
+
+def multiple_choice_index(gold, pred: str) -> float:
+    """Like :func:`multiple_choice_letter` but the gold is a 0-based option
+    index (AI2D-style datasets)."""
+    pred = str(pred).strip()
+    m = re.match(r"^\(?([A-H])[).\s]?", pred, re.IGNORECASE)
+    if not m:
+        return float(str(gold).strip() == pred)
+    return float(ord(m.group(1).upper()) - ord("A") == int(str(gold).strip()))
+
+
 METRICS: Dict[str, Callable] = {
+    "relaxed_accuracy": relaxed_accuracy,
+    "contains_match": contains_match,
+    "multiple_choice_index": multiple_choice_index,
     "exact_match": exact_match,
     "anls": anls,
     "vqa_accuracy": vqa_accuracy,

@@ -22,6 +22,26 @@ def test_metrics():
     assert 0.02 < s < 0.08
 
 
+def test_new_metrics():
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import (
+        contains_match, multiple_choice_index, relaxed_accuracy)
+
+    # ChartQA relaxed accuracy: 5% relative numeric tolerance
+    assert relaxed_accuracy("100", "104") == 1.0
+    assert relaxed_accuracy("100", "106") == 0.0
+    assert relaxed_accuracy("12.5%", "12.3") == 1.0
+    assert relaxed_accuracy(["blue"], "Blue") == 1.0
+    assert relaxed_accuracy("0", "0.01") == 1.0   # zero-gold denominator guard
+    # OCRBench contains-match
+    assert contains_match("hello world", "it says  Hello   World!") == 1.0
+    assert contains_match(["foo", "bar"], "has bar in it") == 1.0
+    assert contains_match("baz", "nothing here") == 0.0
+    # AI2D index-form multiple choice
+    assert multiple_choice_index("2", "C") == 1.0
+    assert multiple_choice_index(1, "(B) since") == 1.0
+    assert multiple_choice_index("0", "D.") == 0.0
+
+
 def test_local_task_end_to_end(tmp_path):
     from PIL import Image
 
@@ -69,5 +89,8 @@ def test_registered_tasks_load():
     from matryoshka_mm_tpu.lmms_eval.api.registry import list_tasks
 
     tasks = list_tasks()
-    for t in ("gqa", "pope", "textvqa", "scienceqa_img", "mmbench_en"):
+    for t in ("gqa", "pope", "textvqa", "scienceqa_img", "mmbench_en",
+              "mmmu_val", "ai2d", "chartqa", "infovqa", "ocrbench",
+              "realworldqa", "qbench_zh"):
         assert t in tasks
+    assert len(tasks) >= 20
