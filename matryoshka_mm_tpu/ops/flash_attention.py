@@ -347,6 +347,48 @@ def _flash_bwd(scale, causal, block_q, block_k, window, q_offset, res, do):
 _flash.defvjp(_flash_fwd, _flash_bwd)
 
 
+def flash_attention_lse(
+    q: jnp.ndarray,                          # (B, H, Sq, Dh)
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = True,
+    kv_valid: Optional[jnp.ndarray] = None,  # (B, Sk) bool
+    block_q: int = DEFAULT_BLOCK_Q,
+    block_k: int = DEFAULT_BLOCK_K,
+) -> tuple:
+    """Forward-only flash attention returning ``(out, lse)``.
+
+    ``lse[b, h, i] = logsumexp_j(s[b, h, i, j])`` over unmasked keys (the
+    flash residual), so partial attentions over disjoint KV shards merge
+    exactly: ``out = sum_b exp(lse_b - lse_tot) * out_b`` — the combiner
+    ring attention uses per rotation step.  Fully-masked rows carry
+    ``lse = -1e30`` and contribute nothing.  Not differentiable; the
+    training path keeps the custom-vjp :func:`flash_attention`."""
+    B, H, Sq, Dh = q.shape
+    Hkv, Sk = k.shape[1], k.shape[2]
+    scale = Dh ** -0.5
+    block_q = min(block_q, max(_round_up(Sq, 128), 128))
+    block_k = min(block_k, max(_round_up(Sk, 128), 128))
+    if kv_valid is None:
+        kv_valid = jnp.ones((B, Sk), bool)
+    if Hkv != H:
+        k = jnp.repeat(k, H // Hkv, axis=1)
+        v = jnp.repeat(v, H // Hkv, axis=1)
+    Dh_p = max(_round_up(Dh, 128), 128)
+    Sq_p = _round_up(Sq, block_q)
+    Sk_p = _round_up(Sk, block_k)
+    if (Dh_p != Dh) or (Sq_p != Sq) or (Sk_p != Sk):
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, Dh_p - Dh)))
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, Dh_p - Dh)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Sk_p - Sk), (0, Dh_p - Dh)))
+        kv_valid = jnp.pad(kv_valid, ((0, 0), (0, Sk_p - Sk)))
+    out, lse = _fwd_call(q, k, v, kv_valid.astype(jnp.int32)[:, None, :],
+                         scale=scale, causal=causal, block_q=block_q,
+                         block_k=block_k)
+    return out[:, :, :Sq, :Dh], lse[:, :, 0, :Sq]
+
+
 def flash_attention(
     q: jnp.ndarray,                          # (B, H, Sq, Dh)
     k: jnp.ndarray,                          # (B, Hkv, Sk, Dh)

@@ -61,9 +61,17 @@ def ring_attention(
     causal: bool = True,
     kv_valid: Optional[jnp.ndarray] = None,   # (B, S)
     seq_axis: str = "seq",
+    use_flash: Optional[bool] = None,
 ) -> jnp.ndarray:
-    """Sequence-parallel attention; returns (B, H, S, Dh) sharded like q."""
+    """Sequence-parallel attention; returns (B, H, S, Dh) sharded like q.
+
+    ``use_flash`` routes each rotation step's block-vs-block attention
+    through the Pallas flash kernel (merged across steps via the kernel's
+    logsumexp residual); the default keeps the differentiable jnp path —
+    the flash path is forward-only (inference / no-grad contexts)."""
     B, H, S, Dh = q.shape
+    if use_flash is None:
+        use_flash = False
     if kv_valid is None:
         kv_valid = jnp.ones((B, S), bool)
     positions = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
@@ -90,7 +98,6 @@ def ring_attention(
             val_blk = jax.lax.ppermute(val_blk, seq_axis, perm)
             return (k_blk, v_blk, pos_blk, val_blk, acc, m_new, l_run), None
 
-        Sq_local = q.shape[2]
         acc0 = jnp.zeros(q.shape[:3] + (Dh,), jnp.float32)
         m0 = jnp.full(q.shape[:3], -1e30, jnp.float32)
         l0 = jnp.zeros(q.shape[:3], jnp.float32)
@@ -100,10 +107,58 @@ def ring_attention(
         safe_l = jnp.where(l_run == 0.0, 1.0, l_run)
         return (acc / safe_l[..., None]).astype(q.dtype)
 
+    def ring_fn_flash(q, k, v, q_pos, kv_pos, kv_valid):
+        """Flash-kernel blocks merged by logsumexp.  The block relation
+        (past / diagonal / future) is decided from the source device of the
+        rotating block, so the kernel only ever runs the two static cases
+        it has compiled (full and diagonal-causal)."""
+        from ..ops.flash_attention import flash_attention_lse
+
+        idx = jax.lax.axis_index(seq_axis)
+        perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+        Sl = q.shape[2]
+
+        def full_blk(k_blk, v_blk, val_blk):
+            return flash_attention_lse(q, k_blk, v_blk, causal=False,
+                                       kv_valid=val_blk)
+
+        def diag_blk(k_blk, v_blk, val_blk):
+            return flash_attention_lse(q, k_blk, v_blk, causal=True,
+                                       kv_valid=val_blk)
+
+        def none_blk(k_blk, v_blk, val_blk):
+            return (jnp.zeros(q.shape, q.dtype),
+                    jnp.full(q.shape[:3], -1e30, jnp.float32))
+
+        def step(carry, s):
+            k_blk, v_blk, val_blk, acc, lse_run = carry
+            src = (idx - s) % n_dev            # block's home device
+            if causal:
+                case = jnp.where(src == idx, 1, jnp.where(src < idx, 0, 2))
+            else:
+                case = jnp.zeros((), jnp.int32)
+            out_b, lse_b = jax.lax.switch(
+                case, (full_blk, diag_blk, none_blk), k_blk, v_blk, val_blk)
+            lse_new = jnp.logaddexp(lse_run, lse_b)
+            # -1e30 marks "nothing attended"; such terms contribute zero
+            w_old = jnp.exp(jnp.minimum(lse_run - lse_new, 0.0)) * (lse_run > -1e29)
+            w_new = jnp.exp(jnp.minimum(lse_b - lse_new, 0.0)) * (lse_b > -1e29)
+            acc = acc * w_old[..., None] + out_b.astype(jnp.float32) * w_new[..., None]
+            k_blk = jax.lax.ppermute(k_blk, seq_axis, perm)
+            v_blk = jax.lax.ppermute(v_blk, seq_axis, perm)
+            val_blk = jax.lax.ppermute(val_blk, seq_axis, perm)
+            return (k_blk, v_blk, val_blk, acc, lse_new), None
+
+        acc0 = jnp.zeros(q.shape[:3] + (Dh,), jnp.float32)
+        lse0 = jnp.full(q.shape[:3], -1e30, jnp.float32)
+        (k, v, kv_valid, acc, lse), _ = jax.lax.scan(
+            step, (k, v, kv_valid, acc0, lse0), jnp.arange(n_dev))
+        return acc.astype(q.dtype)
+
     specs = (P(None, None, seq_axis, None),) * 3 + (
         P(None, seq_axis), P(None, seq_axis), P(None, seq_axis))
     out = jax.shard_map(
-        ring_fn, mesh=mesh,
+        ring_fn_flash if use_flash else ring_fn, mesh=mesh,
         in_specs=specs, out_specs=P(None, None, seq_axis, None),
         check_vma=False,
     )(q, k, v, positions, positions, kv_valid)
