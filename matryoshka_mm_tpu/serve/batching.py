@@ -89,7 +89,8 @@ class ContinuousBatcher:
                  prefill_len: int = 1024, max_new_tokens: int = 512,
                  gen_cfg: Optional[GenerationConfig] = None,
                  chunk: int = 8, backend: str = "dense",
-                 page_size: int = 64, use_kernel: Optional[bool] = None):
+                 page_size: int = 64, use_kernel: Optional[bool] = None,
+                 prefix_cache: bool = False):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -111,14 +112,25 @@ class ContinuousBatcher:
             n_pages = max_batch * self.pages_per_row
             self.paged = init_paged_cache(cfg.llama, n_pages, page_size,
                                           dtype=dtype)
-            self.alloc = PageAllocator(n_pages, page_size, max_batch,
-                                       self.pages_per_row)
+            if prefix_cache:
+                from .prefix_cache import PrefixIndex, RefcountAllocator
+
+                self.alloc = RefcountAllocator(n_pages, page_size, max_batch,
+                                               self.pages_per_row)
+                self.index = PrefixIndex()
+                self.stats = {"prefix_hits": 0, "prefix_misses": 0,
+                              "prefix_pages_reused": 0}
+            else:
+                self.alloc = PageAllocator(n_pages, page_size, max_batch,
+                                           self.pages_per_row)
+                self.index = None
             self.tables = jnp.asarray(self.alloc.tables)
             self.use_kernel = (jax.default_backend() == "tpu"
                                if use_kernel is None else bool(use_kernel))
         else:
             self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
                                       dtype=dtype)
+            self.index = None
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
         self.active = jnp.zeros((max_batch,), bool)
@@ -158,7 +170,103 @@ class ContinuousBatcher:
         self._thread.join(timeout=5)
 
     # ---- scheduler ----
+    def _key_seq(self, req: _Request):
+        """Spliced token-key sequence for prefix caching, or None when the
+        request shape isn't cacheable (multi-image / anyres)."""
+        from ..constants import IMAGE_TOKEN_INDEX
+        from .prefix_cache import build_key_seq
+
+        ids = np.asarray(req.input_ids)
+        if ids.shape[0] != 1 or (ids == IMAGE_TOKEN_INDEX).sum() > 1:
+            return None, 0
+        if req.pixel_values is None:
+            return build_key_seq(ids, None, None, IMAGE_TOKEN_INDEX)
+        if req.pixel_values.ndim != 4:
+            return None, 0
+        n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
+        img_hash = int.from_bytes(
+            __import__("hashlib").blake2b(req.pixel_values.tobytes(),
+                                          digest_size=8).digest(), "little")
+        return build_key_seq(ids, n, img_hash, IMAGE_TOKEN_INDEX)
+
+    def _try_admit_prefix(self, req: _Request, slot: int):
+        """Admit via cached prefix pages + suffix-only prefill.  Returns
+        True when handled; None to fall through to the full-prefill path."""
+        from .prefix_cache import (_suffix_prefill_fn, chain_hashes,
+                                   import_page_range)
+
+        key_seq, text_resume = self._key_seq(req)
+        if key_seq is None:
+            return None
+        T = len(key_seq)
+        if T + 1 > self.capacity:
+            return None
+        hashes = chain_hashes(key_seq, self.page_size)
+        max_h = min(len(hashes), (T - 1) // self.page_size)
+        hits = self.index.lookup(hashes[:max_h])
+        H = len(hits)
+        if H == 0 or H * self.page_size < text_resume:
+            self.stats["prefix_misses"] += 1
+            return None
+        n_prefix = H * self.page_size
+        # suffix is pure text: map spliced positions back to input ids
+        ids = np.asarray(req.input_ids).reshape(-1)
+        if text_resume > 0:                      # image inside the prefix
+            n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
+            suffix = ids[n_prefix - n + 1:]
+        else:
+            suffix = ids[n_prefix:]
+        t_suf = len(suffix)
+        s_suf = _round_up(max(t_suf, 1), 64)
+
+        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+                                       shared=hits):
+            self.index.drop_pages(self.alloc.flush_cached())
+            if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+                                           shared=hits):
+                return None                       # pool pressure: full path
+        n_layers = self.paged.k.shape[0]
+        n_kv, dh = self.paged.k.shape[3], self.paged.k.shape[4]
+        sel = jnp.asarray(np.asarray(hits, np.int32))
+        k_sel = self.paged.k[:, sel].reshape(n_layers, n_prefix, n_kv, dh)
+        v_sel = self.paged.v[:, sel].reshape(n_layers, n_prefix, n_kv, dh)
+        ids_p = jnp.asarray(
+            np.pad(suffix, (0, s_suf - t_suf)).astype(np.int32))[None]
+        valid = jnp.asarray(np.arange(s_suf) < t_suf)[None]
+        fn = _suffix_prefill_fn(self.cfg, n_prefix, s_suf, self.capacity)
+        logits, dense, lengths = fn(self.params, k_sel, v_sel, ids_p, valid)
+
+        n_total = int(self.alloc.n_alloc[slot])
+        n_new = n_total - H
+        if n_new > 0:
+            self.paged = import_page_range(
+                self.paged, dense, H, n_new,
+                self.alloc.tables[slot][H:n_total], self.page_size)
+        self.tables = jnp.asarray(self.alloc.tables)
+        reg_n = T // self.page_size
+        if reg_n > H:
+            self.index.register(hashes[H:reg_n],
+                                self.alloc.tables[slot][H:reg_n].tolist())
+            self.alloc.pin(self.alloc.tables[slot][H:reg_n].tolist())
+        self.stats["prefix_hits"] += 1
+        self.stats["prefix_pages_reused"] += H
+
+        first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
+        self.tokens = self.tokens.at[slot].set(first[0])
+        self.lengths = self.lengths.at[slot].set(lengths[0])
+        self.active = self.active.at[slot].set(True)
+        self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
+        req.slot = slot
+        self.slots[slot] = req
+        req.out_queue.put(np.asarray(first))
+        req.emitted = 1
+        return True
+
     def _admit(self, req: _Request, slot: int) -> bool:
+        if self.backend == "paged" and self.index is not None:
+            handled = self._try_admit_prefix(req, slot)
+            if handled is not None:
+                return handled
         n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
         if req.pixel_values is not None:
             prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
@@ -211,7 +319,11 @@ class ContinuousBatcher:
         from .paged_cache import import_prefill
 
         T = int(np.asarray(lengths)[0])
-        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1):
+        ok = self.alloc.allocate_row(slot, T, headroom=self.chunk + 1)
+        if not ok and self.index is not None and self.alloc.cached:
+            self.index.drop_pages(self.alloc.flush_cached())
+            ok = self.alloc.allocate_row(slot, T, headroom=self.chunk + 1)
+        if not ok:
             need = -(-(T + self.chunk + 1) // self.page_size)
             if need > self.pages_per_row:      # can never fit: fail it
                 req.out_queue.put(None)
@@ -223,6 +335,17 @@ class ContinuousBatcher:
                                     int(self.alloc.n_alloc[slot]),
                                     self.page_size)
         self.tables = jnp.asarray(self.alloc.tables)
+        if self.index is not None:
+            from .prefix_cache import chain_hashes
+
+            key_seq, _ = self._key_seq(req)
+            if key_seq is not None and len(key_seq) == T:
+                reg_n = T // self.page_size
+                if reg_n > 0:
+                    hashes = chain_hashes(key_seq, self.page_size)
+                    pages = self.alloc.tables[slot][:reg_n].tolist()
+                    self.index.register(hashes[:reg_n], pages)
+                    self.alloc.pin(pages)
         return True
 
     def _ensure_pages(self):
@@ -236,6 +359,9 @@ class ContinuousBatcher:
             ok = True
             while self.alloc.capacity(slot) < need:
                 if not self.alloc.extend_row(slot):
+                    if self.index is not None and self.alloc.cached:
+                        self.index.drop_pages(self.alloc.flush_cached())
+                        continue
                     ok = False
                     break
             if not ok:

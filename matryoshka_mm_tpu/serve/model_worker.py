@@ -51,7 +51,8 @@ class ModelWorker:
                  model_path, model_base, model_name,
                  load_8bit=False, load_4bit=False, device="tpu",
                  use_flash_attn=True, limit_model_concurrency=5,
-                 continuous_batching=False, max_batch=4, kv_backend="dense"):
+                 continuous_batching=False, max_batch=4, kv_backend="dense",
+                 prefix_cache=False):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -85,7 +86,8 @@ class ModelWorker:
                 self.model.params, self.model.cfg, max_batch=max_batch,
                 prefill_len=min(self.model.cfg.tokenizer_model_max_length, 1024)
                 + self.model.cfg.vision.num_patches,
-                max_new_tokens=1024, backend=kv_backend)
+                max_new_tokens=1024, backend=kv_backend,
+                prefix_cache=prefix_cache)
 
         if not no_register:
             self.register_to_controller()
@@ -326,6 +328,9 @@ def main():
     parser.add_argument("--use-flash-attn", action="store_true")
     parser.add_argument("--continuous-batching", action="store_true")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--prefix-cache", action="store_true",
+                        help="reuse KV pages across requests sharing a "
+                             "prompt prefix (paged backend only)")
     parser.add_argument("--kv-backend", type=str, default="dense",
                         choices=["dense", "paged"],
                         help="continuous-batching KV layout: fixed pool or "
@@ -340,7 +345,8 @@ def main():
                          limit_model_concurrency=args.limit_model_concurrency,
                          continuous_batching=args.continuous_batching,
                          max_batch=args.max_batch,
-                         kv_backend=args.kv_backend)
+                         kv_backend=args.kv_backend,
+                         prefix_cache=args.prefix_cache)
 
     from aiohttp import web
 

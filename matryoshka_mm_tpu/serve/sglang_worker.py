@@ -208,7 +208,7 @@ def main():
             uuid.uuid4().hex[:6], args.no_register, args.model_path, None,
             args.model_name, load_8bit=args.load_8bit,
             continuous_batching=True, max_batch=args.max_batch,
-            kv_backend="paged")
+            kv_backend="paged", prefix_cache=True)
         app = build_sglang_app(worker)
 
     web.run_app(app, host=args.host, port=args.port, print=None)
