@@ -36,6 +36,7 @@ class Llava(lmms):
         # plumb the scale knob through the model config (reference :96-97)
         self.model.config.matryoshka_vis_token_scale = matryoshka_vis_token_scale
         self.matryoshka_vis_token_scale = matryoshka_vis_token_scale
+        self.batch_size = max(int(batch_size), 1)
 
     def _build_prompt(self, context: str, has_image: bool) -> str:
         conv = conv_templates[self.conv_template].copy()
@@ -44,36 +45,68 @@ class Llava(lmms):
         conv.append_message(conv.roles[1], None)
         return conv.get_prompt()
 
+    def _postprocess(self, text: str) -> str:
+        text = text.strip()
+        conv = conv_templates[self.conv_template].copy()
+        stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
+        if stop and stop in text:
+            text = text.split(stop)[0].strip()
+        return text
+
     def generate_until(self, requests: List[Instance]) -> List[str]:
-        out = []
-        for req in requests:
-            context, gen_kwargs, visual = req.arguments
-            prompt = self._build_prompt(context, visual is not None)
-            input_ids = np.asarray(
-                tokenizer_image_token(prompt, self.tokenizer), np.int32)[None, :]
-            pixels = None
-            if visual is not None:
-                pixels = np.asarray(process_images(
-                    [visual], self.image_processor, self.model.config),
-                    np.float32)
+        """Batched greedy/sampled generation.  Requests are grouped by
+        generation kwargs and image presence, left-padded to a shared
+        length, and decoded as one pool (reference adapter batches through
+        a collator the same way, lmms-eval models/llava.py:300+)."""
+        import json as _json
+
+        out: List[Optional[str]] = [None] * len(requests)
+        groups = {}
+        for i, req in enumerate(requests):
+            _, gen_kwargs, visual = req.arguments
+            key = (_json.dumps(gen_kwargs, sort_keys=True, default=str),
+                   visual is not None)
+            groups.setdefault(key, []).append(i)
+
+        for (gk_s, has_img), idxs in groups.items():
+            gen_kwargs = _json.loads(gk_s)
             temperature = float(gen_kwargs.get("temperature", 0.0))
-            output_ids = self.model.generate(
-                input_ids, images=pixels,
-                matryoshka_vis_token_scale=self.matryoshka_vis_token_scale,
-                do_sample=temperature > 0, temperature=temperature,
-                top_p=float(gen_kwargs.get("top_p", 1.0)),
-                max_new_tokens=int(gen_kwargs.get("max_new_tokens", 16)),
-                eos_token_id=getattr(self.tokenizer, "eos_token_id", 2),
-                pad_token_id=getattr(self.tokenizer, "pad_token_id", 0) or 0)
-            text = self.tokenizer.batch_decode(
-                output_ids, skip_special_tokens=True)[0].strip()
-            conv = conv_templates[self.conv_template].copy()
-            stop = conv.sep if conv.sep_style != SeparatorStyle.TWO else conv.sep2
-            if stop and stop in text:
-                text = text.split(stop)[0].strip()
-            out.append(text)
-            req.resps.append(text)
-        return out
+            for start in range(0, len(idxs), self.batch_size):
+                chunk = idxs[start:start + self.batch_size]
+                ids_list, pix_list = [], []
+                for i in chunk:
+                    context, _, visual = requests[i].arguments
+                    prompt = self._build_prompt(context, has_img)
+                    ids_list.append(np.asarray(
+                        tokenizer_image_token(prompt, self.tokenizer),
+                        np.int32))
+                    if has_img:
+                        pix_list.append(np.asarray(process_images(
+                            [visual], self.image_processor,
+                            self.model.config), np.float32)[0])
+                L = max(len(x) for x in ids_list)
+                B = len(chunk)
+                input_ids = np.zeros((B, L), np.int32)
+                mask = np.zeros((B, L), bool)
+                for r, x in enumerate(ids_list):          # left padding
+                    input_ids[r, L - len(x):] = x
+                    mask[r, L - len(x):] = True
+                pixels = np.stack(pix_list) if has_img else None
+                output_ids = self.model.generate(
+                    input_ids, images=pixels, attention_mask=mask,
+                    matryoshka_vis_token_scale=self.matryoshka_vis_token_scale,
+                    do_sample=temperature > 0, temperature=temperature,
+                    top_p=float(gen_kwargs.get("top_p", 1.0)),
+                    max_new_tokens=int(gen_kwargs.get("max_new_tokens", 16)),
+                    eos_token_id=getattr(self.tokenizer, "eos_token_id", 2),
+                    pad_token_id=getattr(self.tokenizer, "pad_token_id", 0) or 0)
+                texts = self.tokenizer.batch_decode(output_ids,
+                                                    skip_special_tokens=True)
+                for i, t in zip(chunk, texts):
+                    t = self._postprocess(t)
+                    out[i] = t
+                    requests[i].resps.append(t)
+        return out  # type: ignore[return-value]
 
     def loglikelihood(self, requests: List[Instance]) -> List[Tuple[float, bool]]:
         """Score P(continuation | context [+ image]); greedy-match flag."""

@@ -85,6 +85,45 @@ def test_local_task_end_to_end(tmp_path):
     assert "toy_vqa" in table
 
 
+def test_batched_adapter_matches_serial(tmp_path):
+    """batch_size=2 groups requests into one padded generate call and must
+    reproduce the serial outputs."""
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 64), (0, 0, 200)).save(img_dir / "b.jpg")
+    docs = [{"question": f"Describe item {i} please", "answer": "x",
+             "image": "b.jpg"} for i in range(4)]
+    dpath = tmp_path / "docs.json"
+    with open(dpath, "w") as f:
+        json.dump(docs, f)
+
+    from matryoshka_mm_tpu.lmms_eval.api.registry import register_task
+    from matryoshka_mm_tpu.lmms_eval.evaluator import simple_evaluate
+
+    register_task("toy_batch", {
+        "task": "toy_batch",
+        "dataset_path": str(dpath),
+        "doc_to_visual": "image",
+        "doc_to_text": "{question}",
+        "doc_to_target": "answer",
+        "dataset_kwargs": {"image_folder": str(img_dir)},
+        "generation_kwargs": {"max_new_tokens": 6, "temperature": 0.0},
+        "metric_list": [{"metric": "exact_match"}],
+    })
+
+    kw = dict(tasks=["toy_batch"], log_samples=True,
+              matryoshka_vis_token_scale="ver=v0_numtoks=4")
+    r1 = simple_evaluate(model="llava",
+                         model_args="pretrained=debug://tiny,batch_size=1", **kw)
+    r2 = simple_evaluate(model="llava",
+                         model_args="pretrained=debug://tiny,batch_size=2", **kw)
+    t1 = [s["resp"] for s in r1["samples"]["toy_batch"]]
+    t2 = [s["resp"] for s in r2["samples"]["toy_batch"]]
+    assert t1 == t2
+
+
 def test_registered_tasks_load():
     from matryoshka_mm_tpu.lmms_eval.api.registry import list_tasks
 
