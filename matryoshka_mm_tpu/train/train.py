@@ -104,7 +104,9 @@ class TrainingArguments:
     dp_size: Optional[int] = None
     tp_size: int = 1
     report_to: str = "jsonl"
-    # LoRA (reference: train.py:117-123; scripts use r=128 alpha=256)
+    # LoRA / quantized base (reference: train.py:117-123 lora_* and bits;
+    # scripts use r=128 alpha=256)
+    bits: int = 16                  # 8/4 quantize the LM base (QLoRA w/ lora)
     lora_enable: bool = False
     lora_r: int = 64
     lora_alpha: int = 16
@@ -217,6 +219,22 @@ def train(attn_implementation: str = "flash"):
         _, model, _, _ = load_pretrained_model(
             model_args.model_name_or_path, None, None)
         params, cfg = model.params, model.cfg
+
+    if training_args.bits in (4, 8):
+        # quantize the LM base before (optionally) adding adapters — the
+        # QLoRA recipe (reference: train.py:859-876 bnb 4/8-bit loading)
+        from ..ops.quant import (quantize_llama_params_inplace,
+                                 quantize_llama_params_int4)
+
+        if training_args.bits == 8:
+            params["llama"] = quantize_llama_params_inplace(params["llama"])
+        else:
+            params["llama"] = quantize_llama_params_int4(params["llama"],
+                                                         inplace=True)
+        if not (training_args.lora_enable or model_args.tune_mm_mlp_adapter
+                or model_args.tune_router):
+            raise ValueError("--bits 4/8 freezes the LM base; combine with "
+                             "--lora_enable (QLoRA) or an adapter-only mode")
 
     if training_args.lora_enable:
         # wrap the LM's linear projections with low-rank adapters
