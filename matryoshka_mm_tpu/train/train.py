@@ -182,6 +182,10 @@ def train(attn_implementation: str = "flash"):
     import jax
     import transformers as hf
 
+    from ..parallel import initialize_distributed
+
+    initialize_distributed()   # must precede any backend use; single-host no-op
+
     parser = hf.HfArgumentParser((ModelArguments, DataArguments, TrainingArguments))
     model_args, data_args, training_args = parser.parse_args_into_dataclasses()
 
@@ -257,7 +261,7 @@ def train(attn_implementation: str = "flash"):
     dataset, collator = module["train_dataset"], module["data_collator"]
 
     # ---- mesh + sharding ----
-    from ..parallel import batch_sharding, make_mesh, shard_params
+    from ..parallel import make_mesh, put_batch, shard_params
 
     n_dev = len(jax.devices())
     tp = training_args.tp_size
@@ -351,27 +355,31 @@ def train(attn_implementation: str = "flash"):
         metrics_file = open(metrics_path, "a")
         global_step = start_step
         t_start = time.time()
-        bshard = batch_sharding(mesh)
 
         epochs = int(np.ceil(training_args.num_train_epochs))
         done = False
+        n_proc, proc_id = jax.process_count(), jax.process_index()
+        if n_proc > 1:
+            micro_bsz = max(micro_bsz // n_proc, 1)   # per-host rows
         for epoch in range(epochs):
             indices = (list(iter(sampler)) if sampler is not None
                        else np.random.default_rng(
                            training_args.seed + epoch).permutation(
                            len(dataset)).tolist())
+            if n_proc > 1:   # each host loads its interleaved shard
+                indices = indices[proc_id::n_proc]
             for raw in _batches(dataset, collator, indices, micro_bsz):
                 if len(raw["input_ids"]) < micro_bsz:
                     continue  # drop ragged tail (static shapes)
                 text_embed = None
                 if text_embedder is not None:
-                    text_embed = jax.device_put(
-                        np.asarray(text_embedder(raw["input_ids"])), bshard)
+                    text_embed = put_batch(
+                        mesh, np.asarray(text_embedder(raw["input_ids"])))
                 batch = M3Batch(
-                    input_ids=jax.device_put(raw["input_ids"], bshard),
-                    pixel_values=jax.device_put(raw["images"], bshard),
-                    labels=jax.device_put(raw["labels"], bshard),
-                    attn_mask=jax.device_put(raw["attention_mask"], bshard),
+                    input_ids=put_batch(mesh, raw["input_ids"]),
+                    pixel_values=put_batch(mesh, raw["images"]),
+                    labels=put_batch(mesh, raw["labels"]),
+                    attn_mask=put_batch(mesh, raw["attention_mask"]),
                     text_embed=text_embed,
                 )
                 state, metrics = step_fn(state, batch)
