@@ -165,6 +165,28 @@ class ContinuousBatcher:
                 return
             yield item
 
+    def warmup(self, with_image: bool = True,
+               numtoks: Optional[int] = None) -> float:
+        """Run one dummy request through the pool to trigger the prefill
+        and decode-chunk compiles before real traffic arrives.  Returns the
+        wall seconds spent (the cold-start cost the first user would pay)."""
+        import time as _time
+
+        from ..constants import IMAGE_TOKEN_INDEX
+
+        t0 = _time.time()
+        ids = np.array([[5, IMAGE_TOKEN_INDEX if with_image else 7, 9]],
+                       np.int32)
+        px = None
+        if with_image:
+            s = self.cfg.vision.image_size
+            px = np.zeros((1, 3, s, s), np.float32)
+        req = self.submit(ids, px, numtoks=numtoks,
+                          max_new_tokens=self.chunk + 1)
+        for _ in self.stream(req):
+            pass
+        return _time.time() - t0
+
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)

@@ -52,7 +52,7 @@ class ModelWorker:
                  load_8bit=False, load_4bit=False, device="tpu",
                  use_flash_attn=True, limit_model_concurrency=5,
                  continuous_batching=False, max_batch=4, kv_backend="dense",
-                 prefix_cache=False):
+                 prefix_cache=False, warmup=False):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -88,6 +88,9 @@ class ModelWorker:
                 + self.model.cfg.vision.num_patches,
                 max_new_tokens=1024, backend=kv_backend,
                 prefix_cache=prefix_cache)
+            if warmup:
+                dt = self.batcher.warmup(with_image=self.is_multimodal)
+                logger.info(f"warmup compile took {dt:.1f}s")
 
         if not no_register:
             self.register_to_controller()
@@ -328,6 +331,8 @@ def main():
     parser.add_argument("--use-flash-attn", action="store_true")
     parser.add_argument("--continuous-batching", action="store_true")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--warmup", action="store_true",
+                        help="compile prefill/decode before serving traffic")
     parser.add_argument("--prefix-cache", action="store_true",
                         help="reuse KV pages across requests sharing a "
                              "prompt prefix (paged backend only)")
@@ -346,7 +351,7 @@ def main():
                          continuous_batching=args.continuous_batching,
                          max_batch=args.max_batch,
                          kv_backend=args.kv_backend,
-                         prefix_cache=args.prefix_cache)
+                         prefix_cache=args.prefix_cache, warmup=args.warmup)
 
     from aiohttp import web
 
