@@ -394,6 +394,256 @@ def chunked_prefill(params, cfg: LlavaConfig, embeds: jnp.ndarray,
     return logits, cache
 
 
+@lru_cache(maxsize=32)
+def _verify_fn(cfg: LlavaConfig, k: int):
+    """Sq=k+1 greedy verification step against the cache (speculative
+    decoding): appends the k+1 tokens' K/V and returns each position's
+    greedy next token.  Uses position-based reference attention — the
+    write offset is dynamic, which the flash kernel's static index-based
+    causality can't express."""
+    import dataclasses as _dc
+
+    ref_llama = _dc.replace(cfg.llama, attn_impl="reference")
+
+    @jax.jit
+    def verify(params, cache: KVCache, tokens, lengths):
+        embeds = embed_tokens(params["llama"], tokens)        # (1, k+1, D)
+        pos = lengths[:, None] + jnp.arange(k + 1)[None]
+        hidden, cache = llama_forward(
+            params["llama"], ref_llama, embeds, position_ids=pos,
+            attn_valid=jnp.ones(tokens.shape, bool), cache=cache)
+        logits = lm_head(params["llama"], hidden)
+        return jnp.argmax(logits, -1).astype(jnp.int32), cache
+
+    return verify
+
+
+@lru_cache(maxsize=8)
+def _rewind_fn(k: int):
+    """Invalidate the rejected tail of a verify step's cache writes and
+    move write_idx back so the next step overwrites them."""
+
+    @jax.jit
+    def rewind(cache: KVCache, n_acc):
+        w0 = cache.write_idx - (k + 1)
+        idx = jnp.arange(cache.valid.shape[1])[None]
+        drop = (idx >= w0 + n_acc + 1) & (idx < w0 + k + 1)
+        return cache._replace(valid=cache.valid & ~drop,
+                              write_idx=w0 + n_acc + 1)
+
+    return rewind
+
+
+@lru_cache(maxsize=16)
+def _pld_loop_fn(cfg: LlavaConfig, k: int, ngram: int, buf_len: int,
+                 max_new: int, eos: int, pad: int):
+    """Fully on-device prompt-lookup decoding loop (one dispatch per
+    generation): propose k tokens by matching the trailing n-gram inside
+    the token buffer, verify them with one Sq=k+1 forward, accept the
+    greedy-consistent prefix, rewind the cache tail, repeat under
+    ``lax.while_loop``.  No host round-trips — on a tunneled TPU a host
+    sync per step costs more than the verify itself."""
+    import dataclasses as _dc
+
+    ref_llama = _dc.replace(cfg.llama, attn_impl="reference")
+
+    def propose(buf, n_buf, cur):
+        pat = jax.lax.dynamic_slice(buf, (0, n_buf - ngram), (1, ngram))[0]
+        L = buf.shape[1]
+        m = jnp.ones((L - ngram + 1,), bool)
+        for j in range(ngram):          # ngram is small and static
+            m = m & (buf[0, j: L - ngram + 1 + j] == pat[j])
+        idx = jnp.arange(L - ngram + 1)
+        m = m & (idx < n_buf - ngram)   # strictly earlier occurrence
+        best = jnp.max(jnp.where(m, idx, -1))
+        start = jnp.clip(best + ngram, 0, L - k)
+        cont = jax.lax.dynamic_slice(buf, (0, start), (1, k))[0]
+        return jnp.where(m.any(), cont, jnp.full((k,), cur, jnp.int32))
+
+    def verify(params, cache, tokens, seq_len):
+        embeds = embed_tokens(params["llama"], tokens[None])
+        pos = (seq_len + jnp.arange(k + 1))[None]
+        hidden, cache = llama_forward(
+            params["llama"], ref_llama, embeds, position_ids=pos,
+            attn_valid=jnp.ones((1, k + 1), bool), cache=cache)
+        logits = lm_head(params["llama"], hidden)
+        return jnp.argmax(logits, -1)[0].astype(jnp.int32), cache
+
+    @jax.jit
+    def run(params, cache, buf, n_buf, seq_len, cur):
+        def cond(st):
+            return ~st[5] & (st[4] < max_new)
+
+        def body(st):
+            cache, buf, n_buf, seq_len, emitted, finished, cur = st
+            draft = propose(buf, n_buf, cur)
+            tokens = jnp.concatenate([cur[None], draft])
+            greedy, cache = verify(params, cache, tokens, seq_len)
+            match = draft == greedy[:k]
+            n_acc = jnp.where(match.all(), k,
+                              jnp.argmax(~match)).astype(jnp.int32)
+            j = jnp.arange(k + 1)
+            is_eos = greedy == eos
+            eos_before = jnp.cumsum(is_eos) - is_eos.astype(jnp.int32)
+            keep = (j <= n_acc) & (eos_before == 0) & (emitted + j < max_new)
+            n_emit = keep.sum().astype(jnp.int32)
+            # vanilla convention: the eos itself is masked to pad
+            out_vals = jnp.where(keep & ~is_eos, greedy, pad).astype(jnp.int32)
+            buf = jax.lax.dynamic_update_slice(buf, out_vals[None],
+                                               (0, n_buf))
+            # rewind: keep the n_emit accepted K/V entries
+            w0 = cache.write_idx - (k + 1)
+            idx = jnp.arange(cache.valid.shape[1])[None]
+            drop = (idx >= w0 + n_emit) & (idx < w0 + k + 1)
+            cache = cache._replace(valid=cache.valid & ~drop,
+                                   write_idx=w0 + n_emit)
+            finished = finished | (keep & is_eos).any() | \
+                (emitted + n_emit >= max_new) | (n_emit == 0)
+            cur = greedy[jnp.clip(n_emit - 1, 0, k)]
+            return (cache, buf, n_buf + n_emit, seq_len + n_emit,
+                    emitted + n_emit, finished, cur)
+
+        st = (cache, buf, n_buf, seq_len, jnp.zeros((), jnp.int32),
+              jnp.zeros((), bool), cur)
+        st = jax.lax.while_loop(cond, body, st)
+        return st[1], st[4]    # buffer, emitted count
+
+    return run
+
+
+def _ngram_propose(ids, k: int, ngram: int):
+    """Prompt-lookup draft: continue the most recent earlier occurrence of
+    the trailing n-gram; pad by repeating when the match runs short."""
+    if len(ids) <= ngram:
+        return [int(ids[-1])] * k
+    pat = list(ids[-ngram:])
+    for s in range(len(ids) - ngram - 1, -1, -1):
+        if list(ids[s:s + ngram]) == pat:
+            cont = [int(x) for x in ids[s + ngram: s + ngram + k]]
+            if cont:
+                return (cont + [cont[-1]] * k)[:k]
+    return [int(ids[-1])] * k
+
+
+def speculative_generate(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: np.ndarray,                       # (1, T)
+    pixel_values: Optional[np.ndarray] = None,   # (1, 3, H, W)
+    *,
+    matryoshka_vis_token_scale: Optional[str] = None,
+    gen_cfg: GenerationConfig = GenerationConfig(),
+    k: int = 8,
+    ngram: int = 3,
+    propose_fn=None,                             # (ids, k, ngram) -> [k ids]
+) -> np.ndarray:
+    """Greedy generation with prompt-lookup speculative decoding.
+
+    Beyond-reference serving accelerator: drafts come from matching the
+    trailing n-gram against the prompt + generated text (no draft model),
+    and one Sq=k+1 forward verifies all k drafts — on TPU that step costs
+    ~1.4x a single-token step (weights dominate HBM traffic), so
+    throughput approaches (accepted+1)/1.4 per verify on copy-heavy text.
+    The whole loop runs on device under ``lax.while_loop`` (one dispatch
+    per generation; a host sync per step would cost more than the verify).
+
+    Notes measured on one v5e with the 7B model:
+
+    * pair with int8 weights (the serving config): at bf16 XLA hoists ~3GB
+      of transposed stacked-weight copies for the Sq>1 GEMMs, which OOMs a
+      16GB chip next to 13.5GB of weights;
+    * outputs are greedy and self-consistent, and bit-identical to
+      :func:`generate` in f32; under bf16 the Sq=k+1 matmul tiling can
+      flip argmax on near-tied logits.
+    """
+    input_ids = np.asarray(input_ids, np.int32)
+    B, T = input_ids.shape
+    if B != 1:
+        raise ValueError("speculative decoding supports batch_size=1")
+    if gen_cfg.do_sample and gen_cfg.temperature > 0:
+        raise ValueError("speculative decoding is greedy-only")
+
+    numtoks = None
+    if matryoshka_vis_token_scale:
+        kvs = parse_kv_from_string(matryoshka_vis_token_scale)
+        if kvs["ver"] != "v0":
+            raise ValueError("speculative decoding supports ver=v0 scales")
+        if kvs["numtoks"] == "gateprobargmax":
+            gp = np.asarray(gating_probs(params, cfg, pixel_values))
+            numtoks = cfg.tokscale_list[int(gp[0].argmax())]
+        else:
+            numtoks = int(kvs["numtoks"])
+
+    max_new = gen_cfg.max_new_tokens
+    if pixel_values is None:
+        text_cap = _round_up(T, 64)
+        capacity = text_cap + max_new + k + 1
+        pad = text_cap - T
+        ids_p = jnp.pad(jnp.asarray(input_ids), ((0, 0), (pad, 0)))
+        mask = jnp.pad(jnp.ones((1, T), bool), ((0, 0), (pad, 0)))
+        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
+            params, ids_p, mask)
+    else:
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        L = _round_up(T - 1 + n, 64)
+        capacity = L + max_new + k + 1
+        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, jnp.asarray(input_ids),
+            jnp.asarray(np.asarray(pixel_values, np.float32)))
+
+    eos = gen_cfg.eos_token_id
+    first = int(np.asarray(jnp.argmax(logits, -1))[0])
+    out = [first]
+    ids_all = [int(x) for x in input_ids[0]] + [first]
+    cur = first
+
+    if first == eos or max_new <= 1:
+        return np.asarray([[first]], np.int32)
+
+    if propose_fn is None:
+        # fully on-device loop: one dispatch for the whole generation
+        buf_len = T + max_new + k + ngram + 1
+        buf = np.full((1, buf_len), gen_cfg.pad_token_id, np.int32)
+        buf[0, :T] = input_ids[0]
+        buf[0, T] = first
+        run = _pld_loop_fn(cfg, k, ngram, buf_len, max_new - 1, eos,
+                           gen_cfg.pad_token_id)
+        buf_out, n_emitted = run(params, cache, jnp.asarray(buf),
+                                 jnp.asarray(T + 1, jnp.int32),
+                                 lengths[0].astype(jnp.int32),
+                                 jnp.asarray(first, jnp.int32))
+        toks = np.asarray(buf_out)[0, T: T + max_new]
+        return toks[None]
+
+    verify = _verify_fn(cfg, k)
+    rewind = _rewind_fn(k)
+    propose = propose_fn
+    while len(out) < max_new and cur != eos:
+        draft = propose(ids_all, k, ngram)
+        tokens = jnp.asarray([[cur] + draft], jnp.int32)
+        greedy, cache = verify(params, cache, tokens, lengths)
+        g = np.asarray(greedy[0])                    # (k+1,)
+        n_acc = 0
+        while n_acc < k and draft[n_acc] == int(g[n_acc]):
+            n_acc += 1
+        emitted = [int(x) for x in draft[:n_acc]] + [int(g[n_acc])]
+        if eos in emitted:                           # stop at (and keep) eos
+            emitted = emitted[: emitted.index(eos) + 1]
+            n_acc = len(emitted) - 1
+        if len(out) + len(emitted) > max_new:        # budget clip
+            emitted = emitted[: max_new - len(out)]
+            n_acc = max(len(emitted) - 1, 0)
+        cache = rewind(cache, jnp.asarray(n_acc, jnp.int32))
+        lengths = lengths + n_acc + 1
+        out.extend(emitted)
+        ids_all.extend(emitted)
+        if not emitted:
+            break
+        cur = emitted[-1]
+
+    return np.asarray([out], np.int32)
+
+
 def stream_generate(
     params: dict,
     cfg: LlavaConfig,
