@@ -51,8 +51,8 @@ class LlavaModel:
                  matryoshka_vis_token_scale=None, max_new_tokens=128,
                  temperature=0.0, top_p=1.0, do_sample=False,
                  eos_token_id=2, pad_token_id=0, stopping_criteria=None,
-                 use_cache=True, num_beams=1, **kw):
-        from ..generate import GenerationConfig, generate
+                 use_cache=True, num_beams=1, speculative=False, **kw):
+        from ..generate import GenerationConfig, generate, speculative_generate
 
         if num_beams != 1:
             raise NotImplementedError("beam search is not supported; use greedy/sampling")
@@ -62,6 +62,11 @@ class LlavaModel:
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
             pad_token_id=pad_token_id)
+        if speculative:
+            # prompt-lookup decoding: greedy, B=1, no anyres
+            return speculative_generate(
+                self.params, self.cfg, input_ids, images,
+                matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg)
         return generate(self.params, self.cfg, input_ids, images,
                         image_sizes=image_sizes, attention_mask=attention_mask,
                         matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg,

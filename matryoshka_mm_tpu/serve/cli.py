@@ -104,6 +104,29 @@ def main(args):
             pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
             decode_chunk=8)
 
+        if args.speculative:
+            # prompt-lookup decoding runs the whole loop on-device (no
+            # incremental stream); greedy only — print the completed answer
+            import dataclasses as _dc
+
+            from ..generate import speculative_generate
+
+            out_ids = speculative_generate(
+                model.params, model.cfg, input_ids, pixel_values,
+                matryoshka_vis_token_scale=scale_spec,
+                gen_cfg=_dc.replace(gen_cfg, temperature=0.0,
+                                    do_sample=False))
+            outputs = tokenizer.decode(
+                [int(t) for t in out_ids[0] if t != gen_cfg.pad_token_id],
+                skip_special_tokens=True)
+            if stop_str and stop_str in outputs:
+                outputs = outputs.split(stop_str)[0]
+            print(outputs)
+            conv.messages[-1][-1] = outputs
+            if args.debug:
+                print("\n", {"prompt": prompt, "outputs": outputs}, "\n")
+            continue
+
         printed = ""
         outputs = ""
         for ids in stream_generate(model.params, model.cfg, input_ids,
@@ -140,4 +163,7 @@ if __name__ == "__main__":
     parser.add_argument("--load-4bit", action="store_true")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--matryoshka_vis_token_scale", type=int, default=None)
+    parser.add_argument("--speculative", action="store_true",
+                        help="prompt-lookup speculative decoding "
+                             "(greedy; pairs with --load-8bit)")
     main(parser.parse_args())
