@@ -147,3 +147,46 @@ def test_batcher_late_joiner(params, cfg):
         np.testing.assert_array_equal(toks2[: len(want2)], want2)
     finally:
         batcher.shutdown()
+
+
+def test_paged_batcher_stress(params, cfg):
+    """Many mixed requests (text-only + image, varying budgets) through the
+    paged prefix-cached pool: every stream terminates and matches solo
+    generation."""
+    import numpy as np
+
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=12, decode_chunk=3,
+                               eos_token_id=-1)
+    b = ContinuousBatcher(params, cfg, max_batch=3, prefill_len=64,
+                          max_new_tokens=24, gen_cfg=gen_cfg, chunk=3,
+                          backend="paged", page_size=8, prefix_cache=True)
+    rng = np.random.default_rng(0)
+    reqs, specs = [], []
+    try:
+        for i in range(9):
+            n_new = int(rng.integers(3, 12))
+            if i % 3 == 2:          # text-only
+                ids = rng.integers(5, 100, (1, int(rng.integers(4, 12)))
+                                   ).astype(np.int32)
+                px = None
+            else:
+                ids = rng.integers(5, 100, (1, int(rng.integers(5, 14)))
+                                   ).astype(np.int32)
+                ids[0, 1] = IMAGE_TOKEN_INDEX
+                px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+            specs.append((ids, px, n_new))
+            reqs.append(b.submit(ids, px, numtoks=4 if px is not None else None,
+                                 max_new_tokens=n_new))
+        outs = [np.concatenate(list(b.stream(r))) for r in reqs]
+        for (ids, px, n_new), got in zip(specs, outs):
+            g = GenerationConfig(max_new_tokens=n_new, decode_chunk=3,
+                                 eos_token_id=-1)
+            want = generate(params, cfg, ids, px,
+                            matryoshka_vis_token_scale=(
+                                "ver=v0_numtoks=4" if px is not None else None),
+                            gen_cfg=g)[0]
+            np.testing.assert_array_equal(got[: len(want)], want)
+    finally:
+        b.shutdown()
