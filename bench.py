@@ -177,7 +177,8 @@ def main():
 
     params["llama"] = quantize_llama_params_inplace(params["llama"])
 
-    for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4")):
+    for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4"),
+                   (8, "int8_decode_tok_s_b8")):
         numtoks = 144
         L = -(-(T - 1 + numtoks) // 64) * 64
         capacity = L + gen_cfg.max_new_tokens

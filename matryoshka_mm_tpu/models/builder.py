@@ -319,7 +319,12 @@ def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
         out["llama"] = quantize_llama_params_int4(
             params["llama"], min_size=4096, inplace=True)
     else:
-        from ..ops.quant import quantize_llama_params
+        from ..ops.quant import quantize_llama_params_inplace
 
-        out["llama"] = quantize_llama_params(params["llama"], min_size=4096)
+        # leaf-at-a-time: each bf16 leaf is freed before the next one
+        # quantizes — the non-inplace variant keeps the whole bf16 tree
+        # alive alongside the int8 one (20GB for a 7B), which OOMs a 16GB
+        # chip at the first real computation
+        out["llama"] = quantize_llama_params_inplace(params["llama"],
+                                                     min_size=4096)
     return out

@@ -52,7 +52,8 @@ class ModelWorker:
                  load_8bit=False, load_4bit=False, device="tpu",
                  use_flash_attn=True, limit_model_concurrency=5,
                  continuous_batching=False, max_batch=4, kv_backend="dense",
-                 prefix_cache=False, warmup=False):
+                 prefix_cache=False, warmup=False, pool_prefill_len=None,
+                 pool_max_new=1024):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -82,11 +83,17 @@ class ModelWorker:
         if continuous_batching:
             from .batching import ContinuousBatcher
 
+            # pool sizing: at 7B MHA the KV is ~512KB/token, so the pool
+            # budget (max_batch x (prefill_len + max_new)) must fit next to
+            # the weights — expose both knobs
+            if pool_prefill_len is None:
+                pool_prefill_len = (
+                    min(self.model.cfg.tokenizer_model_max_length, 1024)
+                    + self.model.cfg.vision.num_patches)
             self.batcher = ContinuousBatcher(
                 self.model.params, self.model.cfg, max_batch=max_batch,
-                prefill_len=min(self.model.cfg.tokenizer_model_max_length, 1024)
-                + self.model.cfg.vision.num_patches,
-                max_new_tokens=1024, backend=kv_backend,
+                prefill_len=pool_prefill_len,
+                max_new_tokens=pool_max_new, backend=kv_backend,
                 prefix_cache=prefix_cache)
             if warmup:
                 dt = self.batcher.warmup(with_image=self.is_multimodal)
@@ -331,6 +338,11 @@ def main():
     parser.add_argument("--use-flash-attn", action="store_true")
     parser.add_argument("--continuous-batching", action="store_true")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--pool-prefill-len", type=int, default=None,
+                        help="continuous-batching prompt region (tokens); "
+                             "default ctx+num_patches")
+    parser.add_argument("--pool-max-new", type=int, default=1024,
+                        help="continuous-batching decode region per request")
     parser.add_argument("--warmup", action="store_true",
                         help="compile prefill/decode before serving traffic")
     parser.add_argument("--prefix-cache", action="store_true",
@@ -351,7 +363,9 @@ def main():
                          continuous_batching=args.continuous_batching,
                          max_batch=args.max_batch,
                          kv_backend=args.kv_backend,
-                         prefix_cache=args.prefix_cache, warmup=args.warmup)
+                         prefix_cache=args.prefix_cache, warmup=args.warmup,
+                         pool_prefill_len=args.pool_prefill_len,
+                         pool_max_new=args.pool_max_new)
 
     from aiohttp import web
 
