@@ -19,6 +19,7 @@ def main():
     parser.add_argument("--log_samples", action="store_true")
     parser.add_argument("--matryoshka_vis_token_scale", type=str, default=None)
     parser.add_argument("--list_tasks", action="store_true")
+    parser.add_argument("--check_integrity", action="store_true")
     args = parser.parse_args()
 
     from .api.registry import list_tasks
@@ -27,6 +28,14 @@ def main():
     if args.list_tasks:
         print("\n".join(list_tasks()))
         return
+    if args.check_integrity:
+        from .evaluator import check_integrity
+
+        problems = check_integrity(args.tasks.split(",") if args.tasks
+                                   else None)
+        print("\n".join(problems) if problems else
+              "all task configs are consistent")
+        raise SystemExit(1 if problems else 0)
     if not args.tasks:
         parser.error("--tasks is required (or use --list_tasks)")
 

@@ -73,6 +73,38 @@ def simple_evaluate(
     return results
 
 
+def check_integrity(tasks: Optional[List[str]] = None) -> List[str]:
+    """Task-config validation (reference: evaluator.py:20-24
+    ``run_task_tests`` / ``--check_integrity``): every named task (default
+    all registered) must declare the required keys, reference registered
+    metrics and aggregations, and carry well-formed generation kwargs.
+    Returns a list of problems (empty == clean)."""
+    from .api.metrics import AGGREGATIONS, METRICS
+    from .api.registry import list_tasks
+
+    problems = []
+    for name in tasks or list_tasks():
+        try:
+            cfg = get_task(name)
+        except Exception as e:
+            problems.append(f"{name}: unresolvable ({e})")
+            continue
+        for key in ("task", "dataset_path", "doc_to_text", "doc_to_target",
+                    "metric_list"):
+            if key not in cfg:
+                problems.append(f"{name}: missing key {key!r}")
+        for m in cfg.get("metric_list", []):
+            if m.get("metric") not in METRICS:
+                problems.append(f"{name}: unknown metric {m.get('metric')!r}")
+            agg = m.get("aggregation", "mean")
+            if agg not in AGGREGATIONS:
+                problems.append(f"{name}: unknown aggregation {agg!r}")
+        gk = cfg.get("generation_kwargs", {})
+        if gk and not isinstance(gk.get("max_new_tokens", 1), int):
+            problems.append(f"{name}: max_new_tokens must be int")
+    return problems
+
+
 def make_table(results: Dict[str, Any]) -> str:
     """Rank-0 results table (reference: lmms-eval __main__ output)."""
     lines = [f"{'Task':<20} {'Metric':<24} {'Value':>10} {'Stderr':>10} {'N':>6}"]

@@ -133,3 +133,16 @@ def test_registered_tasks_load():
               "realworldqa", "qbench_zh"):
         assert t in tasks
     assert len(tasks) >= 20
+
+
+def test_check_integrity():
+    from matryoshka_mm_tpu.lmms_eval.api.registry import register_task
+    from matryoshka_mm_tpu.lmms_eval.evaluator import check_integrity
+
+    assert check_integrity() == []          # shipped corpus is clean
+    register_task("broken_task", {
+        "task": "broken_task", "dataset_path": "x",
+        "doc_to_text": "{q}", "doc_to_target": "a",
+        "metric_list": [{"metric": "nope"}]})
+    problems = check_integrity(["broken_task"])
+    assert problems and "unknown metric" in problems[0]
