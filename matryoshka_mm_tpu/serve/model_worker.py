@@ -198,9 +198,12 @@ class ModelWorker:
             pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
             decode_chunk=8)
 
-        # continuous-batching path: greedy v0 fixed-scale requests share one
-        # batched decode pool; everything else uses the solo stream
+        # continuous-batching path: greedy v0 fixed-scale single-tile
+        # requests share one batched decode pool; everything else (sampling,
+        # v2 combine, anyres multi-tile) uses the solo stream
         use_batcher = self.batcher is not None and not do_sample
+        if pixel_values is not None and np.asarray(pixel_values).ndim != 4:
+            use_batcher = False     # anyres tiles need the solo prefill
         numtoks = None
         if matryoshka_vis_token_scale:
             from ..kvconfig import parse_kv_from_string
