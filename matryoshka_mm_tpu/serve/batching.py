@@ -138,6 +138,7 @@ class ContinuousBatcher:
 
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self.slots: List[Optional[_Request]] = [None] * max_batch
+        self.error: Optional[BaseException] = None
         self._rid = 0
         self._lock = threading.Lock()
         self._stop = False
@@ -154,6 +155,9 @@ class ContinuousBatcher:
                            None if pixel_values is None
                            else np.asarray(pixel_values, np.float32),
                            numtoks, max_new_tokens)
+        if self.error is not None:       # scheduler already dead
+            req.out_queue.put(None)
+            return req
         self.pending.put(req)
         return req
 
@@ -394,6 +398,28 @@ class ContinuousBatcher:
         self.tables = jnp.asarray(self.alloc.tables)
 
     def _loop(self):
+        try:
+            self._loop_inner()
+        except Exception as e:     # noqa: BLE001 — scheduler death must not
+            # strand clients: fail every active and pending stream
+            import traceback
+
+            traceback.print_exc()
+            self.error = e
+            inflight = getattr(self, "_admitting", None)
+            if inflight is not None:
+                inflight.out_queue.put(None)
+            for slot, req in enumerate(self.slots):
+                if req is not None:
+                    req.out_queue.put(None)
+                    self.slots[slot] = None
+            while True:
+                try:
+                    self.pending.get_nowait().out_queue.put(None)
+                except queue.Empty:
+                    break
+
+    def _loop_inner(self):
         if self.backend == "paged":
             from .paged_cache import _paged_pool_decode_fn
 
@@ -412,7 +438,10 @@ class ContinuousBatcher:
                         req = self.pending.get_nowait()
                     except queue.Empty:
                         break
-                    if not self._admit(req, slot):
+                    self._admitting = req       # visible to the crash handler
+                    ok = self._admit(req, slot)
+                    self._admitting = None
+                    if not ok:
                         break
                     admitted = True
 

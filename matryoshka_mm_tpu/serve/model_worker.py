@@ -141,8 +141,18 @@ class ModelWorker:
         return self.limit_model_concurrency - model_semaphore._value + waiters
 
     def get_status(self):
-        return {"model_names": [self.model_name], "speed": 1,
-                "queue_length": self.get_queue_length()}
+        status = {"model_names": [self.model_name], "speed": 1,
+                  "queue_length": self.get_queue_length()}
+        if self.batcher is not None:
+            status["batcher"] = {
+                "active": int(sum(s is not None for s in self.batcher.slots)),
+                "pending": self.batcher.pending.qsize(),
+                "backend": self.batcher.backend,
+                "healthy": self.batcher.error is None,
+                **(self.batcher.stats
+                   if getattr(self.batcher, "index", None) is not None else {}),
+            }
+        return status
 
     def generate_stream(self, params):
         from ..generate import GenerationConfig, stream_generate

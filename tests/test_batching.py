@@ -190,3 +190,30 @@ def test_paged_batcher_stress(params, cfg):
             np.testing.assert_array_equal(got[: len(want)], want)
     finally:
         b.shutdown()
+
+
+def test_batcher_scheduler_crash_fails_streams(params, cfg, monkeypatch):
+    """A scheduler-thread exception must terminate every client stream
+    (None sentinel) instead of hanging them, and later submits fail fast."""
+    from matryoshka_mm_tpu.serve import batching as B
+
+    batcher = B.ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                  max_new_tokens=16,
+                                  gen_cfg=GenerationConfig(max_new_tokens=8,
+                                                           eos_token_id=-1),
+                                  chunk=2)
+
+    def boom(*a, **k):
+        raise RuntimeError("injected scheduler fault")
+
+    batcher._admit = boom
+    try:
+        ids, px = _inputs(9)
+        r = batcher.submit(ids, px, numtoks=4, max_new_tokens=8)
+        chunks = list(batcher.stream(r))        # must terminate, not hang
+        assert chunks == []
+        assert isinstance(batcher.error, RuntimeError)
+        r2 = batcher.submit(ids, px, numtoks=4, max_new_tokens=8)
+        assert list(batcher.stream(r2)) == []   # fail-fast after death
+    finally:
+        batcher.shutdown()
