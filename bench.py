@@ -19,7 +19,6 @@ def _median(xs):
 
 
 def _train_bench():
-    import dataclasses
     import jax
     import jax.numpy as jnp
 

@@ -19,7 +19,7 @@ from __future__ import annotations
 
 import dataclasses
 from functools import lru_cache, partial
-from typing import List, Optional, Sequence, Tuple
+from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -27,7 +27,7 @@ import numpy as np
 
 from .kvconfig import parse_kv_from_string, parse_list
 from .models.llama import KVCache, embed_tokens, init_kv_cache, llama_forward, lm_head
-from .models.llava import LlavaConfig, prepare_multimodal, project
+from .models.llava import LlavaConfig, prepare_multimodal
 
 
 @dataclasses.dataclass(frozen=True)

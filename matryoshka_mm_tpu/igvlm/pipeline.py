@@ -5,7 +5,6 @@ model_processor/llava2_model_processor.py:68-80).
 
 from __future__ import annotations
 
-import json
 import os
 from typing import Callable, Optional
 

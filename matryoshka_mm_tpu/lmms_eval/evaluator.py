@@ -8,8 +8,6 @@ metrics with bootstrap stderr.
 
 from __future__ import annotations
 
-import collections
-import json
 import random
 import time
 from typing import Any, Dict, List, Optional

@@ -22,7 +22,6 @@ import json
 import os
 from typing import Optional, Tuple
 
-import numpy as np
 
 from ..constants import DEFAULT_IM_END_TOKEN, DEFAULT_IM_START_TOKEN, DEFAULT_IMAGE_PATCH_TOKEN
 from ..image_processing import ClipImageProcessor

@@ -207,9 +207,7 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
                 del child
 
     if not inplace:
-        import copy
-
-        params = jax.tree.map(lambda x: x, params)
+                params = jax.tree.map(lambda x: x, params)
     rec(params)
     return params
 

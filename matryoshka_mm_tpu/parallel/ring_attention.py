@@ -27,9 +27,6 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..ops.attention import attention_reference
-
-
 def _block_attention(q, k, v, q_pos, kv_pos, kv_valid, causal):
     """Local block attention returning (out_unnormalized, row_max, row_sum).
 

@@ -33,7 +33,6 @@ from ..models.llama import (
     LlamaConfig,
     apply_rope,
     embed_tokens,
-    layer_norm_nobias,
     lm_head,
     rms_norm,
     rope_cos_sin,

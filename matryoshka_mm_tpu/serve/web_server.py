@@ -15,7 +15,6 @@ import argparse
 import base64
 import json
 import os
-import time
 from io import BytesIO
 
 import requests

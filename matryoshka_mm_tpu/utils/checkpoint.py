@@ -19,8 +19,6 @@ import json
 import os
 from typing import Optional, Tuple
 
-import jax
-import numpy as np
 
 
 def _cfg_to_json(cfg) -> dict:
