@@ -9,6 +9,10 @@ looks up the physical page to DMA — the PrefetchScalarGridSpec pattern.
 Grid: (B, n_pages_per_row); the page axis is innermost, so the per-row
 online-softmax state (f32 accumulator, running max/sum) lives in VMEM
 scratch across a row's pages, exactly like the flash kernel's kv axis.
+
+Scope: full causal attention over the row (no sliding-window clipping —
+Mistral's 4096 window only matters for rows longer than the window, far
+beyond typical paged-pool capacities; the dense path handles those).
 """
 
 from __future__ import annotations

@@ -104,6 +104,14 @@ class ContinuousBatcher:
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
+            if cfg.llama.arch not in ("llama", "mistral"):
+                # the paged decode body hand-writes the RoPE+SwiGLU layer
+                # (paged_cache._decode_core); MPT's alibi/no-bias layout
+                # runs through the dense backend
+                raise ValueError(
+                    f"paged KV backend supports llama/mistral decoders, "
+                    f"not arch={cfg.llama.arch!r}; use backend='dense'")
+
             self.page_size = page_size
             # prefill caches must cover a whole number of pages (import
             # carves n_p full pages out of the compacted cache)
