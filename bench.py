@@ -168,9 +168,12 @@ def main():
         del cache, c
     # --------------------------------------------------------------
     # 3) int8 weights: single-stream + batched decode (serving config)
-    # bf16 at B>=2 OOMs: XLA inserts ~3.6GB of transposed weight copies
-    # for narrow-batch matvecs, and 13.5GB of weights leaves no headroom.
-    # int8 (load_8bit) is the intended continuous-batching deployment.
+    # bf16 at B>=2 OOMs: the chunked scan-over-steps program hoists
+    # layout-converted copies of the stacked q/k/v weights (~1GB each)
+    # out of the steps loop (a single B=2 step compiles with 0 temps;
+    # XLA can't propagate the loop body's preferred layout to program
+    # inputs across the loop boundary), and 13.5GB of weights leaves no
+    # headroom. int8 (load_8bit) is the continuous-batching deployment.
     # --------------------------------------------------------------
     from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
 
