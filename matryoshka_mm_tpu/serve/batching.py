@@ -49,6 +49,7 @@ class _Request:
     pixel_values: Optional[np.ndarray]
     numtoks: Optional[int]
     max_new_tokens: int
+    lora_id: Optional[str] = None
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
     emitted: int = 0
     slot: int = -1
@@ -90,7 +91,7 @@ class ContinuousBatcher:
                  gen_cfg: Optional[GenerationConfig] = None,
                  chunk: int = 8, backend: str = "dense",
                  page_size: int = 64, use_kernel: Optional[bool] = None,
-                 prefix_cache: bool = False):
+                 prefix_cache: bool = False, adapters: Optional[dict] = None):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -156,6 +157,21 @@ class ContinuousBatcher:
         self.active = jnp.zeros((max_batch,), bool)
         self.budget = jnp.zeros((max_batch,), jnp.int32)
 
+        # multi-LoRA serving (serve/multi_lora.py): per-row adapter index
+        self.lora_pack = None
+        self.lora_names = {None: 0}
+        self.lora_idx = None
+        self._adapter_trees = adapters or {}
+        self._wrapped_cache = {}
+        if adapters:
+            if backend != "paged":
+                raise ValueError("multi-LoRA serving requires the paged "
+                                 "backend")
+            from .multi_lora import pack_adapters
+
+            self.lora_pack, self.lora_names = pack_adapters(adapters)
+            self.lora_idx = jnp.zeros((max_batch,), jnp.int32)
+
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self.slots: List[Optional[_Request]] = [None] * max_batch
         self.error: Optional[BaseException] = None
@@ -168,13 +184,17 @@ class ContinuousBatcher:
     # ---- client API ----
     def submit(self, input_ids: np.ndarray, pixel_values=None,
                numtoks: Optional[int] = None,
-               max_new_tokens: int = 128) -> _Request:
+               max_new_tokens: int = 128,
+               lora_id: Optional[str] = None) -> _Request:
+        if lora_id is not None and lora_id not in self.lora_names:
+            raise KeyError(f"unknown LoRA adapter {lora_id!r}; loaded: "
+                           f"{sorted(k for k in self.lora_names if k)}")
         with self._lock:
             self._rid += 1
             req = _Request(self._rid, np.asarray(input_ids, np.int32),
                            None if pixel_values is None
                            else np.asarray(pixel_values, np.float32),
-                           numtoks, max_new_tokens)
+                           numtoks, max_new_tokens, lora_id)
         if self.error is not None:       # scheduler already dead
             req.out_queue.put(None)
             return req
@@ -216,6 +236,16 @@ class ContinuousBatcher:
         self._thread.join(timeout=5)
 
     # ---- scheduler ----
+    def _params_for(self, req: _Request):
+        if req.lora_id is None:
+            return self.params
+        if req.lora_id not in self._wrapped_cache:
+            from ..ops.lora import load_lora
+
+            self._wrapped_cache[req.lora_id] = load_lora(
+                self.params, self._adapter_trees[req.lora_id])
+        return self._wrapped_cache[req.lora_id]
+
     def _key_seq(self, req: _Request):
         """Spliced token-key sequence for prefix caching, or None when the
         request shape isn't cacheable (multi-image / anyres)."""
@@ -247,7 +277,8 @@ class ContinuousBatcher:
         T = len(key_seq)
         if T + 1 > self.capacity:
             return None
-        hashes = chain_hashes(key_seq, self.page_size)
+        hashes = chain_hashes(key_seq, self.page_size,
+                              salt=req.lora_id or "")
         max_h = min(len(hashes), (T - 1) // self.page_size)
         hits = self.index.lookup(hashes[:max_h])
         H = len(hits)
@@ -280,7 +311,8 @@ class ContinuousBatcher:
             np.pad(suffix, (0, s_suf - t_suf)).astype(np.int32))[None]
         valid = jnp.asarray(np.arange(s_suf) < t_suf)[None]
         fn = _suffix_prefill_fn(self.cfg, n_prefix, s_suf, self.capacity)
-        logits, dense, lengths = fn(self.params, k_sel, v_sel, ids_p, valid)
+        logits, dense, lengths = fn(self._params_for(req), k_sel, v_sel,
+                                    ids_p, valid)
 
         n_total = int(self.alloc.n_alloc[slot])
         n_new = n_total - H
@@ -302,6 +334,9 @@ class ContinuousBatcher:
         self.lengths = self.lengths.at[slot].set(lengths[0])
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
+        if self.lora_idx is not None:
+            self.lora_idx = self.lora_idx.at[slot].set(
+                self.lora_names.get(req.lora_id, 0))
         req.slot = slot
         self.slots[slot] = req
         req.out_queue.put(np.asarray(first))
@@ -317,7 +352,7 @@ class ContinuousBatcher:
         if req.pixel_values is not None:
             prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
             logits, cache, lengths, _ = prefill(
-                self.params, jnp.asarray(req.input_ids),
+                self._params_for(req), jnp.asarray(req.input_ids),
                 jnp.asarray(req.pixel_values))
         else:
             from ..generate import _prefill_text_fn
@@ -327,7 +362,8 @@ class ContinuousBatcher:
             ids_p = jnp.pad(jnp.asarray(req.input_ids), ((0, 0), (pad, 0)))
             mask = jnp.pad(jnp.ones((1, T), bool), ((0, 0), (pad, 0)))
             logits, cache, lengths = _prefill_text_fn(
-                self.cfg, self.L, self.capacity)(self.params, ids_p, mask)
+                self.cfg, self.L, self.capacity)(self._params_for(req),
+                                                 ids_p, mask)
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
 
@@ -340,6 +376,9 @@ class ContinuousBatcher:
         self.lengths = self.lengths.at[slot].set(lengths[0])
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
+        if self.lora_idx is not None:
+            self.lora_idx = self.lora_idx.at[slot].set(
+                self.lora_names.get(req.lora_id, 0))
         req.slot = slot
         self.slots[slot] = req
         req.out_queue.put(np.asarray(first))
@@ -388,7 +427,8 @@ class ContinuousBatcher:
             if key_seq is not None and len(key_seq) == T:
                 reg_n = T // self.page_size
                 if reg_n > 0:
-                    hashes = chain_hashes(key_seq, self.page_size)
+                    hashes = chain_hashes(key_seq, self.page_size,
+                                          salt=req.lora_id or "")
                     pages = self.alloc.tables[slot][:reg_n].tolist()
                     self.index.register(hashes[:reg_n], pages)
                     self.alloc.pin(pages)
@@ -478,7 +518,8 @@ class ContinuousBatcher:
                 (self.paged, self.tokens, self.lengths, self.budget,
                  self.active, toks) = decode(
                      self.params, self.paged.k, self.paged.v, self.tables,
-                     self.lengths, self.tokens, self.budget, self.active, sub)
+                     self.lengths, self.tokens, self.budget, self.active, sub,
+                     self.lora_pack, self.lora_idx)
             else:
                 # NOTE: write_idx advances pool-wide each chunk; capacity
                 # bounds total decoded tokens across the pool's lifetime

@@ -53,7 +53,7 @@ class ModelWorker:
                  use_flash_attn=True, limit_model_concurrency=5,
                  continuous_batching=False, max_batch=4, kv_backend="dense",
                  prefix_cache=False, warmup=False, pool_prefill_len=None,
-                 pool_max_new=1024):
+                 pool_max_new=1024, lora_adapters=None):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -90,11 +90,21 @@ class ModelWorker:
                 pool_prefill_len = (
                     min(self.model.cfg.tokenizer_model_max_length, 1024)
                     + self.model.cfg.vision.num_patches)
+            adapters = None
+            if lora_adapters:
+                from ..utils.checkpoint import load_checkpoint
+
+                adapters = {}
+                for spec in lora_adapters.split(","):
+                    name, _, path = spec.partition("=")
+                    restored, _ = load_checkpoint(path)
+                    adapters[name] = restored["lora"]
+                logger.info(f"loaded LoRA adapters: {sorted(adapters)}")
             self.batcher = ContinuousBatcher(
                 self.model.params, self.model.cfg, max_batch=max_batch,
                 prefill_len=pool_prefill_len,
                 max_new_tokens=pool_max_new, backend=kv_backend,
-                prefix_cache=prefix_cache)
+                prefix_cache=prefix_cache, adapters=adapters)
             if warmup:
                 dt = self.batcher.warmup(with_image=self.is_multimodal)
                 logger.info(f"warmup compile took {dt:.1f}s")
@@ -224,12 +234,20 @@ class ModelWorker:
             else:
                 numtoks = int(kvs["numtoks"])
 
+        lora_id = params.get("lora")
+        if lora_id and not (self.batcher is not None
+                            and lora_id in self.batcher.lora_names):
+            raise ValueError(f"unknown LoRA adapter {lora_id!r}")
+        if lora_id and not use_batcher:
+            raise ValueError("LoRA requests require the continuous-batching "
+                             "greedy v0 path")
         if use_batcher:
             req = self.batcher.submit(
                 input_ids,
                 None if pixel_values is None
                 else np.asarray(pixel_values, np.float32),
-                numtoks=numtoks, max_new_tokens=max_new_tokens)
+                numtoks=numtoks, max_new_tokens=max_new_tokens,
+                lora_id=lora_id)
             acc = []
             for chunk_toks in self.batcher.stream(req):
                 acc.extend(int(t) for t in np.ravel(chunk_toks)
@@ -351,6 +369,10 @@ def main():
     parser.add_argument("--use-flash-attn", action="store_true")
     parser.add_argument("--continuous-batching", action="store_true")
     parser.add_argument("--max-batch", type=int, default=4)
+    parser.add_argument("--lora-adapters", type=str, default=None,
+                        help="comma-separated name=checkpoint_dir LoRA "
+                             "adapters served on the shared base "
+                             "(request param: lora=<name>)")
     parser.add_argument("--pool-prefill-len", type=int, default=None,
                         help="continuous-batching prompt region (tokens); "
                              "default ctx+num_patches")
@@ -378,7 +400,8 @@ def main():
                          kv_backend=args.kv_backend,
                          prefix_cache=args.prefix_cache, warmup=args.warmup,
                          pool_prefill_len=args.pool_prefill_len,
-                         pool_max_new=args.pool_max_new)
+                         pool_max_new=args.pool_max_new,
+                         lora_adapters=args.lora_adapters)
 
     from aiohttp import web
 

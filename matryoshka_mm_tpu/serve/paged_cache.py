@@ -113,12 +113,15 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
 
 def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                  tokens, active, *, max_pages: int, page_size: int,
-                 use_kernel: bool):
+                 use_kernel: bool, lora_pack=None, lora_idx=None):
     """One batched paged decode step (traced); -> (k_all, v_all, logits).
 
     Inactive rows neither read (0-length mask) nor write: their scatter
     index is pushed out of bounds and dropped, so a retired row whose page
-    table was recycled can never clobber a live row's pages."""
+    table was recycled can never clobber a live row's pages.
+
+    ``lora_pack``/``lora_idx`` enable multi-LoRA serving: each row applies
+    its own low-rank delta on every projection (serve/multi_lora.py)."""
     B = tokens.shape[0]
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
@@ -138,13 +141,30 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     kv_pos = (jnp.arange(S_virt)[None, :]).astype(jnp.int32)
     kv_valid = (kv_pos < (row_len + 1)[:, None]) & active[:, None]
 
+    if lora_pack is not None:
+        from .multi_lora import lora_delta, pack_layer_slices
+
+        lp_slices = pack_layer_slices(lora_pack)
+
+        def mm(x, w_leaf, la_xs, key):
+            return x @ _w(w_leaf) + lora_delta(
+                x, la_xs.a[key], la_xs.b[key], la_xs.s[key], lora_idx)
+    else:
+        lp_slices = None
+
+        def mm(x, w_leaf, la_xs, key):
+            return x @ _w(w_leaf)
+
     def body(h, xs):
-        lp, k_pool, v_pool = xs
+        lp, k_pool, v_pool, la_xs = xs
         a = lp["self_attn"]
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = (x @ _w(a["q_proj"])).reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-        k = (x @ _w(a["k_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = (x @ _w(a["v_proj"])).reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj")) \
+            .reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj")) \
+            .reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj")) \
+            .reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -172,16 +192,17 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 causal=True, q_positions=pos, kv_positions=kv_pos,
                 kv_valid=kv_valid)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
-        h = h + attn @ _w(a["o_proj"])
+        h = h + mm(attn, a["o_proj"], la_xs, ("self_attn", "o_proj"))
 
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         m = lp["mlp"]
-        gate = jax.nn.silu(x @ _w(m["gate_proj"]))
-        h = h + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
+        gate = jax.nn.silu(mm(x, m["gate_proj"], la_xs, ("mlp", "gate_proj")))
+        up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
+        h = h + mm(gate * up, m["down_proj"], la_xs, ("mlp", "down_proj"))
         return h, (k_pool, v_pool)
 
     hidden, (new_k, new_v) = jax.lax.scan(
-        body, hidden, (params["layers"], k_all, v_all))
+        body, hidden, (params["layers"], k_all, v_all, lp_slices))
     hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
     return new_k, new_v, logits
@@ -254,13 +275,14 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
 
     @jax.jit
     def decode(params, k_all, v_all, tables, row_len, tokens, budget,
-               active, rng):
+               active, rng, lora_pack=None, lora_idx=None):
         def step(carry, _):
             k_all, v_all, token, row_len, budget, active, rng = carry
             k_all, v_all, logits = _decode_core(
                 params["llama"], cfg.llama, k_all, v_all, tables, row_len,
                 token, active, max_pages=max_pages, page_size=page_size,
-                use_kernel=use_kernel)
+                use_kernel=use_kernel, lora_pack=lora_pack,
+                lora_idx=lora_idx)
             nxt, rng2 = _select_token(logits, gen_cfg, rng)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             row_len = row_len + active.astype(row_len.dtype)

@@ -67,9 +67,13 @@ def build_key_seq(input_ids: np.ndarray, numtoks: Optional[int],
     return key, p + numtoks
 
 
-def chain_hashes(key_seq: np.ndarray, page_size: int) -> List[bytes]:
-    """hash_i = H(hash_{i-1} || chunk_i) for each FULL page chunk."""
-    out, h = [], b""
+def chain_hashes(key_seq: np.ndarray, page_size: int,
+                 salt: str = "") -> List[bytes]:
+    """hash_i = H(hash_{i-1} || chunk_i) for each FULL page chunk.
+
+    ``salt`` roots the chain (e.g. a LoRA adapter name): pages produced
+    under different adapters hold different KV and must never match."""
+    out, h = [], salt.encode() if salt else b""
     n_full = len(key_seq) // page_size
     for i in range(n_full):
         chunk = key_seq[i * page_size:(i + 1) * page_size]
