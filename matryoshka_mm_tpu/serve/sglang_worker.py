@@ -45,6 +45,7 @@ def _params_from_sglang(body: dict) -> dict:
         "max_new_tokens": int(sp.get("max_new_tokens", 256)),
         "stop": sp.get("stop"),
         "matryoshka_vis_token_scale": body.get("matryoshka_vis_token_scale"),
+        "lora": body.get("lora") or (body.get("sampling_params") or {}).get("lora"),
     }
 
 
@@ -185,6 +186,8 @@ def main():
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--lora-adapters", type=str, default=None,
+                        help="name=ckpt,... adapters served on the base")
     parser.add_argument("--runtime-url", default=None,
                         help="external SGLang runtime base URL (proxy mode); "
                              "omit to serve locally through the paged batcher")
@@ -208,7 +211,8 @@ def main():
             uuid.uuid4().hex[:6], args.no_register, args.model_path, None,
             args.model_name, load_8bit=args.load_8bit,
             continuous_batching=True, max_batch=args.max_batch,
-            kv_backend="paged", prefix_cache=True)
+            kv_backend="paged", prefix_cache=True,
+            lora_adapters=args.lora_adapters)
         app = build_sglang_app(worker)
 
     web.run_app(app, host=args.host, port=args.port, print=None)
