@@ -10,6 +10,13 @@ Grid: (B, n_pages_per_row); the page axis is innermost, so the per-row
 online-softmax state (f32 accumulator, running max/sum) lives in VMEM
 scratch across a row's pages, exactly like the flash kernel's kv axis.
 
+GQA (Hkv < H, e.g. Mistral) is handled *inside* the kernel: queries are
+shaped (B, Hkv, G, Dh) and every dot batches over the kv head with the
+group folded into the left matrix — the page pools are never expanded, so
+KV HBM traffic stays 1x regardless of the group size (the reference pays
+the expansion via torch's repeat_kv; here it would multiply the pool
+read per step per layer).
+
 Scope: full causal attention over the row (no sliding-window clipping —
 Mistral's 4096 window only matters for rows longer than the window, far
 beyond typical paged-pool capacities; the dense path handles those).
@@ -50,41 +57,42 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]                           # (H, Dh)
-        k = k_ref[0]                           # (page, H, Dh) — kv expanded
+        q = q_ref[0]                           # (Hkv, G, Dh)
+        k = k_ref[0]                           # (page, Hkv, Dh) — unexpanded
         v = v_ref[0]
 
-        # s[h, t] = q[h] . k[t, h] — batched matvec over heads
+        # s[kh, g, t] = q[kh, g] . k[t, kh] — batched over kv heads, the
+        # query group rides as the left matrix rows (MXU-friendly)
         s = jax.lax.dot_general(
-            q[:, None, :], k.transpose(1, 0, 2),
+            q, k.transpose(1, 0, 2),
             (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :] * scale  # (H, page)
+            preferred_element_type=jnp.float32) * scale   # (Hkv, G, page)
 
-        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + p * page_size
+        idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         mask = idx < seq_len
         s = jnp.where(mask, s, NEG_INF)
 
-        m_prev = m_ref[:, 0:1]
-        l_prev = l_ref[:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_prev = m_ref[:, :, 0:1]
+        l_prev = l_ref[:, :, 0:1]
+        m_cur = jnp.max(s, axis=2, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
         alpha = jnp.exp(m_prev - m_new)
         pexp = jnp.exp(s - m_new)
         pexp = jnp.where(mask, pexp, 0.0)
-        l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+        l_new = l_prev * alpha + jnp.sum(pexp, axis=2, keepdims=True)
 
-        # out[h, d] += p[h, t] v[t, h, d]
+        # out[kh, g, d] += p[kh, g, t] v[t, kh, d]
         pv = jax.lax.dot_general(
-            pexp[:, None, :].astype(v.dtype), v.transpose(1, 0, 2),
+            pexp.astype(v.dtype), v.transpose(1, 0, 2),
             (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32)[:, 0, :]          # (H, Dh)
+            preferred_element_type=jnp.float32)           # (Hkv, G, Dh)
         acc_ref[:] = acc_ref[:] * alpha + pv
         m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
         l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
 
     @pl.when(p == num_pages - 1)
     def _finalize():
-        l = l_ref[:, 0:1]
+        l = l_ref[:, :, 0:1]
         safe = jnp.where(l == 0.0, 1.0, l)
         out_ref[0] = (acc_ref[:] / safe).astype(out_ref.dtype)
 
@@ -101,34 +109,34 @@ def paged_decode_attention(
     n_pages, page_size, Hkv, _ = k_pages.shape
     P = page_tables.shape[1]
     scale = Dh ** -0.5
-
-    if Hkv != H:  # GQA: expand for the kernel
-        k_pages = jnp.repeat(k_pages, H // Hkv, axis=2)
-        v_pages = jnp.repeat(v_pages, H // Hkv, axis=2)
+    G = H // Hkv
+    qg = q.reshape(B, Hkv, G, Dh)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, P),
         in_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b, p, tbl, rl: (b, 0, 0)),
-            pl.BlockSpec((1, page_size, H, Dh),
+            pl.BlockSpec((1, Hkv, G, Dh), lambda b, p, tbl, rl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, page_size, Hkv, Dh),
                          lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
-            pl.BlockSpec((1, page_size, H, Dh),
+            pl.BlockSpec((1, page_size, Hkv, Dh),
                          lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, H, Dh), lambda b, p, tbl, rl: (b, 0, 0)),
+        out_specs=pl.BlockSpec((1, Hkv, G, Dh),
+                               lambda b, p, tbl, rl: (b, 0, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((H, Dh), jnp.float32),
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G, Dh), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size, num_pages=P,
                                scale=scale)
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), q.dtype),
         interpret=_interpret(),
     )(page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
-      q, k_pages, v_pages)
+      qg, k_pages, v_pages)
+    return out.reshape(B, H, Dh)

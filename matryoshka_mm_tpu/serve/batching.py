@@ -42,6 +42,21 @@ from ..models.llama import KVCache, embed_tokens, init_kv_cache, llama_forward, 
 from ..models.llava import LlavaConfig
 
 
+class BatchError(RuntimeError):
+    """Raised out of ``stream()`` when the pool had to abort the request
+    (e.g. capacity exhaustion that re-admission could not absorb)."""
+
+    def __init__(self, message: str, code: int = 2):
+        super().__init__(message)
+        self.code = code
+
+
+@dataclass
+class _StreamError:
+    message: str
+    code: int = 2
+
+
 @dataclass
 class _Request:
     rid: int
@@ -53,6 +68,9 @@ class _Request:
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
     emitted: int = 0
     slot: int = -1
+    # tokens streamed so far; lets a pool reset re-admit the request with
+    # prompt+generated instead of silently truncating the stream
+    generated: List[int] = field(default_factory=list)
 
 
 @lru_cache(maxsize=8)
@@ -182,6 +200,23 @@ class ContinuousBatcher:
         self._thread.start()
 
     # ---- client API ----
+    def spliced_len(self, input_ids: np.ndarray,
+                    numtoks: Optional[int]) -> int:
+        """Prompt length after image-token splice — what prefill must fit."""
+        from ..constants import IMAGE_TOKEN_INDEX
+
+        ids = np.asarray(input_ids).reshape(-1)
+        n_img = int((ids == IMAGE_TOKEN_INDEX).sum())
+        if n_img == 0:
+            return ids.shape[0]
+        n = numtoks if numtoks is not None else self.cfg.vision.num_patches
+        return ids.shape[0] + n_img * (n - 1)
+
+    def fits(self, input_ids: np.ndarray, numtoks: Optional[int]) -> bool:
+        """True when the prompt fits the pool's prefill region; callers
+        should route oversized prompts to the solo generate path."""
+        return self.spliced_len(input_ids, numtoks) <= self.L
+
     def submit(self, input_ids: np.ndarray, pixel_values=None,
                numtoks: Optional[int] = None,
                max_new_tokens: int = 128,
@@ -189,24 +224,39 @@ class ContinuousBatcher:
         if lora_id is not None and lora_id not in self.lora_names:
             raise KeyError(f"unknown LoRA adapter {lora_id!r}; loaded: "
                            f"{sorted(k for k in self.lora_names if k)}")
+        if not self.fits(input_ids, numtoks):
+            # a negative left-pad would crash the scheduler thread and take
+            # the whole pool down with it; reject just this request instead
+            raise ValueError(
+                f"prompt ({self.spliced_len(input_ids, numtoks)} spliced "
+                f"tokens) exceeds the pool prefill region ({self.L}); use "
+                f"the solo generate path or raise --pool-prefill-len")
+        req = _Request(0, np.asarray(input_ids, np.int32),
+                       None if pixel_values is None
+                       else np.asarray(pixel_values, np.float32),
+                       numtoks, max_new_tokens, lora_id)
+        # the lock spans the error check and the enqueue so the crash
+        # handler (which drains pending under the same lock) can never
+        # miss a request submitted concurrently with scheduler death
         with self._lock:
             self._rid += 1
-            req = _Request(self._rid, np.asarray(input_ids, np.int32),
-                           None if pixel_values is None
-                           else np.asarray(pixel_values, np.float32),
-                           numtoks, max_new_tokens, lora_id)
-        if self.error is not None:       # scheduler already dead
-            req.out_queue.put(None)
-            return req
-        self.pending.put(req)
+            req.rid = self._rid
+            if self.error is not None:   # scheduler already dead
+                req.out_queue.put(None)
+                return req
+            self.pending.put(req)
         return req
 
     def stream(self, req: _Request):
-        """Yield np arrays of new token ids until the request finishes."""
+        """Yield np arrays of new token ids until the request finishes.
+
+        Raises :class:`BatchError` when the pool aborted the request."""
         while True:
             item = req.out_queue.get()
             if item is None:
                 return
+            if isinstance(item, _StreamError):
+                raise BatchError(item.message, item.code)
             yield item
 
     def warmup(self, with_image: bool = True,
@@ -285,6 +335,23 @@ class ContinuousBatcher:
         if H == 0 or H * self.page_size < text_resume:
             self.stats["prefix_misses"] += 1
             return None
+
+        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+                                       shared=hits):
+            # flushing the cached set may free exactly the pages `hits`
+            # points at (their index entries are dropped with them), so the
+            # lookup must be redone — retrying with the stale list would
+            # re-ref pages that just went back on the free list and hand
+            # the same physical page out twice
+            self.index.drop_pages(self.alloc.flush_cached())
+            hits = self.index.lookup(hashes[:max_h])
+            H = len(hits)
+            if H == 0 or H * self.page_size < text_resume:
+                self.stats["prefix_misses"] += 1
+                return None
+            if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+                                           shared=hits):
+                return None                       # pool pressure: full path
         n_prefix = H * self.page_size
         # suffix is pure text: map spliced positions back to input ids
         ids = np.asarray(req.input_ids).reshape(-1)
@@ -296,12 +363,6 @@ class ContinuousBatcher:
         t_suf = len(suffix)
         s_suf = _round_up(max(t_suf, 1), 64)
 
-        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
-                                       shared=hits):
-            self.index.drop_pages(self.alloc.flush_cached())
-            if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
-                                           shared=hits):
-                return None                       # pool pressure: full path
         n_layers = self.paged.k.shape[0]
         n_kv, dh = self.paged.k.shape[3], self.paged.k.shape[4]
         sel = jnp.asarray(np.asarray(hits, np.int32))
@@ -330,8 +391,25 @@ class ContinuousBatcher:
         self.stats["prefix_pages_reused"] += H
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
+        self._finish_admit(req, slot, first, lengths[0])
+        return True
+
+    def _finish_admit(self, req: _Request, slot: int, first, length):
+        """Emit the prefill token and either activate the row or finish the
+        request immediately (first token is EOS, or the budget was 1 —
+        activating such a row would over-emit past the budget)."""
+        first_tok = int(np.asarray(first)[0])
+        req.out_queue.put(np.asarray(first))
+        req.emitted += 1
+        req.generated.append(first_tok)
+        if first_tok == self.gen_cfg.eos_token_id or req.max_new_tokens <= 1:
+            req.out_queue.put(None)
+            if self.backend == "paged":
+                self.alloc.free_row(slot)
+                self.tables = jnp.asarray(self.alloc.tables)
+            return
         self.tokens = self.tokens.at[slot].set(first[0])
-        self.lengths = self.lengths.at[slot].set(lengths[0])
+        self.lengths = self.lengths.at[slot].set(length)
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
         if self.lora_idx is not None:
@@ -339,9 +417,6 @@ class ContinuousBatcher:
                 self.lora_names.get(req.lora_id, 0))
         req.slot = slot
         self.slots[slot] = req
-        req.out_queue.put(np.asarray(first))
-        req.emitted = 1
-        return True
 
     def _admit(self, req: _Request, slot: int) -> bool:
         if self.backend == "paged" and self.index is not None:
@@ -372,17 +447,7 @@ class ContinuousBatcher:
                 return False
         else:
             self._insert_dense(slot, cache)
-        self.tokens = self.tokens.at[slot].set(first[0])
-        self.lengths = self.lengths.at[slot].set(lengths[0])
-        self.active = self.active.at[slot].set(True)
-        self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
-        if self.lora_idx is not None:
-            self.lora_idx = self.lora_idx.at[slot].set(
-                self.lora_names.get(req.lora_id, 0))
-        req.slot = slot
-        self.slots[slot] = req
-        req.out_queue.put(np.asarray(first))
-        req.emitted = 1
+        self._finish_admit(req, slot, first, lengths[0])
         return True
 
     def _insert_dense(self, slot: int, cache: KVCache):
@@ -465,19 +530,22 @@ class ContinuousBatcher:
             import traceback
 
             traceback.print_exc()
-            self.error = e
-            inflight = getattr(self, "_admitting", None)
-            if inflight is not None:
-                inflight.out_queue.put(None)
-            for slot, req in enumerate(self.slots):
-                if req is not None:
-                    req.out_queue.put(None)
-                    self.slots[slot] = None
-            while True:
-                try:
-                    self.pending.get_nowait().out_queue.put(None)
-                except queue.Empty:
-                    break
+            # the lock pairs with submit(): once error is set under the
+            # lock, no new request can slip into pending after the drain
+            with self._lock:
+                self.error = e
+                inflight = getattr(self, "_admitting", None)
+                if inflight is not None:
+                    inflight.out_queue.put(None)
+                for slot, req in enumerate(self.slots):
+                    if req is not None:
+                        req.out_queue.put(None)
+                        self.slots[slot] = None
+                while True:
+                    try:
+                        self.pending.get_nowait().out_queue.put(None)
+                    except queue.Empty:
+                        break
 
     def _loop_inner(self):
         if self.backend == "paged":
@@ -541,6 +609,7 @@ class ContinuousBatcher:
                 if row.size:
                     req.out_queue.put(row)
                     req.emitted += row.size
+                    req.generated.extend(int(t) for t in row)
                 if not active_np[slot]:
                     req.out_queue.put(None)
                     self.slots[slot] = None
@@ -548,10 +617,32 @@ class ContinuousBatcher:
                         self.alloc.free_row(slot)
 
     def _retire_all(self, reason: str):
+        """Dense pool write region exhausted: reset it and re-admit every
+        in-flight request with prompt+generated-so-far, so clients see an
+        uninterrupted stream instead of a silent truncation that looks
+        like a normal finish.  Requests that can no longer fit get an
+        explicit error chunk (never a clean end-of-stream)."""
         for slot, req in enumerate(self.slots):
-            if req is not None:
+            if req is None:
+                continue
+            self.slots[slot] = None
+            remaining = req.max_new_tokens - len(req.generated)
+            if remaining <= 0:
                 req.out_queue.put(None)
-                self.slots[slot] = None
+                continue
+            ids = np.concatenate(
+                [np.asarray(req.input_ids).reshape(-1).astype(np.int32),
+                 np.asarray(req.generated, np.int32)])[None]
+            if not self.fits(ids, req.numtoks):
+                req.out_queue.put(_StreamError(
+                    f"request aborted: {reason} and the continuation "
+                    f"prompt no longer fits the pool prefill region"))
+                req.out_queue.put(None)
+                continue
+            cont = _Request(req.rid, ids, req.pixel_values, req.numtoks,
+                            remaining, req.lora_id, out_queue=req.out_queue,
+                            emitted=req.emitted)
+            self.pending.put(cont)
         self.active = jnp.zeros_like(self.active)
         # reset the pool for a fresh write region
         self.pool = init_kv_cache(self.cfg.llama, self.max_batch,

@@ -233,6 +233,10 @@ class ModelWorker:
                 use_batcher = False
             else:
                 numtoks = int(kvs["numtoks"])
+        if use_batcher and not self.batcher.fits(input_ids, numtoks):
+            use_batcher = False     # prompt exceeds the pool prefill region;
+            # the solo stream sizes its own prefill, so route there instead
+            # of letting a negative left-pad crash the shared scheduler
 
         lora_id = params.get("lora")
         if lora_id and not (self.batcher is not None
@@ -242,6 +246,8 @@ class ModelWorker:
             raise ValueError("LoRA requests require the continuous-batching "
                              "greedy v0 path")
         if use_batcher:
+            from .batching import BatchError
+
             req = self.batcher.submit(
                 input_ids,
                 None if pixel_values is None
@@ -249,16 +255,22 @@ class ModelWorker:
                 numtoks=numtoks, max_new_tokens=max_new_tokens,
                 lora_id=lora_id)
             acc = []
-            for chunk_toks in self.batcher.stream(req):
-                acc.extend(int(t) for t in np.ravel(chunk_toks)
-                           if t not in (gen_cfg.pad_token_id,
-                                        gen_cfg.eos_token_id))
-                generated_text = ori_prompt + tokenizer.decode(
-                    acc, skip_special_tokens=True)
-                if stop_str and generated_text.endswith(stop_str):
-                    generated_text = generated_text[: -len(stop_str)]
-                yield json.dumps({"text": generated_text,
-                                  "error_code": 0}).encode() + b"\0"
+            try:
+                for chunk_toks in self.batcher.stream(req):
+                    acc.extend(int(t) for t in np.ravel(chunk_toks)
+                               if t not in (gen_cfg.pad_token_id,
+                                            gen_cfg.eos_token_id))
+                    generated_text = ori_prompt + tokenizer.decode(
+                        acc, skip_special_tokens=True)
+                    if stop_str and generated_text.endswith(stop_str):
+                        generated_text = generated_text[: -len(stop_str)]
+                    yield json.dumps({"text": generated_text,
+                                      "error_code": 0}).encode() + b"\0"
+            except BatchError as e:
+                # aborted mid-stream (pool pressure): tell the client
+                # explicitly rather than ending like a completed response
+                yield json.dumps({"text": server_error_msg,
+                                  "error_code": e.code}).encode() + b"\0"
             return
 
         for ids in stream_generate(

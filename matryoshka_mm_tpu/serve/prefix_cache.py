@@ -138,6 +138,12 @@ class RefcountAllocator(PageAllocator):
         self.tables[row, :] = 0
         for i, p in enumerate(shared):
             self.tables[row, i] = p
+            if self.ref[p] == 0 and p in self.free:
+                # belt-and-braces: a page can only be both shared and free
+                # if the caller's hit list went stale (e.g. across a
+                # flush_cached); re-reffing it must take it off the free
+                # list or it would be handed out twice
+                self.free.remove(p)
             self.ref[p] += 1
             self.cached.discard(p)    # active again
         for i in range(len(shared), need):

@@ -217,3 +217,106 @@ def test_batcher_scheduler_crash_fails_streams(params, cfg, monkeypatch):
         assert list(batcher.stream(r2)) == []   # fail-fast after death
     finally:
         batcher.shutdown()
+
+
+def test_submit_rejects_overlong_prompt(params, cfg):
+    """A prompt longer than the pool prefill region must fail just that
+    request (ValueError in submit) instead of crashing the scheduler
+    thread with a negative left-pad (ADVICE r1)."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=16,
+                                gen_cfg=GenerationConfig(max_new_tokens=8,
+                                                         eos_token_id=-1))
+    try:
+        long_ids = np.arange(5, 5 + batcher.L + 10, dtype=np.int32)[None]
+        with pytest.raises(ValueError, match="exceeds the pool prefill"):
+            batcher.submit(long_ids, None, max_new_tokens=8)
+        # spliced image prompt that exceeds L is also rejected: the image
+        # token expands to `numtoks` features, so account for the splice
+        ids = np.full((1, 4), 7, np.int32)
+        ids[0, 1] = IMAGE_TOKEN_INDEX
+        px = np.zeros((1, 3, 56, 56), np.float32)
+        assert batcher.spliced_len(ids, batcher.L) == 3 + batcher.L
+        with pytest.raises(ValueError, match="exceeds the pool prefill"):
+            batcher.submit(ids, px, numtoks=batcher.L, max_new_tokens=8)
+        # a fitting request still works after the rejections
+        ids2, px2 = _inputs(11)
+        r = batcher.submit(ids2, px2, numtoks=4, max_new_tokens=4)
+        out = np.concatenate(list(batcher.stream(r)))
+        assert out.size == 4
+        assert batcher.error is None
+    finally:
+        batcher.shutdown()
+
+
+def test_dense_pool_reset_continues_streams(params, cfg):
+    """When the dense pool's write region is exhausted mid-request, the
+    request must be re-admitted (prompt + generated so far) and the client
+    stream must continue seamlessly — full greedy output matches solo
+    generation (ADVICE r1: no silent truncation)."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=40, decode_chunk=2,
+                               eos_token_id=-1)
+    # pool decode region of 12 tokens forces >=2 resets for a 40-token req
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=12, gen_cfg=gen_cfg, chunk=2)
+    try:
+        ids, px = _inputs(6)
+        r = batcher.submit(ids, px, numtoks=4, max_new_tokens=40)
+        toks = np.concatenate(list(batcher.stream(r)))
+        want = generate(params, cfg, ids, px,
+                        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                        gen_cfg=gen_cfg)[0]
+        assert toks.size == 40
+        np.testing.assert_array_equal(toks[: len(want)], want)
+    finally:
+        batcher.shutdown()
+
+
+def test_refcount_allocator_stale_shared_page():
+    """allocate_row with a stale shared page that sits on the free list
+    must take it off the free list (never hand it out twice)."""
+    from matryoshka_mm_tpu.serve.prefix_cache import RefcountAllocator
+
+    a = RefcountAllocator(n_pages=8, page_size=4, max_rows=2,
+                          max_pages_per_row=4)
+    assert a.allocate_row(0, 8)           # 2 pages
+    shared = [int(a.tables[0, 0])]
+    a.pin(shared)
+    a.free_row(0)                          # pinned page -> cached
+    flushed = a.flush_cached()             # cached -> free (stale-hit setup)
+    assert shared[0] in flushed and shared[0] in a.free
+    # re-use the stale page as shared: must leave exactly one owner
+    assert a.allocate_row(1, 8, shared=shared)
+    assert shared[0] not in a.free
+    assert a.ref[shared[0]] == 1
+    # and allocating the rest of the pool never returns that page again
+    assert a.allocate_row(0, 8)
+    assert int(a.tables[0, 0]) != shared[0]
+    assert int(a.tables[0, 1]) != shared[0]
+
+
+def test_batcher_finishes_on_budget_one(params, cfg):
+    """max_new_tokens=1 must emit exactly one token (no over-emission past
+    the budget through an activated row)."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=16,
+                                gen_cfg=GenerationConfig(max_new_tokens=8,
+                                                         eos_token_id=-1))
+    try:
+        ids, px = _inputs(12)
+        r = batcher.submit(ids, px, numtoks=4, max_new_tokens=1)
+        toks = np.concatenate(list(batcher.stream(r)))
+        assert toks.size == 1
+        want = generate(params, cfg, ids, px,
+                        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                        gen_cfg=GenerationConfig(max_new_tokens=1,
+                                                 eos_token_id=-1))[0]
+        np.testing.assert_array_equal(toks, want[:1])
+    finally:
+        batcher.shutdown()
