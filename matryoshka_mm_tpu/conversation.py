@@ -1,9 +1,17 @@
 """Conversation prompt templates.
 
 Registry of the prompt formats used by the Vicuna / LLaMA-2 / MPT / plain
-model families.  The rendered prompt strings must match the reference
+model families.  The *rendered prompt strings* must match the reference
 byte-for-byte so tokenized inputs (and therefore cached activations and
-benchmark answers) agree (reference: llava/conversation.py:9-399).
+benchmark answers) agree (reference behavior: llava/conversation.py:9-399).
+The template **data** below (system prompts, role names, separators) is that
+compatibility contract; the rendering machinery is this framework's own:
+each separator style is a small pure renderer registered in
+``_RENDERERS``, and a ``Conversation`` is just history + a style tag.
+
+The reference's gradio-specific helpers (``to_gradio_chatbot``) are not
+reproduced — this repo's web UI (serve/web_server.py) renders its own chat
+transcript from the message list.
 """
 
 from __future__ import annotations
@@ -12,7 +20,7 @@ import base64
 import dataclasses
 from enum import Enum, auto
 from io import BytesIO
-from typing import Any, List, Tuple
+from typing import Any, Callable, Dict, List, Tuple
 
 
 class SeparatorStyle(Enum):
@@ -23,9 +31,79 @@ class SeparatorStyle(Enum):
     LLAMA_2 = auto()
 
 
+def _text_of(message: Any) -> str:
+    """A message is either a string or an (text, image, mode) tuple."""
+    return message[0] if isinstance(message, tuple) else message
+
+
+# ---------------------------------------------------------------------------
+# per-style renderers: (conv, [(role, message), ...]) -> prompt string
+# ---------------------------------------------------------------------------
+
+def _render_single(conv: "Conversation", msgs) -> str:
+    parts = [conv.system, conv.sep]
+    for role, m in msgs:
+        parts.append(f"{role}: {_text_of(m)}{conv.sep}" if m else f"{role}:")
+    return "".join(parts)
+
+
+def _render_two(conv: "Conversation", msgs) -> str:
+    seps = (conv.sep, conv.sep2)
+    parts = [conv.system, seps[0]]
+    for i, (role, m) in enumerate(msgs):
+        parts.append(f"{role}: {_text_of(m)}{seps[i % 2]}" if m
+                     else f"{role}:")
+    return "".join(parts)
+
+
+def _render_mpt(conv: "Conversation", msgs) -> str:
+    parts = [conv.system, conv.sep]
+    for role, m in msgs:
+        parts.append(f"{role}{_text_of(m)}{conv.sep}" if m else role)
+    return "".join(parts)
+
+
+def _render_llama2(conv: "Conversation", msgs) -> str:
+    if msgs:
+        role0, m0 = msgs[0]
+        assert m0, "first message should not be none"
+        assert role0 == conv.roles[0], "first message should come from user"
+    parts: List[str] = []
+    for i, (_role, m) in enumerate(msgs):
+        if not m:
+            continue
+        text = _text_of(m)
+        if i == 0 and conv.system:
+            text = f"<<SYS>>\n{conv.system}\n<</SYS>>\n\n{text}"
+        if i % 2 == 0:                     # user turn
+            parts.append(f"{conv.sep}[INST] {text} [/INST]")
+        else:                              # assistant turn
+            parts.append(f" {text} {conv.sep2}")
+    # the leading BOS separator is supplied by the tokenizer, not the prompt
+    return "".join(parts).lstrip(conv.sep)
+
+
+def _render_plain(conv: "Conversation", msgs) -> str:
+    seps = (conv.sep, conv.sep2)
+    parts = [conv.system]
+    for i, (_role, m) in enumerate(msgs):
+        if m:
+            parts.append(f"{_text_of(m)}{seps[i % 2]}")
+    return "".join(parts)
+
+
+_RENDERERS: Dict[SeparatorStyle, Callable] = {
+    SeparatorStyle.SINGLE: _render_single,
+    SeparatorStyle.TWO: _render_two,
+    SeparatorStyle.MPT: _render_mpt,
+    SeparatorStyle.LLAMA_2: _render_llama2,
+    SeparatorStyle.PLAIN: _render_plain,
+}
+
+
 @dataclasses.dataclass
 class Conversation:
-    """Holds the full chat history and renders it into a model prompt."""
+    """Chat history plus a prompt style; renders into a model prompt."""
 
     system: str
     roles: Tuple[str, ...]
@@ -36,195 +114,86 @@ class Conversation:
     sep2: str = None
     version: str = "Unknown"
 
-    skip_next: bool = False
+    # -- rendering -----------------------------------------------------
+    def _normalized_messages(self):
+        """Resolve the image carried by the first user turn into prompt
+        text: either an ``<image>\\n`` prefix or the mmtag exchange."""
+        msgs = self.messages
+        if not msgs or not isinstance(msgs[0][1], tuple):
+            return msgs
+        role0 = msgs[0][0]
+        text0 = _text_of(msgs[0][1]).replace("<image>", "").strip()
+        if "mmtag" in self.version:
+            head = [(self.roles[0], "<Image><image></Image>"),
+                    (self.roles[1], "Received."),
+                    (role0, text0)]
+        else:
+            head = [(role0, f"<image>\n{text0}")]
+        return head + [tuple(m) for m in msgs[1:]]
 
     def get_prompt(self) -> str:
-        messages = self.messages
-        if len(messages) > 0 and type(messages[0][1]) is tuple:
-            messages = self.messages.copy()
-            init_role, init_msg = messages[0].copy()
-            init_msg = init_msg[0].replace("<image>", "").strip()
-            if "mmtag" in self.version:
-                messages[0] = (init_role, init_msg)
-                messages.insert(0, (self.roles[0], "<Image><image></Image>"))
-                messages.insert(1, (self.roles[1], "Received."))
-            else:
-                messages[0] = (init_role, "<image>\n" + init_msg)
-
-        if self.sep_style == SeparatorStyle.SINGLE:
-            ret = self.system + self.sep
-            for role, message in messages:
-                if message:
-                    if type(message) is tuple:
-                        message = message[0]
-                    ret += role + ": " + message + self.sep
-                else:
-                    ret += role + ":"
-        elif self.sep_style == SeparatorStyle.TWO:
-            seps = [self.sep, self.sep2]
-            ret = self.system + seps[0]
-            for i, (role, message) in enumerate(messages):
-                if message:
-                    if type(message) is tuple:
-                        message = message[0]
-                    ret += role + ": " + message + seps[i % 2]
-                else:
-                    ret += role + ":"
-        elif self.sep_style == SeparatorStyle.MPT:
-            ret = self.system + self.sep
-            for role, message in messages:
-                if message:
-                    if type(message) is tuple:
-                        message = message[0]
-                    ret += role + message + self.sep
-                else:
-                    ret += role
-        elif self.sep_style == SeparatorStyle.LLAMA_2:
-            def wrap_sys(msg):
-                return f"<<SYS>>\n{msg}\n<</SYS>>\n\n" if len(msg) > 0 else msg
-
-            def wrap_inst(msg):
-                return f"[INST] {msg} [/INST]"
-
-            ret = ""
-            for i, (role, message) in enumerate(messages):
-                if i == 0:
-                    assert message, "first message should not be none"
-                    assert role == self.roles[0], "first message should come from user"
-                if message:
-                    if type(message) is tuple:
-                        message = message[0]
-                    if i == 0:
-                        message = wrap_sys(self.system) + message
-                    if i % 2 == 0:
-                        message = wrap_inst(message)
-                        ret += self.sep + message
-                    else:
-                        ret += " " + message + " " + self.sep2
-                else:
-                    ret += ""
-            ret = ret.lstrip(self.sep)
-        elif self.sep_style == SeparatorStyle.PLAIN:
-            seps = [self.sep, self.sep2]
-            ret = self.system
-            for i, (role, message) in enumerate(messages):
-                if message:
-                    if type(message) is tuple:
-                        message = message[0]
-                    ret += message + seps[i % 2]
-                else:
-                    ret += ""
-        else:
-            raise ValueError(f"Invalid style: {self.sep_style}")
-
-        return ret
+        try:
+            render = _RENDERERS[self.sep_style]
+        except KeyError:
+            raise ValueError(f"Invalid style: {self.sep_style}") from None
+        return render(self, self._normalized_messages())
 
     def append_message(self, role, message):
         self.messages.append([role, message])
 
+    # -- image handling ------------------------------------------------
     def process_image(self, image, image_process_mode, return_pil=False,
                       image_format="PNG", max_len=1344, min_len=672):
-        from PIL import Image
+        """Apply the UI's Pad/Crop/Resize choice plus a size cap; returns a
+        PIL image or a base64 payload for the serving protocol."""
+        from .image_processing import expand2square
 
         if image_process_mode == "Pad":
-            def expand2square(pil_img, background_color=(122, 116, 104)):
-                width, height = pil_img.size
-                if width == height:
-                    return pil_img
-                elif width > height:
-                    result = Image.new(pil_img.mode, (width, width), background_color)
-                    result.paste(pil_img, (0, (width - height) // 2))
-                    return result
-                else:
-                    result = Image.new(pil_img.mode, (height, height), background_color)
-                    result.paste(pil_img, ((height - width) // 2, 0))
-                    return result
-
-            image = expand2square(image)
-        elif image_process_mode in ["Default", "Crop"]:
-            pass
+            image = expand2square(image, (122, 116, 104))
         elif image_process_mode == "Resize":
             image = image.resize((336, 336))
-        else:
-            raise ValueError(f"Invalid image_process_mode: {image_process_mode}")
-        if max(image.size) > max_len:
-            max_hw, min_hw = max(image.size), min(image.size)
-            aspect_ratio = max_hw / min_hw
-            shortest_edge = int(min(max_len / aspect_ratio, min_len, min_hw))
-            longest_edge = int(shortest_edge * aspect_ratio)
-            W, H = image.size
-            if H > W:
-                H, W = longest_edge, shortest_edge
-            else:
-                H, W = shortest_edge, longest_edge
-            image = image.resize((W, H))
+        elif image_process_mode not in ("Default", "Crop"):
+            raise ValueError(
+                f"Invalid image_process_mode: {image_process_mode}")
+
+        w, h = image.size
+        if max(w, h) > max_len:
+            aspect = max(w, h) / min(w, h)
+            short = int(min(max_len / aspect, min_len, min(w, h)))
+            long_ = int(short * aspect)
+            image = image.resize((long_, short) if w >= h else (short, long_))
         if return_pil:
             return image
-        buffered = BytesIO()
-        image.save(buffered, format=image_format)
-        return base64.b64encode(buffered.getvalue()).decode()
+        buf = BytesIO()
+        image.save(buf, format=image_format)
+        return base64.b64encode(buf.getvalue()).decode()
 
     def get_images(self, return_pil=False):
-        images = []
-        for i, (role, msg) in enumerate(self.messages[self.offset:]):
-            if i % 2 == 0 and type(msg) is tuple:
-                msg, image, image_process_mode = msg
-                if type(image) is list:
+        out = []
+        for i, (_role, m) in enumerate(self.messages[self.offset:]):
+            if i % 2 == 0 and isinstance(m, tuple):
+                _text, image, mode = m
+                if isinstance(image, list):
                     image = image[0]
-                images.append(self.process_image(image, image_process_mode, return_pil=return_pil))
-        return images
+                out.append(self.process_image(image, mode,
+                                              return_pil=return_pil))
+        return out
 
-    def to_gradio_chatbot(self):
-        ret = []
-        for i, (role, msg) in enumerate(self.messages[self.offset:]):
-            if i % 2 == 0:
-                if type(msg) is tuple:
-                    msg, image, image_process_mode = msg
-                    if type(image) is list:
-                        image, video = image
-                        append_img_str = (
-                            f'<video controls playsinline width="500" style="display: inline-block;"'
-                            f'  src="{video}"></video>\n'
-                        )
-                    else:
-                        append_img_str = ""
-                    img_b64_str = self.process_image(image, "Default", return_pil=False,
-                                                     image_format="JPEG")
-                    img_str = f'<img src="data:image/jpeg;base64,{img_b64_str}" alt="user upload image" />'
-                    msg = img_str + append_img_str + msg.replace("<image>", "").strip()
-                    ret.append([msg, None])
-                else:
-                    ret.append([msg, None])
-            else:
-                ret[-1][-1] = msg
-        return ret
-
-    def copy(self):
+    # -- misc ------------------------------------------------------------
+    def copy(self) -> "Conversation":
         return Conversation(
-            system=self.system,
-            roles=self.roles,
-            messages=[[x, y] for x, y in self.messages],
-            offset=self.offset,
-            sep_style=self.sep_style,
-            sep=self.sep,
-            sep2=self.sep2,
-            version=self.version,
-        )
+            system=self.system, roles=self.roles,
+            messages=[[role, m] for role, m in self.messages],
+            offset=self.offset, sep_style=self.sep_style,
+            sep=self.sep, sep2=self.sep2, version=self.version)
 
     def dict(self):
-        if len(self.get_images()) > 0:
-            return {
-                "system": self.system,
-                "roles": self.roles,
-                "messages": [[x, y[0] if type(y) is tuple else y] for x, y in self.messages],
-                "offset": self.offset,
-                "sep": self.sep,
-                "sep2": self.sep2,
-            }
+        has_images = any(isinstance(m, tuple) for _r, m in self.messages)
         return {
             "system": self.system,
             "roles": self.roles,
-            "messages": self.messages,
+            "messages": ([[r, _text_of(m)] for r, m in self.messages]
+                         if has_images else self.messages),
             "offset": self.offset,
             "sep": self.sep,
             "sep2": self.sep2,
