@@ -15,8 +15,9 @@ Key design points for the v5e:
 * causality is index-based (valid for the monotonic position layouts the
   splice produces) plus an explicit kv-validity mask for padding;
 * causal upper-triangle kv blocks are skipped with ``pl.when``;
-* GQA is handled in the wrapper (kv heads expanded for the kernel, grads
-  summed back over the group).
+* GQA never expands K/V in HBM: the fwd/dq kernels map q head -> kv head
+  in their BlockSpec index_maps, and the dkv kernel's grid carries the
+  query group so dK/dV sum over the group inside the VMEM accumulator.
 
 Falls back to interpret mode off-TPU so the same code path is unit-tested
 on CPU against the jnp reference.
@@ -116,6 +117,9 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
     B, H, Sq, Dh = q.shape
     Sk = k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
+    # GQA: the kv BlockSpecs map q head -> kv head, so k/v are DMA'd from
+    # their (B, Hkv, Sk, Dh) layout directly — never expanded in HBM
+    group = H // k.shape[1]
 
     grid = (B, H, nq, nk)
     kernel = functools.partial(
@@ -127,8 +131,10 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik: (b, 0, ik)),
         ],
         out_specs=[
@@ -202,12 +208,15 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
                     dk_ref, dv_ref, dk_acc, dv_acc, *, scale, causal,
-                    block_q, block_k, num_q_blocks, window: int = 0,
-                    q_offset: int = 0):
+                    block_q, block_k, num_q_blocks, group: int = 1,
+                    window: int = 0, q_offset: int = 0):
+    # grid (B, Hkv, nk, G, nq): dK/dV for one kv head accumulate over the
+    # whole query group and every q block before the single final write
     ik = pl.program_id(2)
-    iq = pl.program_id(3)
+    g = pl.program_id(3)
+    iq = pl.program_id(4)
 
-    @pl.when(iq == 0)
+    @pl.when(jnp.logical_and(g == 0, iq == 0))
     def _init():
         dk_acc[:] = jnp.zeros_like(dk_acc)
         dv_acc[:] = jnp.zeros_like(dv_acc)
@@ -250,7 +259,7 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
             ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32)
 
-    @pl.when(iq == num_q_blocks - 1)
+    @pl.when(jnp.logical_and(g == group - 1, iq == num_q_blocks - 1))
     def _finalize():
         dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
@@ -259,8 +268,9 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
 def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
               block_q, block_k, window=0, q_offset=0):
     B, H, Sq, Dh = q.shape
-    Sk = k.shape[2]
+    Hkv, Sk = k.shape[1], k.shape[2]
     nq, nk = Sq // block_q, Sk // block_k
+    G = H // Hkv
 
     delta = jnp.sum(out.astype(jnp.float32) * do.astype(jnp.float32),
                     axis=-1)[:, :, None, :]               # (B, H, 1, Sq)
@@ -272,8 +282,10 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
         grid=(B, H, nq, nk),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, iq, ik: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, h, iq, ik: (b, h // G, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, h, iq, ik: (b, h // G, ik, 0)),
             pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik: (b, 0, ik)),
             pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
@@ -285,23 +297,33 @@ def _bwd_call(q, k, v, kv_mask, out, lse, do, *, scale, causal,
         interpret=_interpret(),
     )(q, k, v, kv_mask, do, lse, delta)
 
+    # dK/dV: one kv head at a time, the query-group axis rides the grid so
+    # the group-sum happens in the VMEM accumulator (no HBM-expanded k/v)
     dk, dv = pl.pallas_call(
         functools.partial(_bwd_dkv_kernel, scale=scale, causal=causal,
                           block_q=block_q, block_k=block_k, num_q_blocks=nq,
-                          window=window, q_offset=q_offset),
-        grid=(B, H, nk, nq),
+                          group=G, window=window, q_offset=q_offset),
+        grid=(B, Hkv, nk, G, nq),
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, ik, iq: (b, 0, ik)),
-            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, block_q, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh * G + g, iq, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, kh, ik, g, iq: (b, 0, ik)),
+            pl.BlockSpec((1, 1, block_q, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh * G + g, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda b, kh, ik, g, iq: (b, kh * G + g, 0, iq)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda b, kh, ik, g, iq: (b, kh * G + g, 0, iq)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
-            pl.BlockSpec((1, 1, block_k, Dh), lambda b, h, ik, iq: (b, h, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh, ik, 0)),
+            pl.BlockSpec((1, 1, block_k, Dh),
+                         lambda b, kh, ik, g, iq: (b, kh, ik, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(k.shape, k.dtype),
@@ -372,9 +394,7 @@ def flash_attention_lse(
     block_k = min(block_k, max(_round_up(Sk, 128), 128))
     if kv_valid is None:
         kv_valid = jnp.ones((B, Sk), bool)
-    if Hkv != H:
-        k = jnp.repeat(k, H // Hkv, axis=1)
-        v = jnp.repeat(v, H // Hkv, axis=1)
+    # GQA handled by the kernel's q-head -> kv-head BlockSpec mapping
     Dh_p = max(_round_up(Dh, 128), 128)
     Sq_p = _round_up(Sq, block_q)
     Sk_p = _round_up(Sk, block_k)
@@ -420,10 +440,9 @@ def flash_attention(
     if kv_valid is None:
         kv_valid = jnp.ones((B, Sk), bool)
 
-    if Hkv != H:  # GQA: expand for the kernel, fold grads in the vjp chain
-        group = H // Hkv
-        k = jnp.repeat(k, group, axis=1)
-        v = jnp.repeat(v, group, axis=1)
+    # GQA needs no expansion: the kernels map q head -> kv head in their
+    # BlockSpec index_maps (fwd/dq) and sum dK/dV over the query group in
+    # VMEM (dkv grid), so k/v stay (B, Hkv, Sk, Dh) in HBM throughout
 
     # pad head dim to the 128-lane register width, sequences to block size
     Dh_p = max(_round_up(Dh, 128), 128)

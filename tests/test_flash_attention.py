@@ -88,3 +88,39 @@ def test_gradients_match_reference():
         if name in "kv":
             gf, gr = gf[:, :, :230], gr[:, :, :230]
         np.testing.assert_allclose(gf, gr, atol=5e-3, err_msg=name)
+
+
+def test_gqa_gradients_match_reference():
+    """Hkv < H on the kernel path: dK/dV must sum over the query group in
+    the kernel's VMEM accumulator (no HBM expansion of K/V)."""
+    rng = np.random.default_rng(6)
+    q = jnp.asarray(rng.standard_normal((2, 8, S, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((2, 2, S, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((2, 2, S, Dh)).astype(np.float32))
+    valid = np.ones((2, S), bool)
+    valid[:, 230:] = False
+    valid_j = jnp.asarray(valid)
+
+    def loss(fn):
+        def f(q, k, v):
+            o = fn(q, k, v, causal=True, kv_valid=valid_j)
+            return jnp.sum(o * jnp.cos(jnp.arange(o.size).reshape(o.shape) * 0.01))
+        return f
+
+    g_flash = jax.grad(loss(flash_attention), argnums=(0, 1, 2))(q, k, v)
+    g_ref = jax.grad(loss(attention_reference), argnums=(0, 1, 2))(q, k, v)
+    for gf, gr, name in zip(g_flash, g_ref, "qkv"):
+        gf, gr = np.asarray(gf), np.asarray(gr)
+        if name in "kv":
+            gf, gr = gf[:, :, :230], gr[:, :, :230]
+        np.testing.assert_allclose(gf, gr, atol=5e-3, err_msg=name)
+
+
+def test_gqa_sliding_window():
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.standard_normal((1, 4, S, Dh)).astype(np.float32))
+    k = jnp.asarray(rng.standard_normal((1, 2, S, Dh)).astype(np.float32))
+    v = jnp.asarray(rng.standard_normal((1, 2, S, Dh)).astype(np.float32))
+    got = flash_attention(q, k, v, causal=True, sliding_window=64)
+    want = attention_reference(q, k, v, causal=True, sliding_window=64)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-3)
