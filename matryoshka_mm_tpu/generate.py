@@ -713,17 +713,6 @@ def stream_generate(
 
 def _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
                  stopping_criteria):
-    from .ops.quant import is_quantized
-
-    if (first.shape[0] > 1 and gen_cfg.decode_chunk > 1
-            and cfg.llama.hidden_size >= 4096
-            and not is_quantized(params["llama"]["layers"]["self_attn"]["q_proj"])):
-        # B>=2 bf16 chunked decode hoists ~GB layout-converted weight
-        # copies out of the steps loop and OOMs next to 7B weights;
-        # single-step programs compile clean (docs/Architecture.md)
-        import dataclasses as _dc
-
-        gen_cfg = _dc.replace(gen_cfg, decode_chunk=1)
     finished = first == gen_cfg.eos_token_id
     out_tokens = [np.asarray(first)[:, None]]
     steps_done = 1

@@ -88,7 +88,11 @@ def convert_clip_vision(sd: Mapping[str, "np.ndarray"], cfg: ClipVisionConfig,
 
 def convert_llama(sd: Mapping[str, "np.ndarray"], cfg: LlamaConfig,
                   prefix: str = "") -> dict:
-    """HF LlamaForCausalLM state dict -> llama.py param pytree."""
+    """HF LlamaForCausalLM state dict -> llama.py param pytree.
+
+    llama.py stores dense kernels in torch's native (out, in) orientation
+    (see models/llama.py module docstring), so conversion is a pure rename
+    — no transposes, no copies."""
 
     def w(k):
         return _np(sd[prefix + k])
@@ -100,20 +104,20 @@ def convert_llama(sd: Mapping[str, "np.ndarray"], cfg: LlamaConfig,
             "input_layernorm": w(p + "input_layernorm.weight"),
             "post_attention_layernorm": w(p + "post_attention_layernorm.weight"),
             "self_attn": {
-                "q_proj": w(p + "self_attn.q_proj.weight").T,
-                "k_proj": w(p + "self_attn.k_proj.weight").T,
-                "v_proj": w(p + "self_attn.v_proj.weight").T,
-                "o_proj": w(p + "self_attn.o_proj.weight").T,
+                "q_proj": w(p + "self_attn.q_proj.weight"),
+                "k_proj": w(p + "self_attn.k_proj.weight"),
+                "v_proj": w(p + "self_attn.v_proj.weight"),
+                "o_proj": w(p + "self_attn.o_proj.weight"),
             },
             "mlp": {
-                "gate_proj": w(p + "mlp.gate_proj.weight").T,
-                "up_proj": w(p + "mlp.up_proj.weight").T,
-                "down_proj": w(p + "mlp.down_proj.weight").T,
+                "gate_proj": w(p + "mlp.gate_proj.weight"),
+                "up_proj": w(p + "mlp.up_proj.weight"),
+                "down_proj": w(p + "mlp.down_proj.weight"),
             },
         })
 
     embed = w("model.embed_tokens.weight")
-    lm = w("lm_head.weight").T if prefix + "lm_head.weight" in sd else embed.T
+    lm = w("lm_head.weight") if prefix + "lm_head.weight" in sd else embed
     return {
         "embed_tokens": embed,
         "layers": _stack(layers),
@@ -136,12 +140,12 @@ def convert_mpt(sd: Mapping[str, "np.ndarray"], cfg: LlamaConfig,
             "norm_1": w(p + "norm_1.weight"),
             "norm_2": w(p + "norm_2.weight"),
             "attn": {
-                "Wqkv": w(p + "attn.Wqkv.weight").T,
-                "out_proj": w(p + "attn.out_proj.weight").T,
+                "Wqkv": w(p + "attn.Wqkv.weight"),
+                "out_proj": w(p + "attn.out_proj.weight"),
             },
             "ffn": {
-                "up_proj": w(p + "ffn.up_proj.weight").T,
-                "down_proj": w(p + "ffn.down_proj.weight").T,
+                "up_proj": w(p + "ffn.up_proj.weight"),
+                "down_proj": w(p + "ffn.down_proj.weight"),
             },
         })
     return {

@@ -4,7 +4,14 @@ TPU-native re-design of the reference's HF ``LlamaForCausalLM`` backbone
 (reference: llava/model/language_model/llava_llama.py:154-176 wraps it):
 
 * parameters are a plain pytree whose leaf names mirror the HF checkpoint
-  keys, so torch->JAX weight conversion is a transpose + rename;
+  keys; dense kernels keep torch's native ``(out, in)`` orientation and
+  every projection contracts last-dim-vs-last-dim (:func:`proj`).  This is
+  not just converter convenience: with ``(in, out)`` storage XLA's layout
+  assignment cannot propagate the narrow-batch GEMM's preferred (transposed)
+  layout across a ``lax.scan``-over-steps boundary and hoists multi-GB
+  layout-converted copies of the stacked weights out of the decode loop
+  (measured: 385MB of temps at L=4/7B-width vs 0 with (out, in) storage,
+  and ~10% faster decode steps);
 * the 32 decoder layers are **stacked** and executed with ``lax.scan`` —
   one compiled layer body instead of 32 unrolled copies (fast compiles,
   optional per-layer rematerialization for training memory);
@@ -24,6 +31,21 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from ..ops.quant import dequantize_array as _w
+
+
+def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
+    """``x (..., in)`` times a weight leaf stored ``(out, in)`` -> ``(..., out)``.
+
+    The single matmul entry point for every llama dense kernel (plain,
+    int8/int4-quantized, or LoRA-wrapped — ``dequantize_array`` resolves
+    all three).  Contracting last-vs-last keeps the stored layout the one
+    the decode loop's narrow GEMMs want, so no relayout copies are hoisted
+    out of ``lax.scan`` (see module docstring)."""
+    w = _w(leaf)
+    dt = jnp.promote_types(x.dtype, w.dtype)
+    return jax.lax.dot_general(
+        x.astype(dt), w.astype(dt),
+        (((x.ndim - 1,), (w.ndim - 1,)), ((), ())))
 
 
 @dataclasses.dataclass(frozen=True)
@@ -124,9 +146,10 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
     keys = jax.random.split(rng, 4)
 
     def dense(key, in_dim, out_dim):
-        # generate directly in the target dtype: avoids a full-size f32
+        # stored (out, in), torch Linear orientation (see module docstring);
+        # generated directly in the target dtype: avoids a full-size f32
         # intermediate per leaf (matters when initializing 7B bf16 on-chip)
-        return jax.random.normal(key, (in_dim, out_dim), dtype) * jnp.asarray(0.02, dtype)
+        return jax.random.normal(key, (out_dim, in_dim), dtype) * jnp.asarray(0.02, dtype)
 
     if cfg.arch == "mpt":
         def layer(key):
@@ -146,11 +169,12 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
 
         layers = jax.vmap(layer)(jax.random.split(keys[0], cfg.num_hidden_layers))
         return {
-            "embed_tokens": dense(keys[1], cfg.vocab_size, D),
+            # embedding table is (vocab, D) — feeds a gather, and doubles
+            # as the tied lm head ((out=vocab, in=D) is already proj's
+            # orientation, so tying needs no transpose)
+            "embed_tokens": dense(keys[1], D, cfg.vocab_size),
             "layers": layers,
             "norm": jnp.ones((D,), dtype),
-            # lm head tied to wte (MPT); kept as explicit transpose-view at
-            # init for a uniform pytree
         }
 
     def layer(key):
@@ -174,10 +198,10 @@ def init_llama_params(rng: jax.Array, cfg: LlamaConfig) -> dict:
     layer_keys = jax.random.split(keys[0], cfg.num_hidden_layers)
     layers = jax.vmap(layer)(layer_keys)  # stacked: every leaf has leading n_layers
     return {
-        "embed_tokens": dense(keys[1], cfg.vocab_size, D),
+        "embed_tokens": dense(keys[1], D, cfg.vocab_size),  # (vocab, D): gather
         "layers": layers,
         "norm": jnp.ones((D,), dtype),
-        "lm_head": dense(keys[2], D, cfg.vocab_size),
+        "lm_head": dense(keys[2], D, cfg.vocab_size),       # (vocab, D)
     }
 
 
@@ -262,9 +286,9 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     window = cfg.sliding_window or None
 
     x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    q = (x @ _w(a["q_proj"])).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    k = (x @ _w(a["k_proj"])).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
-    v = (x @ _w(a["v_proj"])).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    q = proj(x, a["q_proj"]).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    k = proj(x, a["k_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    v = proj(x, a["v_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -290,12 +314,12 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             sliding_window=window, impl=cfg.attn_impl)
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-    hidden = hidden + attn_out @ _w(a["o_proj"])
+    hidden = hidden + proj(attn_out, a["o_proj"])
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
     m = layer_params["mlp"]
-    gate = jax.nn.silu(x @ _w(m["gate_proj"]))
-    hidden = hidden + (gate * (x @ _w(m["up_proj"]))) @ _w(m["down_proj"])
+    gate = jax.nn.silu(proj(x, m["gate_proj"]))
+    hidden = hidden + proj(gate * proj(x, m["up_proj"]), m["down_proj"])
     return hidden, (cache_k, cache_v)
 
 
@@ -309,7 +333,7 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
     a = layer_params["attn"]
 
     x = layer_norm_nobias(hidden, layer_params["norm_1"], 1e-5)
-    qkv = x @ _w(a["Wqkv"])
+    qkv = proj(x, a["Wqkv"])
     q, k, v = jnp.split(qkv, 3, axis=-1)
     q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
@@ -339,11 +363,12 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
         q, attn_k, attn_v, causal=True, q_positions=q_positions,
         kv_positions=kvp, kv_valid=kv_valid, bias=bias, impl="reference")
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, D)
-    hidden = hidden + attn_out @ _w(a["out_proj"])
+    hidden = hidden + proj(attn_out, a["out_proj"])
 
     x = layer_norm_nobias(hidden, layer_params["norm_2"], 1e-5)
     f = layer_params["ffn"]
-    hidden = hidden + jax.nn.gelu(x @ _w(f["up_proj"]), approximate=False) @ _w(f["down_proj"])
+    hidden = hidden + proj(jax.nn.gelu(proj(x, f["up_proj"]),
+                                       approximate=False), f["down_proj"])
     return hidden, (cache_k, cache_v)
 
 
@@ -413,10 +438,10 @@ def llama_forward(
 
 def lm_head(params: dict, hidden: jnp.ndarray) -> jnp.ndarray:
     """Project to vocab logits in float32 (reference: llava_llama.py:239-240).
-    MPT ties the head to the embedding matrix."""
-    if "lm_head" in params:
-        return (hidden @ _w(params["lm_head"])).astype(jnp.float32)
-    return (hidden @ _w(params["embed_tokens"]).T).astype(jnp.float32)
+    MPT ties the head to the embedding matrix — (vocab, D) is already the
+    (out, in) orientation :func:`proj` wants, no transpose."""
+    return proj(hidden, params.get("lm_head", params["embed_tokens"])
+                ).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("cfg",))

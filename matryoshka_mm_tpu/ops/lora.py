@@ -6,10 +6,11 @@ train.py:923-943 ``LoraConfig``/``get_peft_model``, train.py:1066-1080
 adapter/non-adapter save split).
 
 Instead of module wrappers, a LoRA-ized weight leaf is a dict
-``{"w": base, "lora_a": (.., in, r), "lora_b": (.., r, out),
-"lora_scale": alpha/r}``.  ``ops.quant.dequantize_array`` — the ``_w``
-hook every matmul site already routes through — resolves it to
-``stop_gradient(base) + (A @ B) * scale``.  Because stacked decoder
+``{"w": base (.., out, in), "lora_a": (.., r, in), "lora_b": (.., out, r),
+"lora_scale": alpha/r}`` (peft-native A/B orientations).
+``ops.quant.dequantize_array`` — the hook every matmul site already
+routes through — resolves it to
+``stop_gradient(base) + (B @ A) * scale``.  Because stacked decoder
 leaves ride ``lax.scan`` as xs, the merged weight is a per-layer
 transient; grads flow only to A/B; and an int8/int4 base composes for
 free (QLoRA: quantize first, then :func:`add_lora`).
@@ -38,11 +39,11 @@ def is_lora(leaf) -> bool:
 
 
 def _weight_shape(leaf) -> tuple:
-    """Full (.., in, out) shape of a plain / int8 / int4-packed leaf."""
+    """Full (.., out, in) shape of a plain / int8 / int4-packed leaf."""
     if is_quantized(leaf):
         if Q4KEY in leaf:
-            s = leaf[Q4KEY].shape
-            return s[:-2] + (s[-2] * 2, s[-1])
+            s = leaf[Q4KEY].shape      # int4 packs pairs along the in dim
+            return s[:-1] + (s[-1] * 2,)
         return leaf[QKEY].shape
     return leaf.shape
 
@@ -53,10 +54,12 @@ def wrap_leaf(rng, leaf, r: int, alpha: float, dtype=jnp.float32) -> dict:
     A ~ he_uniform, B = 0 (so the wrapped model starts exactly at the
     base model, matching peft's init)."""
     shape = _weight_shape(leaf)
-    *lead, d_in, d_out = shape
-    a = jax.nn.initializers.he_uniform(batch_axis=tuple(range(len(lead))))(
-        rng, tuple(lead) + (d_in, r), dtype)
-    b = jnp.zeros(tuple(lead) + (r, d_out), dtype)
+    *lead, d_out, d_in = shape
+    # A is (r, in): fan-in is the LAST axis (in_features), as in peft
+    a = jax.nn.initializers.he_uniform(
+        in_axis=-1, out_axis=-2, batch_axis=tuple(range(len(lead))))(
+        rng, tuple(lead) + (r, d_in), dtype)
+    b = jnp.zeros(tuple(lead) + (d_out, r), dtype)
     scale = jnp.full(tuple(lead) + (1, 1), alpha / r, dtype)
     return {"w": leaf, "lora_a": a, "lora_b": b, "lora_scale": scale}
 

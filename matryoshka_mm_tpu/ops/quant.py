@@ -5,6 +5,11 @@ TPU-native replacement for the reference's bitsandbytes 4/8-bit loading
 Per-output-channel symmetric int8: a 7B LLaMA drops from ~13.5GB bf16 to
 ~6.8GB; weights dequantize per-layer inside the ``lax.scan`` decoder body,
 so peak HBM is int8 weights + one bf16 layer.
+
+Weight leaves are stored ``(..., out, in)`` (torch Linear orientation,
+see models/llama.py); the reduction/input dim is the LAST axis, so the
+per-output-channel scale reduces over axis -1 and int4 packs value pairs
+along axis -1.
 """
 
 from __future__ import annotations
@@ -18,7 +23,7 @@ QKEY = "qint8"
 
 
 def _quantize_2d(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True) / 127.0
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1, keepdims=True) / 127.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -127, 127).astype(jnp.int8)
     return {QKEY: q, "scale": scale.astype(jnp.float32)}
@@ -43,13 +48,13 @@ def _quantize_stacked(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         return (q.at[i].set(part[QKEY]), scale.at[i].set(part["scale"]))
 
     q0 = jnp.zeros(w.shape, jnp.int8)
-    s0 = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
+    s0 = jnp.zeros(w.shape[:-1] + (1,), jnp.float32)
     q, scale = jax.lax.fori_loop(0, n, body, (q0, s0))
     return {QKEY: q, "scale": scale}
 
 
 def quantize_array(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
-    """(…, in, out) float -> int8 values + per-output-channel f32 scale."""
+    """(…, out, in) float -> int8 values + per-output-channel f32 scale."""
     w = jnp.asarray(w)
     if w.ndim <= 2:
         return _quantize_2d(w)
@@ -64,9 +69,10 @@ def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     if isinstance(leaf, dict) and "lora_a" in leaf:
         # LoRA wrapper (ops/lora.py): frozen base + trainable low-rank
         # delta, resolved per-layer inside the decoder scan.  The base is
-        # stop-gradiented: only A/B receive grads.
+        # stop-gradiented: only A/B receive grads.  peft-native shapes:
+        # A (.., r, in), B (.., out, r), delta = B @ A -> (out, in).
         base = jax.lax.stop_gradient(dequantize_array(leaf["w"], dtype))
-        delta = (leaf["lora_a"] @ leaf["lora_b"]) * leaf["lora_scale"]
+        delta = (leaf["lora_b"] @ leaf["lora_a"]) * leaf["lora_scale"]
         return base + delta.astype(base.dtype)
     if not is_quantized(leaf):
         return leaf
@@ -137,18 +143,18 @@ Q4KEY = "qint4"
 
 def _quantize_2d_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     """Symmetric int4 per output channel, two values packed per int8 along
-    the input dim (which must be even).
+    the input (last) dim, which must be even.
 
-    Split-half packing: byte row i holds input rows (i, i + n/2) in its
-    (low, high) nibbles, so dequantization is one concatenate — an
+    Split-half packing: byte column i holds input columns (i, i + n/2) in
+    its (low, high) nibbles, so dequantization is one concatenate — an
     interleaved (2i, 2i+1) layout would need a stack+reshape shuffle that
     dominates decode time on the VPU."""
-    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-2, keepdims=True) / 7.0
+    scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1, keepdims=True) / 7.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
-    half = q.shape[-2] // 2
-    lo = q[..., :half, :]
-    hi = q[..., half:, :]
+    half = q.shape[-1] // 2
+    lo = q[..., :half]
+    hi = q[..., half:]
     packed = ((hi.astype(jnp.uint8) & 0xF) << 4) | (lo.astype(jnp.uint8) & 0xF)
     return {Q4KEY: packed.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
 
@@ -162,22 +168,22 @@ def _quantize_stacked_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
         part = _quantize_2d_int4(w[i])
         return (q.at[i].set(part[Q4KEY]), scale.at[i].set(part["scale"]))
 
-    q0 = jnp.zeros(w.shape[:-2] + (w.shape[-2] // 2, w.shape[-1]), jnp.int8)
-    s0 = jnp.zeros(w.shape[:-2] + (1,) + w.shape[-1:], jnp.float32)
+    q0 = jnp.zeros(w.shape[:-1] + (w.shape[-1] // 2,), jnp.int8)
+    s0 = jnp.zeros(w.shape[:-1] + (1,), jnp.float32)
     q, scale = jax.lax.fori_loop(0, n, body, (q0, s0))
     return {Q4KEY: q, "scale": scale}
 
 
 def quantize_array_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     w = jnp.asarray(w)
-    assert w.shape[-2] % 2 == 0, w.shape
+    assert w.shape[-1] % 2 == 0, w.shape
     if w.ndim <= 2:
         return _quantize_2d_int4(w)
     return dict(_quantize_stacked_int4(w))
 
 
 def _unpack_int4(packed: jnp.ndarray):
-    """(.., n/2, out) packed bytes -> sign-extended (lo, hi) int8 halves."""
+    """(.., out, in/2) packed bytes -> sign-extended (lo, hi) int8 halves."""
     u = packed.astype(jnp.uint8)
     lo = (u & 0xF).astype(jnp.int8)
     hi = ((u >> 4) & 0xF).astype(jnp.int8)
@@ -188,7 +194,7 @@ def _unpack_int4(packed: jnp.ndarray):
 
 def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     lo, hi = _unpack_int4(leaf[Q4KEY])
-    q = jnp.concatenate([lo, hi], axis=-2)              # split-half layout
+    q = jnp.concatenate([lo, hi], axis=-1)              # split-half layout
     return (q.astype(jnp.float32) * leaf["scale"]).astype(dtype)
 
 
@@ -202,7 +208,7 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
             if isinstance(child, dict) and QKEY not in child and Q4KEY not in child:
                 rec(child)
             elif _should_quantize(k, child, min_size) and \
-                    getattr(child, "shape", (0, 0))[-2] % 2 == 0:
+                    getattr(child, "shape", (0, 0))[-1] % 2 == 0:
                 tree[k] = quantize_array_int4(child)
                 del child
 

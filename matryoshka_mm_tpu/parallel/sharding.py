@@ -9,11 +9,16 @@ inserts the all-gathers/reduce-scatters.
 Rules (megatron-style TP on the ``model`` axis, residual dims sharded on
 ``data`` for ZeRO-3-like memory scaling):
 
-* attention q/k/v: columns (heads) on ``model``, rows on ``data``
-* attention o:     rows (heads) on ``model``, columns on ``data``
-* MLP gate/up:     columns on ``model``; down: rows on ``model``
+* attention q/k/v: head dim on ``model``, residual dim on ``data``
+* attention o:     head dim on ``model``, residual dim on ``data``
+* MLP gate/up:     ffn dim on ``model``; down: ffn dim on ``model``
 * embed/lm_head:   vocab dim on ``model``, hidden on ``data``
 * norms/biases/small leaves: replicated
+
+Orientation: llama dense kernels are raw arrays stored ``(out, in)``
+(models/llama.py); flax-style ``{kernel, bias}`` dense leaves (CLIP tower,
+projector, router) store kernels ``(in, out)``.  The rule table carries
+one entry per orientation — ``.../kernel`` paths are the flax ones.
 """
 
 from __future__ import annotations
@@ -32,18 +37,24 @@ def _path_str(path) -> str:
 # (substring, ndim) -> PartitionSpec for the *trailing* dims; a leading
 # layer-stack axis (from lax.scan stacking) is never sharded.
 _RULES = [
-    ("self_attn/q_proj", P("data", "model")),
-    ("self_attn/k_proj", P("data", "model")),
-    ("self_attn/v_proj", P("data", "model")),
-    ("self_attn/o_proj", P("model", "data")),
-    ("self_attn/out_proj", P("data", "model")),
-    ("mlp/gate_proj", P("data", "model")),
-    ("mlp/up_proj", P("data", "model")),
-    ("mlp/down_proj", P("model", "data")),
-    ("mlp/fc1", P("data", "model")),
-    ("mlp/fc2", P("model", "data")),
+    # flax {kernel,bias} leaves, (in, out) kernels — CLIP tower etc.
+    ("self_attn/q_proj/kernel", P("data", "model")),
+    ("self_attn/k_proj/kernel", P("data", "model")),
+    ("self_attn/v_proj/kernel", P("data", "model")),
+    ("self_attn/out_proj/kernel", P("data", "model")),
+    ("mlp/fc1/kernel", P("data", "model")),
+    ("mlp/fc2/kernel", P("model", "data")),
+    # llama raw-array kernels, (out, in): head/ffn dim is the OUT axis for
+    # q/k/v/gate/up and the IN axis for o/down
+    ("self_attn/q_proj", P("model", "data")),
+    ("self_attn/k_proj", P("model", "data")),
+    ("self_attn/v_proj", P("model", "data")),
+    ("self_attn/o_proj", P("data", "model")),
+    ("mlp/gate_proj", P("model", "data")),
+    ("mlp/up_proj", P("model", "data")),
+    ("mlp/down_proj", P("data", "model")),
     ("embed_tokens", P("model", "data")),
-    ("lm_head", P("data", "model")),
+    ("lm_head", P("model", "data")),
     ("patch_embedding", P(None, "model")),
     ("position_embedding", P(None, None)),
 ]

@@ -118,19 +118,6 @@ class ContinuousBatcher:
         self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
         self.chunk = chunk
         self.backend = backend
-        if (max_batch > 1 and chunk > 1
-                and jnp.dtype(cfg.llama.dtype) == jnp.bfloat16
-                and cfg.llama.hidden_size >= 4096):
-            # B>=2 bf16 chunked decode makes XLA hoist ~GB-scale
-            # layout-converted copies of the stacked attention weights out
-            # of the steps loop (OOM next to 7B weights on a 16GB chip);
-            # single-step programs compile clean, so degrade to chunk=1.
-            # int8 weights (--load-8bit) restore chunked decode.
-            print("[batcher] bf16 batched decode: forcing decode chunk=1 "
-                  "(see docs/Architecture.md; use int8 weights for chunked "
-                  "batched decode)")
-            self.chunk = 1
-
         dtype = jnp.dtype(cfg.llama.dtype)
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache

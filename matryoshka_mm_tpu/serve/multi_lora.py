@@ -7,10 +7,11 @@ are stacked into one array pack with a leading adapter axis; slot 0 is an
 all-zero adapter meaning "base model".  Each pool row carries an adapter
 index, and the decode layer applies the per-row low-rank delta
 
-    y = x @ W  +  ((x @ A[idx]) * scale[idx]) @ B[idx]
+    y = proj(x, W)  +  (x · A[idx]ᵀ · B[idx]ᵀ) * scale[idx]
 
 with two skinny einsums — O(B * D * r) extra work per projection, shared
-across rows regardless of how many distinct adapters are live.
+across rows regardless of how many distinct adapters are live.  A/B use
+peft-native orientations: A (r, in), B (out, r) (ops/lora.py).
 
 Prefill attaches the requested adapter onto the base tree with
 ops.lora.load_lora (same pytree structure for every adapter, so the jit
@@ -33,7 +34,7 @@ PROJS = (("self_attn", "q_proj"), ("self_attn", "k_proj"),
 
 class AdapterPack(NamedTuple):
     """Stacked decoder adapters.  Leaves: {(mod, proj): (A, B, s)} with
-    A (n_adapters, n_layers, D_in, r), B (n_adapters, n_layers, r, D_out),
+    A (n_adapters, n_layers, r, D_in), B (n_adapters, n_layers, D_out, r),
     s (n_adapters, n_layers, 1, 1).  Adapter 0 is all zeros (base)."""
     a: dict
     b: dict
@@ -56,7 +57,7 @@ def pack_adapters(adapters: Dict[str, dict]) -> Tuple[Optional[AdapterPack],
     a, b, s = {}, {}, {}
     for mod, proj in PROJS:
         leaves = [t["layers"][mod][proj] for t in trees]
-        ranks = {l["lora_a"].shape[-1] for l in leaves}
+        ranks = {l["lora_a"].shape[-2] for l in leaves}
         if len(ranks) != 1:
             raise ValueError(f"adapters disagree on rank for {mod}/{proj}: "
                              f"{sorted(ranks)}")
@@ -80,11 +81,11 @@ def pack_layer_slices(pack: AdapterPack):
 def lora_delta(x: jnp.ndarray, layer_a, layer_b, layer_s, lora_idx):
     """Per-row low-rank delta for one projection inside the layer scan.
 
-    x: (B, S, D_in); layer_a: (n_adapters, D_in, r); layer_b:
-    (n_adapters, r, D_out); layer_s: (n_adapters, 1, 1); lora_idx: (B,).
+    x: (B, S, D_in); layer_a: (n_adapters, r, D_in); layer_b:
+    (n_adapters, D_out, r); layer_s: (n_adapters, 1, 1); lora_idx: (B,).
     Returns (B, S, D_out)."""
-    A = layer_a[lora_idx]                       # (B, D_in, r)
-    Bm = layer_b[lora_idx]                      # (B, r, D_out)
-    t = jnp.einsum("bsd,bdr->bsr", x, A.astype(x.dtype))
-    return (jnp.einsum("bsr,bro->bso", t, Bm.astype(x.dtype))
+    A = layer_a[lora_idx]                       # (B, r, D_in)
+    Bm = layer_b[lora_idx]                      # (B, D_out, r)
+    t = jnp.einsum("bsd,brd->bsr", x, A.astype(x.dtype))
+    return (jnp.einsum("bsr,bor->bso", t, Bm.astype(x.dtype))
             * layer_s[lora_idx].astype(x.dtype))   # (B,1,1) broadcasts

@@ -34,11 +34,11 @@ from ..models.llama import (
     apply_rope,
     embed_tokens,
     lm_head,
+    proj,
     rms_norm,
     rope_cos_sin,
 )
 from ..ops.attention import attention_reference
-from ..ops.quant import dequantize_array as _w
 
 
 class PagedKVCache(NamedTuple):
@@ -147,13 +147,13 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         lp_slices = pack_layer_slices(lora_pack)
 
         def mm(x, w_leaf, la_xs, key):
-            return x @ _w(w_leaf) + lora_delta(
+            return proj(x, w_leaf) + lora_delta(
                 x, la_xs.a[key], la_xs.b[key], la_xs.s[key], lora_idx)
     else:
         lp_slices = None
 
         def mm(x, w_leaf, la_xs, key):
-            return x @ _w(w_leaf)
+            return proj(x, w_leaf)
 
     def body(h, xs):
         lp, k_pool, v_pool, la_xs = xs

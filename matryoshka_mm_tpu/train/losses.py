@@ -85,9 +85,8 @@ def chunked_token_cross_entropy(hidden: jnp.ndarray, lm_head_w,
     reduces to per-token CE, and the logits are freed.  Returns
     ((B, S-1) ce, (B, S-1) valid) matching :func:`token_cross_entropy`.
     """
-    from ..ops.quant import dequantize_array
+    from ..models.llama import proj
 
-    w = dequantize_array(lm_head_w)
     B, S, D = hidden.shape
     shift_hidden = hidden[:, :-1, :]
     shift_labels = labels[..., 1:]
@@ -102,7 +101,7 @@ def chunked_token_cross_entropy(hidden: jnp.ndarray, lm_head_w,
 
     def body(carry, hl):
         hc, lc = hl
-        logits = (hc @ w).astype(jnp.float32)          # (B, chunk, V)
+        logits = proj(hc, lm_head_w).astype(jnp.float32)   # (B, chunk, V)
         valid = lc != IGNORE_INDEX
         safe = jnp.clip(jnp.where(valid, lc, 0), 0, logits.shape[-1] - 1)
         logprobs = jax.nn.log_softmax(logits, axis=-1)

@@ -149,12 +149,13 @@ def test_chunked_ce_matches_unchunked():
     rng = np.random.default_rng(7)
     Bc, Sc, D, Vc = 2, 11, 8, 13
     hidden = jnp.asarray(rng.standard_normal((Bc, Sc, D)).astype(np.float32))
-    w = jnp.asarray(rng.standard_normal((D, Vc)).astype(np.float32))
+    # lm head stored (vocab, D) — torch orientation (models/llama.py)
+    w = jnp.asarray(rng.standard_normal((Vc, D)).astype(np.float32))
     labels = rng.integers(0, Vc, (Bc, Sc)).astype(np.int32)
     labels[:, :3] = IGNORE_INDEX
     labels = jnp.asarray(labels)
 
-    logits = (hidden @ w).astype(jnp.float32)
+    logits = (hidden @ w.T).astype(jnp.float32)
     want_ce, want_valid = L.token_cross_entropy(logits, labels)
     got_ce, got_valid = L.chunked_token_cross_entropy(hidden, w, labels, chunk=4)
     np.testing.assert_allclose(np.asarray(got_ce), np.asarray(want_ce), atol=1e-5)

@@ -19,10 +19,11 @@ def test_quantize_roundtrip_error():
     q = quantize_array(jnp.asarray(w))
     assert is_quantized(q)
     deq = np.asarray(dequantize_array(q, jnp.float32))
-    # per-channel int8: relative error bounded by half a quantization step
-    col_max = np.abs(w).max(axis=0)
-    np.testing.assert_array_less(np.abs(deq - w).max(axis=0),
-                                 col_max / 127.0 + 1e-6)
+    # per-output-channel int8 (weights stored (out, in), scale over in):
+    # relative error bounded by half a quantization step
+    row_max = np.abs(w).max(axis=1)
+    np.testing.assert_array_less(np.abs(deq - w).max(axis=1),
+                                 row_max / 127.0 + 1e-6)
 
 
 def test_quantized_llama_runs_and_matches():
@@ -59,13 +60,13 @@ def test_int4_roundtrip():
 
     w = np.random.default_rng(3).standard_normal((64, 128)).astype(np.float32)
     q = quantize_array_int4(jnp.asarray(w))
-    assert q["qint4"].shape == (32, 128)  # packed pairs
+    assert q["qint4"].shape == (64, 64)  # pairs packed along the in dim
     deq = np.asarray(dequantize_array(q, jnp.float32))
     assert deq.shape == w.shape
-    # int4: error bounded by half a step of the per-channel scale
-    col_max = np.abs(w).max(axis=0)
-    np.testing.assert_array_less(np.abs(deq - w).max(axis=0),
-                                 col_max / 7.0 + 1e-6)
+    # int4: error bounded by half a step of the per-output-channel scale
+    row_max = np.abs(w).max(axis=1)
+    np.testing.assert_array_less(np.abs(deq - w).max(axis=1),
+                                 row_max / 7.0 + 1e-6)
 
 
 def test_int4_stacked_and_memory():

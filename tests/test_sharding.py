@@ -32,8 +32,9 @@ def test_param_shardings_rules(mesh8):
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     sh = param_shardings(mesh8, params)
     q = sh["llama"]["layers"]["self_attn"]["q_proj"]
-    # stacked layer leaf: (n_layers, D, H*Dh) -> (None, 'data', 'model')
-    assert q.spec == P(None, "data", "model")
+    # stacked layer leaf, (out, in) storage: (n_layers, H*Dh, D) ->
+    # (None, 'model', 'data')
+    assert q.spec == P(None, "model", "data")
     assert sh["llama"]["norm"].spec in (P(), P(None))
 
 
