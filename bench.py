@@ -75,6 +75,60 @@ def _train_bench():
     }
 
 
+def _cpu_reference_tok_s(cfg, n_steps: int = 2):
+    """Measured CPU-host reference: the IDENTICAL jitted decode graph
+    (embed -> stacked-layer scan -> lm_head, _decode_chunk_fn) run on the
+    CPU backend with the same 7B shapes, extrapolated from ``n_steps``
+    decode steps.  This replaces the earlier hand-estimated 3.5 tok/s
+    figure — BASELINE.md's north-star is >=5x *measured* CPU-reference
+    throughput per chip.
+
+    Two deliberate choices that both FAVOR the CPU baseline (i.e. make the
+    reported ratio conservative):
+    * f32 weights: XLA-CPU bf16 matvecs are emulated (~0.7GB/s measured on
+      this host vs 8.4GB/s for f32), so f32 is the CPU deployment a user
+      would actually run;
+    * zero-init weights (timing is weight-value independent; 27GB of f32
+      PRNG on one core would dominate the bench wall-clock).
+
+    Weights live on the CPU backend (cross-backend device transfers are
+    unsupported on the tunneled-TPU platform, so nothing is reused from
+    the TPU run)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from matryoshka_mm_tpu.generate import GenerationConfig, _decode_chunk_fn
+    from matryoshka_mm_tpu.models.llama import init_kv_cache, init_llama_params
+
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, dtype="float32"))
+    cpu = jax.devices("cpu")[0]
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=n_steps)
+    with jax.default_device(cpu):
+        shapes = jax.eval_shape(lambda k: init_llama_params(k, cfg.llama),
+                                jax.random.PRNGKey(0))
+        params = {"llama": jax.tree.map(
+            lambda s: jnp.zeros(s.shape, s.dtype), shapes)}
+        cache = init_kv_cache(cfg.llama, 1, 320)
+        cache = cache._replace(write_idx=jnp.asarray(256, jnp.int32))
+        decode = _decode_chunk_fn(cfg, gen_cfg, n_steps)
+        # donated cache: keep a second copy for the timed call
+        cache2 = jax.tree.map(lambda x: x + 0, cache)
+        out = decode(params, cache, jnp.zeros((1,), jnp.int32),
+                     jnp.full((1,), 256, jnp.int32), jnp.zeros((1,), bool),
+                     jax.random.PRNGKey(0))         # compile + warm
+        _ = np.asarray(jax.device_get(out[1]))
+        t0 = time.perf_counter()
+        out = decode(params, cache2, jnp.zeros((1,), jnp.int32),
+                     jnp.full((1,), 256, jnp.int32), jnp.zeros((1,), bool),
+                     jax.random.PRNGKey(0))
+        _ = np.asarray(jax.device_get(out[1]))
+        dt = time.perf_counter() - t0
+    return n_steps / dt
+
+
 def main():
     import jax
     import jax.numpy as jnp
@@ -166,21 +220,15 @@ def main():
             "decode_tok_s": round(tok_per_sec, 2),
         }
         del cache, c
-    # --------------------------------------------------------------
-    # 3) int8 weights: single-stream + batched decode (serving config)
-    # bf16 at B>=2 OOMs: the chunked scan-over-steps program hoists
-    # layout-converted copies of the stacked q/k/v weights (~1GB each)
-    # out of the steps loop (a single B=2 step compiles with 0 temps;
-    # XLA can't propagate the loop body's preferred layout to program
-    # inputs across the loop boundary), and 13.5GB of weights leaves no
-    # headroom. int8 (load_8bit) is the continuous-batching deployment.
-    # --------------------------------------------------------------
-    from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
 
-    params["llama"] = quantize_llama_params_inplace(params["llama"])
-
-    for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4"),
-                   (8, "int8_decode_tok_s_b8")):
+    # --------------------------------------------------------------
+    # 3) batched decode (continuous-batching serving config).
+    # bf16 at B>=2 works since weights moved to (out, in) storage (the
+    # (in, out) layout made XLA hoist ~3GB of layout-converted stacked
+    # weight copies out of the steps loop — models/llama.py docstring);
+    # int8 (load_8bit) remains the high-throughput deployment.
+    # --------------------------------------------------------------
+    def _batched_decode(tag, B):
         numtoks = 144
         L = -(-(T - 1 + numtoks) // 64) * 64
         capacity = L + gen_cfg.max_new_tokens
@@ -202,7 +250,16 @@ def main():
         _ = np.asarray(jax.device_get(tok))
         dt = time.perf_counter() - t0
         results[tag] = round(B * 64 / dt, 2)
-        del cache, c
+
+    _batched_decode("bf16_decode_tok_s_b4", 4)
+
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
+
+    params["llama"] = quantize_llama_params_inplace(params["llama"])
+
+    for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4"),
+                   (8, "int8_decode_tok_s_b8")):
+        _batched_decode(tag, B)
     del params
 
     # --------------------------------------------------------------
@@ -246,15 +303,26 @@ def main():
         results["train"] = {"error": str(e)[:200]}
 
     headline = scale_metrics["144"]["decode_tok_s"]
-    # BASELINE north-star: >=5x CPU-reference throughput per chip.  A 7B
-    # bf16 decode step moves ~14GB of weights; a CPU host (~50GB/s memory
-    # bandwidth) tops out near 3.5 tok/s, so the 5x target is ~17.5 tok/s.
-    target = 17.5
+    # BASELINE north-star: >=5x MEASURED CPU-reference throughput per chip.
+    # The CPU reference is the identical jitted decode graph on the host
+    # CPU backend (few steps, extrapolated).
+    if platform == "cpu":
+        cpu_tok_s = headline  # bench itself ran on CPU; ratio is 1 by def.
+    else:
+        try:
+            cpu_tok_s = _cpu_reference_tok_s(cfg)
+        except Exception as e:
+            results["cpu_reference_error"] = str(e)[:200]
+            cpu_tok_s = None
+    if cpu_tok_s:
+        results["cpu_reference_decode_tok_s"] = round(cpu_tok_s, 3)
+    results["baseline_note"] = ("vs_baseline = tpu tok/s / measured cpu "
+                                "tok/s; north-star target is >= 5.0")
     print(json.dumps({
         "metric": "decode_tokens_per_sec (llava-v1.5-7b-m3, scale=144, 1 chip)",
         "value": headline,
         "unit": "tok/s",
-        "vs_baseline": round(headline / target, 2),
+        "vs_baseline": round(headline / cpu_tok_s, 2) if cpu_tok_s else None,
         "detail": results,
     }))
 

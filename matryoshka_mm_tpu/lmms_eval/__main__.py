@@ -20,6 +20,10 @@ def main():
     parser.add_argument("--matryoshka_vis_token_scale", type=str, default=None)
     parser.add_argument("--list_tasks", action="store_true")
     parser.add_argument("--check_integrity", action="store_true")
+    parser.add_argument("--wandb_args", type=str, default=None,
+                        help="log results/samples tables, e.g. "
+                             "'project=lmms-eval,name=run1' (reference: "
+                             "logging_utils.py WandbLogger)")
     args = parser.parse_args()
 
     from .api.registry import list_tasks
@@ -54,6 +58,21 @@ def main():
         with open(args.output_path, "w") as f:
             json.dump(results, f, indent=2, default=str)
         print(f"wrote {args.output_path}")
+    if args.wandb_args is not None:
+        from .logging_utils import EvalLogger
+
+        kw = dict(p.split("=", 1) for p in args.wandb_args.split(",") if p)
+        logger = EvalLogger(
+            project=kw.get("project", "lmms-eval"),
+            name=kw.get("name"),
+            config=vars(args),
+            output_dir=kw.get("dir", os.path.dirname(args.output_path or "")
+                              or "./logs"))
+        logger.post_init(results)
+        logger.log_eval_result()
+        if args.log_samples:
+            logger.log_eval_samples(results.get("samples", {}))
+        logger.finish()
 
 
 if __name__ == "__main__":

@@ -10,8 +10,17 @@ from typing import Callable, Dict, List
 import numpy as np
 
 
-def exact_match(gold: str, pred: str) -> float:
-    return float(gold.strip().lower() == pred.strip().lower())
+def exact_match(gold: str, pred: str, ignore_case: bool = True,
+                ignore_punctuation: bool = False) -> float:
+    """String equality with the reference's metric options
+    (e.g. tasks/realworldqa: ignore_case + ignore_punctuation)."""
+    g, p = str(gold).strip(), str(pred).strip()
+    if ignore_case:
+        g, p = g.lower(), p.lower()
+    if ignore_punctuation:
+        g = re.sub(r"[^\w\s]", "", g).strip()
+        p = re.sub(r"[^\w\s]", "", p).strip()
+    return float(g == p)
 
 
 def anls(gold_list: List[str], pred: str) -> float:
@@ -84,6 +93,58 @@ def multiple_choice_index(gold, pred: str) -> float:
     return float(ord(m.group(1).upper()) - ord("A") == int(str(gold).strip()))
 
 
+def squad_f1(gold, pred: str) -> float:
+    """SQuAD-style token F1 (WebSRC; reference: tasks/websrc/utils.py)."""
+    golds = gold if isinstance(gold, list) else [gold]
+
+    def norm(s):
+        return re.sub(r"[^a-z0-9 ]", "", str(s).lower()).split()
+
+    p = norm(pred)
+    best = 0.0
+    for g in golds:
+        gt = norm(g)
+        common = 0
+        used = list(gt)
+        for t in p:
+            if t in used:
+                used.remove(t)
+                common += 1
+        if common == 0:
+            continue
+        prec, rec = common / len(p), common / len(gt)
+        best = max(best, 2 * prec * rec / (prec + rec))
+    return best
+
+
+def bleu4(gold, pred: str) -> float:
+    """Caption BLEU-4 against one or many references (TextCaps/COCO-style;
+    reference: lmms-eval caption tasks via pycocoevalcap, compact
+    implementation shared with eval/m4c_evaluator.py)."""
+    from ...eval.m4c_evaluator import TextCapsBleu4Evaluator
+
+    golds = gold if isinstance(gold, list) else [gold]
+    ev = TextCapsBleu4Evaluator()
+    return ev.eval_pred_list(
+        [{"pred_answer": str(pred), "gt_answers": [str(g) for g in golds]}])
+
+
+def gpt4_judge(gold, pred: str) -> float:
+    """API-gated GPT judge (reference: mmvet/llava-in-the-wild tasks score
+    via GPT-4).  Requires an OpenAI-compatible endpoint; raises a clear
+    error offline instead of silently mis-scoring."""
+    from ...eval.gpt_review import openai_chat_fn
+
+    chat = openai_chat_fn()  # raises RuntimeError without OPENAI_API_KEY
+    golds = gold if isinstance(gold, list) else [gold]
+    out = chat(
+        "You are grading a model answer against a reference. Reply with a "
+        "single number between 0.0 and 1.0 on the first line.",
+        f"Reference: {golds[0]}\nModel answer: {pred}\nScore:")
+    m = re.search(r"([01](?:\.\d+)?)", out)
+    return float(m.group(1)) if m else 0.0
+
+
 METRICS: Dict[str, Callable] = {
     "relaxed_accuracy": relaxed_accuracy,
     "contains_match": contains_match,
@@ -93,6 +154,9 @@ METRICS: Dict[str, Callable] = {
     "vqa_accuracy": vqa_accuracy,
     "pope_yes_no": pope_yes_no,
     "multiple_choice_letter": multiple_choice_letter,
+    "bleu4": bleu4,
+    "gpt4_judge": gpt4_judge,
+    "squad_f1": squad_f1,
 }
 
 AGGREGATIONS = {

@@ -13,6 +13,13 @@ A task config provides:
   generation_kwargs: forwarded to model.generate
   metric_list:       [{metric: name, aggregation: mean, higher_is_better: true}]
   output_type:       'generate_until' (default) | 'loglikelihood'
+  doc_to_choice:     doc field holding the multiple-choice options
+  filter_list:       answer-extraction pipelines (filters package); each
+                     entry {name, filter: [{function, **kwargs}]} becomes a
+                     FilterEnsemble scored separately as "metric,name"
+  num_fewshot:       few-shot example count (api/samplers.py)
+  fewshot_split:     key/split for few-shot docs; fewshot_config.sampler
+                     picks 'default' (random) or 'first_n'
 """
 
 from __future__ import annotations
@@ -90,28 +97,93 @@ class ConfigurableTask:
             return _FMT.vformat(tgt, (), doc)
         return doc.get(tgt, tgt)
 
+    def doc_to_choice(self, doc: dict) -> Optional[list]:
+        field = self.config.get("doc_to_choice")
+        if field is None:
+            return None
+        if isinstance(field, list):
+            return field
+        return doc.get(field)
+
+    # ---- few-shot (reference: api/samplers.py via task.py fewshot_context) ----
+    def _fewshot_sampler(self, seed: int = 1234):
+        import random
+
+        from .samplers import get_sampler
+
+        n = int(self.config.get("num_fewshot", 0) or 0)
+        if n <= 0:
+            return None, 0
+        split = self.config.get("fewshot_split")
+        pool = self.docs() if split in (None, self.config.get("test_split")) \
+            else self._split_docs(split)
+        name = (self.config.get("fewshot_config") or {}).get("sampler",
+                                                             "default")
+        return get_sampler(name)(pool, self, random.Random(seed)), n
+
+    def _split_docs(self, split: str) -> List[dict]:
+        path = self.config["dataset_path"]
+        if os.path.exists(path) and not path.endswith(".jsonl"):
+            with open(path) as f:
+                data = json.load(f)
+            if isinstance(data, dict) and split in data:
+                return data[split]
+        import datasets
+
+        ds = datasets.load_dataset(path, self.config.get("dataset_name"),
+                                   split=split)
+        return list(ds)
+
     # ---- instances ----
-    def build_instances(self, limit: Optional[int] = None) -> List[Instance]:
+    def build_instances(self, limit: Optional[int] = None,
+                        seed: int = 1234) -> List[Instance]:
         gen_kwargs = self.config.get("generation_kwargs",
                                      {"max_new_tokens": 16, "temperature": 0.0})
+        sampler, n_shot = self._fewshot_sampler(seed)
         out = []
         for i, doc in enumerate(self.docs(limit)):
+            text = self.doc_to_text(doc)
+            if sampler is not None:
+                text = sampler.get_context(doc, n_shot) + text
             out.append(Instance(
                 request_type=self.output_type,
                 doc=doc,
-                arguments=(self.doc_to_text(doc), dict(gen_kwargs),
-                           self.doc_to_visual(doc)),
+                arguments=(text, dict(gen_kwargs), self.doc_to_visual(doc)),
                 idx=0, task_name=self.task_name, doc_id=i))
         return out
 
+    # ---- filters (reference: api/task.py apply_filters + filters/) ----
+    def filter_ensembles(self):
+        from ..filters import build_filter_ensemble
+
+        spec = self.config.get("filter_list")
+        if not spec:
+            return [build_filter_ensemble("none", [("take_first", None)])]
+        ensembles = []
+        for entry in spec:
+            ensembles.append(build_filter_ensemble(
+                entry["name"], list(entry["filter"])))
+        return ensembles
+
+    def apply_filters(self, instances: List[Instance]):
+        ensembles = self.filter_ensembles()
+        for ens in ensembles:
+            ens.apply(instances)
+        return [e.name for e in ensembles]
+
     # ---- scoring ----
+    _METRIC_META = ("metric", "aggregation", "higher_is_better")
+
     def process_results(self, doc: dict, result: str) -> Dict[str, float]:
         target = self.doc_to_target(doc)
         scores = {}
         for m in self.config.get("metric_list", [{"metric": "exact_match"}]):
             name = m["metric"]
             fn = METRICS[name]
-            scores[name] = fn(target, result)
+            # extra YAML keys (ignore_case, ignore_punctuation, ...) pass
+            # through as metric options (reference: metric_list kwargs)
+            kwargs = {k: v for k, v in m.items() if k not in self._METRIC_META}
+            scores[name] = fn(target, result, **kwargs)
         return scores
 
     def aggregate(self, per_doc: List[Dict[str, float]]) -> Dict[str, Any]:

@@ -46,23 +46,36 @@ def simple_evaluate(
     results: Dict[str, Any] = {"results": {}, "configs": {}, "samples": {}}
     for task_name in tasks or []:
         task = ConfigurableTask(get_task(task_name))
-        instances = task.build_instances(limit)
+        instances = task.build_instances(limit, seed=seed)
         t0 = time.time()
         if task.output_type == "generate_until":
             responses = lm.generate_until(instances)
         else:
             responses = lm.loglikelihood(instances)
-        per_doc = []
-        samples = []
         for inst, resp in zip(instances, responses):
-            scores = task.process_results(
-                inst.doc, resp if isinstance(resp, str) else resp[0])
-            per_doc.append(scores)
-            if log_samples:
-                samples.append({"doc_id": inst.doc_id, "resp": resp,
-                                "scores": scores})
-        agg = task.aggregate(per_doc)
-        agg["samples"] = len(per_doc)
+            inst.resps = list(resp) if isinstance(resp, (list, tuple)) \
+                else [resp]
+        # answer-extraction pipelines (reference: task.apply_filters);
+        # each ensemble is scored separately, keyed "metric,name" ("none"
+        # keeps the bare metric name)
+        ens_names = task.apply_filters(instances)
+        agg: Dict[str, Any] = {}
+        samples = []
+        for ens in ens_names:
+            per_doc = []
+            for inst in instances:
+                filtered = inst.filtered_resps[ens]
+                if isinstance(filtered, list):
+                    filtered = filtered[0] if filtered else ""
+                per_doc.append(task.process_results(inst.doc, filtered))
+                if log_samples and ens == ens_names[0]:
+                    samples.append({"doc_id": inst.doc_id,
+                                    "resps": inst.resps,
+                                    "filtered": inst.filtered_resps,
+                                    "scores": per_doc[-1]})
+            for k, v in task.aggregate(per_doc).items():
+                agg[k if ens == "none" else f"{k},{ens}"] = v
+        agg["samples"] = len(instances)
         agg["time_s"] = round(time.time() - t0, 1)
         results["results"][task_name] = agg
         results["configs"][task_name] = task.config
@@ -104,13 +117,18 @@ def check_integrity(tasks: Optional[List[str]] = None) -> List[str]:
 
 
 def make_table(results: Dict[str, Any]) -> str:
-    """Rank-0 results table (reference: lmms-eval __main__ output)."""
-    lines = [f"{'Task':<20} {'Metric':<24} {'Value':>10} {'Stderr':>10} {'N':>6}"]
+    """Rank-0 results table (reference: lmms-eval __main__ output).
+
+    Metric keys are ``metric`` or ``metric,ensemble``; stderr keys carry
+    the ``_stderr`` suffix on the metric part."""
+    lines = [f"{'Task':<20} {'Metric':<28} {'Value':>10} {'Stderr':>10} {'N':>6}"]
     for task, agg in results["results"].items():
         for k, v in agg.items():
-            if k.endswith("_stderr") or k in ("samples", "time_s"):
+            if "_stderr" in k or k in ("samples", "time_s"):
                 continue
-            stderr = agg.get(f"{k}_stderr", 0.0)
-            lines.append(f"{task:<20} {k:<24} {v:>10.4f} {stderr:>10.4f} "
+            metric, _, ens = k.partition(",")
+            skey = f"{metric}_stderr,{ens}" if ens else f"{metric}_stderr"
+            stderr = agg.get(skey, 0.0)
+            lines.append(f"{task:<20} {k:<28} {v:>10.4f} {stderr:>10.4f} "
                          f"{agg['samples']:>6}")
     return "\n".join(lines)

@@ -119,8 +119,8 @@ def test_batched_adapter_matches_serial(tmp_path):
                          model_args="pretrained=debug://tiny,batch_size=1", **kw)
     r2 = simple_evaluate(model="llava",
                          model_args="pretrained=debug://tiny,batch_size=2", **kw)
-    t1 = [s["resp"] for s in r1["samples"]["toy_batch"]]
-    t2 = [s["resp"] for s in r2["samples"]["toy_batch"]]
+    t1 = [s["resps"] for s in r1["samples"]["toy_batch"]]
+    t2 = [s["resps"] for s in r2["samples"]["toy_batch"]]
     assert t1 == t2
 
 
@@ -146,3 +146,154 @@ def test_check_integrity():
         "metric_list": [{"metric": "nope"}]})
     problems = check_integrity(["broken_task"])
     assert problems and "unknown metric" in problems[0]
+
+
+def test_filters_registry_and_semantics():
+    from matryoshka_mm_tpu.lmms_eval.filters import (
+        FILTER_REGISTRY, MajorityVoteFilter, MapFilter,
+        MultiChoiceRegexFilter, RegexFilter, TakeFirstFilter, TakeKFilter,
+        WhitespaceFilter, build_filter_ensemble)
+
+    for name in ("take_first", "take_first_k", "majority_vote", "regex",
+                 "multi_choice_regex", "remove_whitespace", "lowercase",
+                 "uppercase", "map"):
+        assert name in FILTER_REGISTRY
+
+    docs = [{}, {}]
+    assert TakeFirstFilter().apply([["a", "b"], ["c"]], docs) == ["a", "c"]
+    assert TakeKFilter(k=2).apply([["a", "b", "c"]], [{}]) == [["a", "b"]]
+    assert MajorityVoteFilter().apply([["x", "y", "x"]], [{}]) == [["x"]]
+    assert WhitespaceFilter().apply([[" hi", "hi"]], [{}]) == [["hi", "hi"]]
+    assert MapFilter(mapping_dict={"yes": 1}, default_value=0).apply(
+        [["yes", "nah"]], [{}]) == [[1, 0]]
+
+    # gsm8k-style number extraction
+    f = RegexFilter()
+    assert f.apply([["blah #### 42"], ["no answer"]], docs) == \
+        [["42"], ["[invalid]"]]
+
+
+def test_multi_choice_regex_fallbacks():
+    from matryoshka_mm_tpu.lmms_eval.filters import MultiChoiceRegexFilter
+
+    f = MultiChoiceRegexFilter(regex_pattern=r"(\([A-Z]\))",
+                               ignore_case=True, ignore_punctuation=True)
+    doc = {"choices": ["red apple", "green pear", "yellow banana"]}
+    # 1) direct letter match
+    assert f.apply([["The answer is (B)."]], [doc]) == [["(B)"]]
+    # 2) verbatim choice text -> mapped to its letter
+    assert f.apply([["I think it's a green pear!"]], [doc]) == [["(B)"]]
+    # 3) bare trailing letter
+    assert f.apply([["Answer: C"]], [doc]) == [["(C)"]]
+    # 4) nothing -> fallback
+    assert f.apply([["dunno"]], [doc]) == [["[invalid]"]]
+    # docs without a choices field still use the base regex
+    assert f.apply([["pick (A) ok"]], [{}]) == [["(A)"]]
+
+
+def test_filter_ensemble_from_yaml_spec(tmp_path):
+    """End-to-end: a task with filter_list scores the extracted answer,
+    not the raw free-form output (the MMMU mis-scoring case)."""
+    import json
+
+    from matryoshka_mm_tpu.lmms_eval.api.registry import register_task
+    from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+
+    docs = [{"question": "Which?", "answer": "B",
+             "choices": ["cat", "dog", "bird"]}]
+    dpath = tmp_path / "d.json"
+    with open(dpath, "w") as f:
+        json.dump(docs, f)
+    cfg = {
+        "task": "toy_mc", "dataset_path": str(dpath),
+        "doc_to_text": "{question}", "doc_to_target": "answer",
+        "doc_to_choice": "choices",
+        "filter_list": [
+            {"name": "flexible-extract",
+             "filter": [{"function": "multi_choice_regex",
+                         "regex_pattern": r"(\([A-Z]\))",
+                         "ignore_case": True}]}],
+        "metric_list": [{"metric": "multiple_choice_letter"}],
+    }
+    task = ConfigurableTask(cfg)
+    instances = task.build_instances()
+    instances[0].resps = ["I believe the answer is a dog here."]
+    names = task.apply_filters(instances)
+    assert names == ["flexible-extract"]
+    assert instances[0].filtered_resps["flexible-extract"] == ["(B)"]
+    scores = task.process_results(
+        instances[0].doc, instances[0].filtered_resps["flexible-extract"][0])
+    assert scores["multiple_choice_letter"] == 1.0
+
+
+def test_fewshot_samplers():
+    import random
+
+    from matryoshka_mm_tpu.lmms_eval.api.samplers import (
+        ContextSampler, FirstNSampler, get_sampler)
+    from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+
+    docs = [{"q": f"q{i}", "a": f"a{i}"} for i in range(6)]
+    task = ConfigurableTask({
+        "task": "fs", "dataset_path": "unused", "doc_to_text": "{q}",
+        "doc_to_target": "a", "test_split": "test",
+        "fewshot_split": "train", "metric_list": [{"metric": "exact_match"}]})
+    s = FirstNSampler(docs, task, random.Random(0))
+    ctx = s.get_context(docs[5], 2)
+    assert ctx == "q0 a0\n\nq1 a1\n\n"
+    # random sampler excludes the doc under evaluation when splits match
+    task.config["fewshot_split"] = "test"
+    r = ContextSampler(docs, task, random.Random(0))
+    ctx = r.get_context(docs[0], 3)
+    assert "q0 a0" not in ctx and ctx.endswith("\n\n")
+    assert get_sampler("first_n") is FirstNSampler
+
+
+def test_fewshot_in_build_instances(tmp_path):
+    import json
+
+    from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+
+    data = {"test": [{"q": "Q", "a": "A"}],
+            "train": [{"q": f"t{i}", "a": f"x{i}"} for i in range(3)]}
+    dpath = tmp_path / "d.json"
+    with open(dpath, "w") as f:
+        json.dump(data, f)
+    task = ConfigurableTask({
+        "task": "fs2", "dataset_path": str(dpath), "test_split": "test",
+        "fewshot_split": "train", "num_fewshot": 2,
+        "fewshot_config": {"sampler": "first_n"},
+        "doc_to_text": "{q}", "doc_to_target": "a",
+        "metric_list": [{"metric": "exact_match"}]})
+    insts = task.build_instances()
+    assert insts[0].arguments[0] == "t0 x0\n\nt1 x1\n\nQ"
+
+
+def test_eval_logger_writes_tables(tmp_path):
+    from matryoshka_mm_tpu.lmms_eval.logging_utils import EvalLogger
+
+    results = {"results": {"toy": {
+        "exact_match": 0.5, "exact_match_stderr": 0.1,
+        "acc,flex": 0.75, "acc_stderr,flex": 0.05,
+        "samples": 4, "time_s": 1.0}}}
+    logger = EvalLogger(project="t", name="r", output_dir=str(tmp_path))
+    logger.post_init(results)
+    rows = logger.log_eval_result()
+    logger.log_eval_samples({"toy": [{"doc_id": 0, "resps": ["a"]}]})
+    logger.finish()
+    assert {(r["metric"], r["filter"]) for r in rows} == \
+        {("exact_match", "none"), ("acc", "flex")}
+    assert (tmp_path / "results.jsonl").exists()
+    assert (tmp_path / "results.tsv").exists()
+    assert (tmp_path / "samples_toy.jsonl").exists()
+
+
+def test_squad_f1_and_bleu4_metrics():
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import bleu4, squad_f1
+
+    assert squad_f1("the red cat", "red cat") == pytest.approx(0.8)
+    assert squad_f1(["a b", "c"], "c") == 1.0
+    assert squad_f1("x", "totally wrong") == 0.0
+    assert bleu4("a cat sits on the mat quietly today",
+                 "a cat sits on the mat quietly today") == pytest.approx(1.0)
+    assert bleu4("a cat sits on the mat", "dog") < 0.1
