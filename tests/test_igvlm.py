@@ -57,3 +57,115 @@ def test_video_frames_roundtrip(tmp_path):
     assert len(frames) == 6
     img = video_to_grid_image(path, 6)
     assert img.size == (32 * 3, 24 * 2)
+
+
+def _fake_judge(calls, response="{'pred': 'yes', 'score': 4}"):
+    def judge(messages):
+        calls.append(messages)
+        return response
+    return judge
+
+
+def test_parse_judge_response():
+    from matryoshka_mm_tpu.igvlm.evaluation import parse_judge_response
+
+    assert parse_judge_response("{'pred': 'yes', 'score': 4}") == \
+        {"pred": "yes", "score": 4}
+    # trailing period + doubled quote tolerance
+    assert parse_judge_response("{''score': 3}.") == {"score": 3}
+    # malformed output salvaged by regex
+    out = parse_judge_response("Sure! pred: yes, score: 5")
+    assert out == {"pred": "yes", "score": 5.0}
+
+
+def test_gpt_judge_resume(tmp_path):
+    """Interrupted judge runs resume: cached per-question files are not
+    re-queried, and an existing result.csv short-circuits entirely."""
+    pd = pytest.importorskip("pandas")
+    from matryoshka_mm_tpu.igvlm.evaluation import eval_gpt3, summarize_judge
+
+    df = pd.DataFrame([
+        {"question_id": i, "question": f"q{i}", "answer": "a cat",
+         "pred": "a small cat"} for i in range(4)])
+    calls = []
+    out_dir = str(tmp_path / "judge")
+    df1, path1 = eval_gpt3(df, out_dir, judge=_fake_judge(calls))
+    assert len(calls) == 4
+    assert (df1["gpt3_pred"] == "yes").all()
+    assert summarize_judge(df1) == {"accuracy": 1.0, "score": 4.0}
+
+    # result.csv exists -> no new judge calls at all
+    df2, _ = eval_gpt3(df, out_dir, judge=_fake_judge(calls))
+    assert len(calls) == 4
+
+    # partial resume: drop result.csv and one cached response
+    import os
+    os.remove(path1)
+    os.remove(os.path.join(out_dir, "2.txt"))
+    df3, _ = eval_gpt3(df, out_dir, judge=_fake_judge(calls))
+    assert len(calls) == 5          # only the missing row re-queried
+    assert df3["gpt3_score"].astype(float).tolist() == [4.0] * 4
+
+
+def test_gpt_judge_consistency(tmp_path):
+    pd = pytest.importorskip("pandas")
+    from matryoshka_mm_tpu.igvlm.evaluation import eval_gpt3_consistency
+
+    df1 = pd.DataFrame([{"question_id": 0, "question": "what is shown?",
+                         "answer": "a dog", "pred": "a dog runs"}])
+    df2 = pd.DataFrame([{"question_id": 0, "question": "describe the scene",
+                         "answer": "a dog", "pred": "a running dog"}])
+    calls = []
+    df, path = eval_gpt3_consistency(df1, df2, str(tmp_path / "co"),
+                                     judge=_fake_judge(calls, "{'score': 5}"))
+    assert len(calls) == 1
+    user = calls[0][1]["content"]
+    assert "Question 1: what is shown?" in user
+    assert "Question 2: describe the scene" in user
+    assert "Predicted Answer to Question 2: a running dog" in user
+    assert float(df.loc[0, "gpt3_score"]) == 5.0
+
+
+def test_judge_rubric_dimensions():
+    from matryoshka_mm_tpu.igvlm.evaluation import (EvaluationType,
+                                                    make_messages)
+
+    for et, needle in [(EvaluationType.CORRECTNESS, "factual"),
+                       (EvaluationType.DETAILED_ORIENTATION, "detail"),
+                       (EvaluationType.CONTEXT, "context"),
+                       (EvaluationType.TEMPORAL, "temporal")]:
+        msgs = make_messages("q", "a", "p", et)
+        assert needle in msgs[0]["content"].lower()
+        assert "'score'" in msgs[1]["content"]
+    default = make_messages("q", "a", "p")
+    assert "'pred'" in default[1]["content"]
+
+
+def test_openended_entry_end_to_end(tmp_path):
+    """Full open-ended run: tiny video -> grid -> debug model -> fake judge."""
+    pd = pytest.importorskip("pandas")
+    cv2 = pytest.importorskip("cv2")
+    from matryoshka_mm_tpu.igvlm.eval_llava_openended import build_parser, run
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    path = str(vdir / "v0.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    for i in range(12):
+        w.write(np.full((24, 32, 3), i * 20 % 255, np.uint8))
+    w.release()
+
+    qa = tmp_path / "qa.csv"
+    pd.DataFrame([{"question_id": 0, "video_name": "v0.mp4",
+                   "question": "what happens", "answer": "flicker"}]) \
+        .to_csv(qa, index=False)
+
+    args = build_parser().parse_args([
+        "--path_qa_pair_csv", str(qa), "--path_video", str(vdir),
+        "--path_result", str(tmp_path / "out"),
+        "--matryoshka_vis_token_scale", "ver=v0_numtoks=4"])
+    calls = []
+    df, summary = run(args, judge=_fake_judge(calls))
+    assert len(calls) == 1
+    assert summary["accuracy"] == 1.0 and summary["score"] == 4.0
+    assert "pred" in df.columns
