@@ -229,8 +229,64 @@ def preprocess_plain(sources, tokenizer) -> Dict:
     return dict(input_ids=input_ids, labels=targets)
 
 
+def preprocess_add_speaker_and_signal(sources, tokenizer,
+                                      has_image: bool = False) -> Dict:
+    """v0-template fallback (reference: train.py:319-337
+    ``_add_speaker_and_signal`` + train.py:662-687): every round is
+    rendered as ``### <role>: <text>\\n`` after the system header, the
+    whole conversation ends with a dangling ``### ``, and human rounds
+    are masked (the ``### `` signal prefix of each round stays visible —
+    the reference masks from offset +2 inside the round)."""
+    BEGIN, END = "### ", "\n"
+    conv = conversation_lib.default_conversation
+    role_of = {"human": conv.roles[0], "gpt": conv.roles[1]}
+
+    headers, rendered = [], []
+    for source in sources:
+        header = f"{conv.system}\n\n"
+        rounds = [
+            BEGIN + role_of.get(s["from"].lower(), "unknown") + ": "
+            + s["value"] + END
+            for s in source
+        ]
+        headers.append(header)
+        rendered.append((header + "".join(rounds) + BEGIN, rounds))
+
+    input_ids = [
+        np.asarray(_truncate(_tokenize(tokenizer, text, has_image),
+                             tokenizer.model_max_length), np.int32)
+        for text, _ in rendered
+    ]
+
+    def piece_len(text: str, first: bool) -> int:
+        # piece-wise tokenization adds a BOS per piece; only the header's
+        # aligns with the concatenated conversation's single BOS, so later
+        # pieces subtract it (the reference keeps the drift — its v0
+        # masking is approximate; we mask exactly)
+        ids = _tokenize(tokenizer, text, has_image)
+        bos = getattr(tokenizer, "bos_token_id", None)
+        if not first and bos is not None and ids and ids[0] == bos:
+            return len(ids) - 1
+        return len(ids)
+
+    targets = [ids.copy() for ids in input_ids]
+    for target, source, header, (_, rounds) in zip(targets, sources, headers,
+                                                   rendered):
+        lens = [piece_len(header, True)] + \
+               [piece_len(r, False) for r in rounds]
+        cur = lens[0]
+        target[:cur] = IGNORE_INDEX
+        for n, s in zip(lens[1:], source):
+            if s["from"].lower() == "human":
+                target[cur + 2: cur + n] = IGNORE_INDEX
+            cur += n
+    return dict(input_ids=input_ids, labels=targets)
+
+
 def preprocess(sources, tokenizer, has_image: bool = False) -> Dict:
-    """Template dispatch (reference: train.py:643-687)."""
+    """Template dispatch (reference: train.py:643-687); anything that is
+    not plain/llama_2/v1/mpt falls back to the v0 speaker-and-signal
+    format, matching the reference's default branch."""
     style = conversation_lib.default_conversation.sep_style
     if style == conversation_lib.SeparatorStyle.PLAIN:
         return preprocess_plain(sources, tokenizer)
@@ -240,8 +296,8 @@ def preprocess(sources, tokenizer, has_image: bool = False) -> Dict:
         return preprocess_v1(sources, tokenizer, has_image=has_image)
     if conversation_lib.default_conversation.version == "mpt":
         return preprocess_mpt(sources, tokenizer, has_image=has_image)
-    raise NotImplementedError(
-        f"template {conversation_lib.default_conversation.version} not supported")
+    return preprocess_add_speaker_and_signal(sources, tokenizer,
+                                             has_image=has_image)
 
 
 class LazySupervisedDataset:
