@@ -84,15 +84,18 @@ def test_native_faster_than_pil():
     rng = np.random.default_rng(3)
     rgb = rng.integers(0, 256, (768, 1024, 3), np.uint8)
 
-    t0 = time.perf_counter()
-    for _ in range(5):
-        clip_preprocess_native(rgb, 336, 336, mean, std)
-    t_native = time.perf_counter() - t0
-
-    t0 = time.perf_counter()
-    for _ in range(5):
-        _pil_reference(rgb, 336, 336, mean, std)
-    t_pil = time.perf_counter() - t0
+    # best-of-N per side: robust to scheduler noise when the suite shares
+    # the box's single CPU core with other work
+    t_native = min(_timed(clip_preprocess_native, rgb, mean, std)
+                   for _ in range(3))
+    t_pil = min(_timed(_pil_reference, rgb, mean, std) for _ in range(3))
     print(f"native {t_native:.3f}s vs pil {t_pil:.3f}s")
     # informational; native should at least be in the same ballpark
     assert t_native < t_pil * 3
+
+
+def _timed(fn, rgb, mean, std):
+    t0 = time.perf_counter()
+    for _ in range(5):
+        fn(rgb, 336, 336, mean, std)
+    return time.perf_counter() - t0
