@@ -30,7 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import attention
-from ..ops.quant import dequantize_array as _w
+from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
+                         index_layer_tree, tree_has_int4)
 
 
 def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
@@ -40,7 +41,15 @@ def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
     int8/int4-quantized, or LoRA-wrapped — ``dequantize_array`` resolves
     all three).  Contracting last-vs-last keeps the stored layout the one
     the decode loop's narrow GEMMs want, so no relayout copies are hoisted
-    out of ``lax.scan`` (see module docstring)."""
+    out of ``lax.scan`` (see module docstring).
+
+    int4 leaves with decode-sized row counts take the fused Pallas
+    dequant-matmul (ops/int4_matmul.py) instead of materializing bf16
+    weights in HBM."""
+    if isinstance(leaf, dict):
+        y = fused_int4_proj(x, leaf)
+        if y is not None:
+            return y
     w = _w(leaf)
     dt = jnp.promote_types(x.dtype, w.dtype)
     return jax.lax.dot_general(
@@ -286,9 +295,18 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     window = cfg.sliding_window or None
 
     x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    q = proj(x, a["q_proj"]).reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
-    k = proj(x, a["k_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
-    v = proj(x, a["v_proj"]).reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    if "qkv_proj" in a:
+        # int4 fused layout (ops/quant.py _fuse_layer_projections): one
+        # kernel launch for q+k+v instead of three
+        qkv = proj(x, a["qkv_proj"])
+        q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
+    else:
+        q = proj(x, a["q_proj"])
+        k = proj(x, a["k_proj"])
+        v = proj(x, a["v_proj"])
+    q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+    k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+    v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
 
@@ -318,8 +336,13 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
     m = layer_params["mlp"]
-    gate = jax.nn.silu(proj(x, m["gate_proj"]))
-    hidden = hidden + proj(gate * proj(x, m["up_proj"]), m["down_proj"])
+    if "gateup_proj" in m:
+        gate_up = proj(x, m["gateup_proj"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    else:
+        gate = proj(x, m["gate_proj"])
+        up = proj(x, m["up_proj"])
+    hidden = hidden + proj(jax.nn.silu(gate) * up, m["down_proj"])
     return hidden, (cache_k, cache_v)
 
 
@@ -395,17 +418,37 @@ def llama_forward(
     cos, sin = rope_cos_sin(position_ids, cfg.head_dim, cfg.rope_theta)
 
     hidden = inputs_embeds
+    # int4-packed layers scan over LAYER INDICES with the stacked weights
+    # bound whole: slicing an int4 leaf before its pallas kernel would make
+    # XLA materialize the slice — a full extra HBM read+write per layer
+    # (ops/int4_matmul.py int4_matmul_stacked).  XLA-only leaves (bf16,
+    # int8, LoRA) are sliced per layer, which fuses copy-free.
+    stacked_int4 = tree_has_int4(params["layers"])
     if cache is None:
-        def body(h, layer_params):
-            h, _ = _layer_forward(
-                layer_params, h, cfg=cfg, cos=cos, sin=sin,
-                q_positions=position_ids, kv_valid=attn_valid,
-                kv_positions=None, cache_k=None, cache_v=None, write_idx=None)
-            return h, None
+        if stacked_int4:
+            def body(h, idx):
+                lp = index_layer_tree(params["layers"], idx)
+                h, _ = _layer_forward(
+                    lp, h, cfg=cfg, cos=cos, sin=sin,
+                    q_positions=position_ids, kv_valid=attn_valid,
+                    kv_positions=None, cache_k=None, cache_v=None,
+                    write_idx=None)
+                return h, None
 
+            xs = jnp.arange(cfg.num_hidden_layers)
+        else:
+            def body(h, layer_params):
+                h, _ = _layer_forward(
+                    layer_params, h, cfg=cfg, cos=cos, sin=sin,
+                    q_positions=position_ids, kv_valid=attn_valid,
+                    kv_positions=None, cache_k=None, cache_v=None,
+                    write_idx=None)
+                return h, None
+
+            xs = params["layers"]
         if cfg.remat:
             body = jax.checkpoint(body)
-        hidden, _ = jax.lax.scan(body, hidden, params["layers"])
+        hidden, _ = jax.lax.scan(body, hidden, xs)
         new_cache = None
     else:
         write_idx = cache.write_idx
@@ -417,6 +460,9 @@ def llama_forward(
 
         def body(h, xs):
             layer_params, ck, cv = xs
+            if stacked_int4:
+                layer_params = index_layer_tree(params["layers"],
+                                                layer_params)
             h, (ck, cv) = _layer_forward(
                 layer_params, h, cfg=cfg, cos=cos, sin=sin,
                 q_positions=position_ids, kv_valid=new_valid,
@@ -424,8 +470,10 @@ def llama_forward(
                 write_idx=write_idx, q_index_offset=q_index_offset)
             return h, (ck, cv)
 
+        layer_xs = (jnp.arange(cfg.num_hidden_layers) if stacked_int4
+                    else params["layers"])
         hidden, (new_k, new_v) = jax.lax.scan(
-            body, hidden, (params["layers"], cache.k, cache.v))
+            body, hidden, (layer_xs, cache.k, cache.v))
         new_cache = KVCache(new_k, new_v, new_valid, new_positions,
                             write_idx + S)
 

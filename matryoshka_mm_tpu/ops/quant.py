@@ -65,6 +65,26 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and (QKEY in leaf or "qint4" in leaf)
 
 
+def tree_has_int4(tree) -> bool:
+    """True when any leaf of the (sub)tree is an int4-packed dict."""
+    if isinstance(tree, dict):
+        return Q4KEY in tree or any(tree_has_int4(v) for v in tree.values())
+    return False
+
+
+def index_layer_tree(tree, idx):
+    """Per-layer view of a stacked layer tree for a scan over layer
+    indices.  int4 leaves stay whole (the fused kernel selects the layer
+    via scalar prefetch — slicing them before a pallas call would
+    materialize a copy); every other leaf is sliced, which XLA fuses into
+    its consumers copy-free."""
+    if isinstance(tree, dict):
+        if Q4KEY in tree:
+            return {**tree, "_layer": idx}
+        return {k: index_layer_tree(v, idx) for k, v in tree.items()}
+    return tree[idx]
+
+
 def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     if isinstance(leaf, dict) and "lora_a" in leaf:
         # LoRA wrapper (ops/lora.py): frozen base + trainable low-rank
@@ -77,6 +97,9 @@ def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     if not is_quantized(leaf):
         return leaf
     if "qint4" in leaf:
+        if "_layer" in leaf:        # stacked layer view (index_layer_tree)
+            leaf = {Q4KEY: leaf[Q4KEY][leaf["_layer"]],
+                    "scale": leaf["scale"][leaf["_layer"]]}
         return _dequantize_int4(leaf, dtype)
     return (leaf[QKEY].astype(jnp.float32) * leaf["scale"]).astype(dtype)
 
@@ -148,14 +171,20 @@ def _quantize_2d_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     Split-half packing: byte column i holds input columns (i, i + n/2) in
     its (low, high) nibbles, so dequantization is one concatenate — an
     interleaved (2i, 2i+1) layout would need a stack+reshape shuffle that
-    dominates decode time on the VPU."""
+    dominates decode time on the VPU.
+
+    Both nibbles are stored **excess-8** (value + 8, in [1, 15]): the
+    fused kernel (ops/int4_matmul.py) then extracts them with two int32
+    mask/shift ops over four bytes at a time and no sign-extension select,
+    folding the constant -8 bias into a per-row correction outside the
+    matmul."""
     scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1, keepdims=True) / 7.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
     half = q.shape[-1] // 2
-    lo = q[..., :half]
-    hi = q[..., half:]
-    packed = ((hi.astype(jnp.uint8) & 0xF) << 4) | (lo.astype(jnp.uint8) & 0xF)
+    lo = (q[..., :half] + 8).astype(jnp.uint8)
+    hi = (q[..., half:] + 8).astype(jnp.uint8)
+    packed = ((hi & 0xF) << 4) | (lo & 0xF)
     return {Q4KEY: packed.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
 
 
@@ -183,12 +212,11 @@ def quantize_array_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 
 def _unpack_int4(packed: jnp.ndarray):
-    """(.., out, in/2) packed bytes -> sign-extended (lo, hi) int8 halves."""
+    """(.., out, in/2) packed bytes -> signed (lo, hi) int8 halves
+    (excess-8 storage: subtract the bias)."""
     u = packed.astype(jnp.uint8)
-    lo = (u & 0xF).astype(jnp.int8)
-    hi = ((u >> 4) & 0xF).astype(jnp.int8)
-    lo = jnp.where(lo >= 8, lo - 16, lo)
-    hi = jnp.where(hi >= 8, hi - 16, hi)
+    lo = (u & 0xF).astype(jnp.int8) - 8
+    hi = ((u >> 4) & 0xF).astype(jnp.int8) - 8
     return lo, hi
 
 
@@ -198,9 +226,40 @@ def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * leaf["scale"]).astype(dtype)
 
 
+def _concat_int4(leaves) -> Dict[str, jnp.ndarray]:
+    """Concatenate int4 leaves along the output-channel axis.  Exact:
+    per-output-channel scales make quantize-then-concat identical to
+    concat-then-quantize."""
+    return {Q4KEY: jnp.concatenate([l[Q4KEY] for l in leaves], axis=-2),
+            "scale": jnp.concatenate([l["scale"] for l in leaves], axis=-2)}
+
+
+@jax.jit
+def _fuse_layer_projections(layers: dict) -> dict:
+    """Merge q/k/v -> qkv_proj and gate/up -> gateup_proj on already-packed
+    int4 leaves.  Fewer, larger fused matmuls per decode step: each Pallas
+    call costs ~20us of launch/pipeline-warmup on top of its byte
+    streaming, so 7 calls/layer -> 4 is a direct latency win."""
+    out = dict(layers)
+    a = dict(layers["self_attn"])
+    a["qkv_proj"] = _concat_int4([a.pop("q_proj"), a.pop("k_proj"),
+                                  a.pop("v_proj")])
+    out["self_attn"] = a
+    m = dict(layers["mlp"])
+    m["gateup_proj"] = _concat_int4([m.pop("gate_proj"), m.pop("up_proj")])
+    out["mlp"] = m
+    return out
+
+
 def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
-                               inplace: bool = False) -> dict:
-    """int4-pack the dense kernels (reference: builder.py load_4bit)."""
+                               inplace: bool = False,
+                               fuse: bool = True) -> dict:
+    """int4-pack the dense kernels (reference: builder.py load_4bit).
+
+    ``fuse=True`` additionally merges the attention qkv and MLP gate/up
+    weights into single leaves (llama/mistral layer layout only) so the
+    fused decode kernel runs once per group; set False to keep the
+    HF-keyed layout (e.g. for LoRA wrapping or delta tools)."""
 
     def rec(tree):
         for k in list(tree):
@@ -215,7 +274,59 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
     if not inplace:
                 params = jax.tree.map(lambda x: x, params)
     rec(params)
+    layers = params.get("layers")
+    if fuse and isinstance(layers, dict) and "self_attn" in layers \
+            and all(is_quantized(layers["self_attn"].get(n))
+                    for n in ("q_proj", "k_proj", "v_proj")) \
+            and all(is_quantized(layers["mlp"].get(n))
+                    for n in ("gate_proj", "up_proj")):
+        params["layers"] = _fuse_layer_projections(layers)
     return params
+
+
+def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
+    """Fused dequant-matmul for an int4 (optionally LoRA-wrapped) leaf:
+    ``x (..., K) -> (..., N)`` without materializing bf16 weights.
+
+    Returns None when the leaf/shape/backend is ineligible — the caller
+    falls back to ``dequantize_array`` + dot (models/llama.py ``proj``).
+    Only used on the TPU backend for decode-sized row counts; CPU tests
+    exercise the kernel via ``interpret=True`` directly.
+    """
+    from .int4_matmul import (int4_matmul, int4_matmul_eligible,
+                              int4_matmul_stacked)
+
+    if not isinstance(leaf, dict) or x.dtype != jnp.bfloat16:
+        return None
+    lora = None
+    if "lora_a" in leaf:
+        lora, leaf = leaf, leaf["w"]
+        if not isinstance(leaf, dict):
+            return None
+    if Q4KEY not in leaf:
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    stacked = "_layer" in leaf
+    pshape = leaf[Q4KEY].shape[1:] if stacked else leaf[Q4KEY].shape
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if not int4_matmul_eligible(rows, pshape):
+        return None
+    x2 = x.reshape(rows, x.shape[-1])
+    if stacked:
+        y = int4_matmul_stacked(x2, leaf[Q4KEY], leaf["scale"],
+                                leaf["_layer"])
+    else:
+        y = int4_matmul(x2, leaf[Q4KEY], leaf["scale"])
+    if lora is not None:
+        # low-rank delta on the side: (x @ A^T) @ B^T * scale — tiny GEMMs,
+        # no base-weight materialization (ops/lora.py shapes: A (r, in),
+        # B (out, r))
+        a = x2 @ lora["lora_a"].astype(x2.dtype).T
+        y = y + (a @ lora["lora_b"].astype(x2.dtype).T) * lora["lora_scale"]
+    return y.reshape(x.shape[:-1] + (y.shape[-1],))
 
 
 def tree_nbytes(tree) -> int:

@@ -77,10 +77,48 @@ def test_int4_stacked_and_memory():
     params = init_llama_params(jax.random.PRNGKey(2), cfg)
     q = quantize_llama_params_int4(params, min_size=1024)
     assert tree_nbytes(q) < 0.3 * tree_nbytes(params)
-    # dequantized stacked leaf keeps original shape
-    leaf = q["layers"]["self_attn"]["q_proj"]
+    # int4 quantization fuses q/k/v into one stacked qkv leaf (one fused
+    # kernel launch per group at decode); dequantized shape = concat
+    leaf = q["layers"]["self_attn"]["qkv_proj"]
     deq = dequantize_array(leaf, jnp.float32)
-    assert deq.shape == params["layers"]["self_attn"]["q_proj"].shape
+    qp = params["layers"]["self_attn"]["q_proj"]
+    assert deq.shape == (qp.shape[0], 3 * qp.shape[1], qp.shape[2])
+    ref = jnp.concatenate([params["layers"]["self_attn"][n]
+                           for n in ("q_proj", "k_proj", "v_proj")], axis=1)
+    err = jnp.max(jnp.abs(deq - ref))
+    row_max = jnp.max(jnp.abs(ref), axis=-1)
+    assert float(err) <= float(jnp.max(row_max)) / 7.0 + 1e-6
+    # unfused layout still available for LoRA/delta tools
+    q2 = quantize_llama_params_int4(params, min_size=1024, fuse=False)
+    assert "q_proj" in q2["layers"]["self_attn"]
+
+
+def test_int4_fused_matmul_interpret():
+    """The Pallas kernel (interpret mode) matches dequantize+matmul."""
+    from matryoshka_mm_tpu.ops.int4_matmul import (int4_matmul,
+                                                   int4_matmul_stacked)
+    from matryoshka_mm_tpu.ops.quant import (dequantize_array,
+                                             quantize_array_int4)
+
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.standard_normal((3, 128, 256)), jnp.float32) * 0.05
+    x = jnp.asarray(rng.standard_normal((2, 256)), jnp.bfloat16)
+    leaves = [quantize_array_int4(w[i]) for i in range(3)]
+    packed = jnp.stack([l["qint4"] for l in leaves])
+    scale = jnp.stack([l["scale"] for l in leaves])
+    for i in range(3):
+        ref = x.astype(jnp.float32) @ dequantize_array(
+            leaves[i], jnp.float32).T
+        got = int4_matmul(x, leaves[i]["qint4"], leaves[i]["scale"],
+                          interpret=True)
+        rel = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert rel < 0.01, rel
+        got_s = int4_matmul_stacked(x, packed, scale, jnp.int32(i),
+                                    interpret=True)
+        rel = float(jnp.max(jnp.abs(got_s.astype(jnp.float32) - ref))
+                    / (jnp.max(jnp.abs(ref)) + 1e-9))
+        assert rel < 0.01, rel
 
 
 def test_load_4bit_generate():
@@ -89,7 +127,7 @@ def test_load_4bit_generate():
 
     tok, model, proc, ctx = load_pretrained_model(
         "debug://tiny", None, "tiny", load_4bit=True)
-    leaf = model.params["llama"]["layers"]["self_attn"]["q_proj"]
+    leaf = model.params["llama"]["layers"]["self_attn"]["qkv_proj"]
     assert is_quantized(leaf) and "qint4" in leaf
     out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
     assert out.shape[0] == 1
