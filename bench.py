@@ -263,32 +263,19 @@ def main():
     del params
 
     # --------------------------------------------------------------
-    # 3b) int4 weights (split-half packed): capacity-oriented config —
-    # 3.6GB for the 7B LM; slower than int8 (unpack VPU work) but frees
-    # HBM for bigger KV pools / batch
+    # 3b) int4 weights (split-half excess-8 packed): the fused Pallas
+    # dequant-matmul (ops/int4_matmul.py) streams packed bytes straight
+    # to the MXU — fastest single-stream decode AND smallest footprint
+    # (3.6GB for the 7B LM frees HBM for bigger KV pools / batch)
     # --------------------------------------------------------------
     from matryoshka_mm_tpu.ops.quant import quantize_llama_params_int4
 
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     params["llama"] = quantize_llama_params_int4(params["llama"], inplace=True)
-    numtoks = 144
-    L = -(-(T - 1 + numtoks) // 64) * 64
-    prefill = _prefill_fn(cfg, numtoks, L, L + gen_cfg.max_new_tokens)
-    logits, cache, lengths, _ = prefill(params, ids, px1)
-    _ = np.asarray(jax.device_get(logits[0, :2]))
-    decode = _decode_chunk_fn(cfg, gen_cfg, 32)
-    first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-    c, tok, lens, fin, toks = decode(params, cache, first, lengths,
-                                     jnp.zeros((1,), bool),
-                                     jax.random.PRNGKey(0))
-    _ = np.asarray(jax.device_get(tok))
-    t0 = time.perf_counter()
-    for _ in range(2):
-        c, tok, lens, fin, toks = decode(params, c, tok, lens, fin,
-                                         jax.random.PRNGKey(0))
-    _ = np.asarray(jax.device_get(tok))
-    results["int4_decode_tok_s_b1"] = round(64 / (time.perf_counter() - t0), 2)
-    del cache, c, params
+    for B, tag in ((1, "int4_decode_tok_s_b1"), (4, "int4_decode_tok_s_b4"),
+                   (8, "int4_decode_tok_s_b8")):
+        _batched_decode(tag, B)
+    del params
 
     results["scales"] = scale_metrics
 

@@ -289,9 +289,10 @@ def generate(
         n_tiles = tiles.shape[0]
         size = tuple(image_sizes[0]) if image_sizes else \
             (cfg.vision.image_size, cfg.vision.image_size)
-        # capacity bound: base + tiles pooled tokens + newline rows
-        max_img = n * n_tiles + int(np.sqrt(n)) * max(n_tiles - 1, 1) + 8
-        L = _round_up(T - 1 + max_img, 64)
+        from .models.llava import anyres_token_count
+
+        n_img = anyres_token_count(cfg, size, int(n_tiles), n)
+        L = _round_up(T - 1 + n_img, 64)
         capacity = L + gen_cfg.max_new_tokens
         logits, cache, lengths = _prefill_anyres_fn(
             cfg, n, n_tiles, size, L, capacity)(
@@ -650,13 +651,18 @@ def stream_generate(
     input_ids: np.ndarray,
     pixel_values: Optional[np.ndarray] = None,
     *,
+    image_sizes=None,
     matryoshka_vis_token_scale: Optional[str] = None,
     gen_cfg: GenerationConfig = GenerationConfig(),
     rng: Optional[jax.Array] = None,
 ):
     """Generator yielding the cumulative generated ids after every decode
     chunk — the TPU equivalent of HF's TextIteratorStreamer thread in the
-    reference worker (reference: llava/serve/model_worker.py:179-189)."""
+    reference worker (reference: llava/serve/model_worker.py:179-189).
+
+    anyres multi-tile input (pixel_values ``(1, T_tiles, 3, H, W)`` plus
+    ``image_sizes=[(w, h)]``) prefills through the anyres merge path and
+    then streams through the same decode loop."""
     input_ids = jnp.asarray(np.asarray(input_ids, np.int32))
     B, T = input_ids.shape
     rng = rng if rng is not None else jax.random.PRNGKey(0)
@@ -687,10 +693,25 @@ def stream_generate(
     else:
         pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
         n = numtoks if numtoks is not None else cfg.vision.num_patches
-        L = _round_up(T - 1 + n, 64)
-        capacity = L + gen_cfg.max_new_tokens
-        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
-            params, input_ids, pixel_values)
+        if pixel_values.ndim == 5:       # anyres multi-tile (LLaVA-NeXT)
+            from .models.llava import anyres_token_count
+
+            if B != 1:
+                raise ValueError("anyres streaming supports batch_size=1")
+            tiles = pixel_values[0]
+            size = tuple(image_sizes[0]) if image_sizes else \
+                (cfg.vision.image_size, cfg.vision.image_size)
+            n_img = anyres_token_count(cfg, size, int(tiles.shape[0]), n)
+            L = _round_up(T - 1 + n_img, 64)
+            capacity = L + gen_cfg.max_new_tokens
+            logits, cache, lengths = _prefill_anyres_fn(
+                cfg, n, int(tiles.shape[0]), size, L, capacity)(
+                params, input_ids, tiles)
+        else:
+            L = _round_up(T - 1 + n, 64)
+            capacity = L + gen_cfg.max_new_tokens
+            logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+                params, input_ids, pixel_values)
 
     first, rng = _select_token(logits, gen_cfg, rng)
     finished = first == gen_cfg.eos_token_id

@@ -301,6 +301,37 @@ def encode_anyres_features(params: dict, cfg: LlavaConfig,
     return jnp.concatenate([base, tile_feats], axis=0)
 
 
+def anyres_token_count(cfg: LlavaConfig, image_size, n_stacks: int,
+                       numtoks: int) -> int:
+    """Exact visual-token count an anyres image splices into the sequence
+    (mirrors :func:`encode_anyres_features`, incl. the unpad crop and the
+    per-row ``image_newline`` column).  ``n_stacks`` counts the base
+    resize plus grid tiles — ``pixel_values.shape[0]``."""
+    import math
+
+    from ..image_processing import get_anyres_image_grid_shape
+
+    merge = cfg.mm_patch_merge_type
+    if merge == "flat":
+        return n_stacks * numtoks
+    if n_stacks <= 1:
+        return numtoks + (1 if "unpad" in merge else 0)
+    h = w = int(math.isqrt(numtoks))
+    num_w, num_h = get_anyres_image_grid_shape(
+        image_size, cfg.image_grid_pinpoints, cfg.vision.image_size)
+    H, W = num_h * h, num_w * w
+    if "unpad" in merge:
+        ow, oh = image_size
+        if ow / oh > W / H:
+            pad = (H - int(oh * (W / ow))) // 2
+            H = H - 2 * pad
+        else:
+            pad = (W - int(ow * (H / oh))) // 2
+            W = W - 2 * pad
+        return numtoks + H * (W + 1)
+    return numtoks + (n_stacks - 1) * numtoks
+
+
 def prepare_multimodal_anyres(
     params: dict, cfg: LlavaConfig, input_ids: jnp.ndarray,
     pixel_values: jnp.ndarray, image_size, *, numtoks: int,

@@ -10,9 +10,9 @@ of every weight in HBM before the matmul, so int4 decode pays
 the traffic of the packed weights and ends up *slower* than int8.  This
 kernel streams only the packed bytes HBM->VMEM, splits the two nibbles on
 the VPU, feeds the MXU directly, and applies the per-output-channel scale
-to the f32 accumulator — bf16 weights never exist anywhere.  Measured on
-v5e: 430 GB/s of packed bytes at (4096, 4096), ~1 TB/s effective at the
-MLP shapes, vs ~40 GB/s for the unfused path.
+to the f32 accumulator — bf16 weights never exist anywhere.  End-to-end
+7B b1 decode on one v5e chip: 43.5 tok/s unfused -> 95.5 tok/s fused
+(int8: 89).
 
 Packing layout (ops/quant.py split-half convention): a ``(N, K/2)`` int8
 byte matrix where byte column ``j`` holds input columns ``j`` (low nibble)
@@ -21,10 +21,14 @@ kernel reads the activation block twice per byte block — once at column
 ``j*BK`` and once at ``K/2 + j*BK`` — via two BlockSpecs over the same
 array, so no nibble interleave/concat shuffle ever happens.
 
-The nibble split runs in the f32 domain (convert int8 bytes to f32, then
-``hi = floor(p/16); lo = p - 16*hi`` with a sign fixup): Mosaic has no
-int8 vector shifts, and the int32-widening alternative measured 2x slower
-than f32 arithmetic, which is nearly free next to the byte DMA.
+Both nibbles are stored excess-8 (ops/quant.py), so the split is two
+int32 mask/shift ops over four bytes per lane plus an int8->bf16 convert
+(~1 VPU op/byte) — no sign-extension select.  The constant -8 bias is
+linear in the activations and is folded into a per-row correction
+(``-8 * rowsum(x)``) outside the matmul.  Rejected alternatives, measured
+on v5e: int8 vector shifts (Mosaic: unsupported), int32-widened shift
+unpack (156 GB/s), f32 floor/fma arithmetic unpack (371 GB/s); the
+bitcast form reaches ~650 GB/s of packed bytes inside the decode scan.
 
 Activations stay bf16 (W4A16): the result is bit-identical to
 ``dequantize_array`` + matmul up to f32 accumulation order (int4 values

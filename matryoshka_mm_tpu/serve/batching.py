@@ -65,6 +65,9 @@ class _Request:
     numtoks: Optional[int]
     max_new_tokens: int
     lora_id: Optional[str] = None
+    # anyres multi-tile request: pixel_values (T_tiles, 3, H, W) and the
+    # original (w, h) the unpad merge needs
+    image_size: Optional[tuple] = None
     out_queue: "queue.Queue" = field(default_factory=queue.Queue)
     emitted: int = 0
     slot: int = -1
@@ -122,12 +125,9 @@ class ContinuousBatcher:
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
-            if cfg.llama.arch not in ("llama", "mistral"):
-                # the paged decode body hand-writes the RoPE+SwiGLU layer
-                # (paged_cache._decode_core); MPT's alibi/no-bias layout
-                # runs through the dense backend
+            if cfg.llama.arch not in ("llama", "mistral", "mpt"):
                 raise ValueError(
-                    f"paged KV backend supports llama/mistral decoders, "
+                    f"paged KV backend supports llama/mistral/mpt decoders, "
                     f"not arch={cfg.llama.arch!r}; use backend='dense'")
 
             self.page_size = page_size
@@ -151,8 +151,12 @@ class ContinuousBatcher:
                                            self.pages_per_row)
                 self.index = None
             self.tables = jnp.asarray(self.alloc.tables)
-            self.use_kernel = (jax.default_backend() == "tpu"
-                               if use_kernel is None else bool(use_kernel))
+            # the Pallas paged-decode kernel bakes in RoPE; MPT (alibi)
+            # attends through the gather path inside the same decode body
+            self.use_kernel = (cfg.llama.arch != "mpt"
+                               and (jax.default_backend() == "tpu"
+                                    if use_kernel is None
+                                    else bool(use_kernel)))
         else:
             self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
                                       dtype=dtype)
@@ -187,8 +191,23 @@ class ContinuousBatcher:
         self._thread.start()
 
     # ---- client API ----
-    def spliced_len(self, input_ids: np.ndarray,
-                    numtoks: Optional[int]) -> int:
+    def _vis_tokens(self, numtoks: Optional[int], pixel_values=None,
+                    image_size=None) -> int:
+        """Visual tokens one image splices in: ``numtoks`` for a single
+        tile, the exact anyres merge count for a multi-tile stack."""
+        n = numtoks if numtoks is not None else self.cfg.vision.num_patches
+        if pixel_values is not None:
+            px = np.asarray(pixel_values)
+            if px.ndim == 4 and (px.shape[0] > 1 or image_size is not None):
+                from ..models.llava import anyres_token_count
+
+                size = tuple(image_size) if image_size else \
+                    (self.cfg.vision.image_size, self.cfg.vision.image_size)
+                return anyres_token_count(self.cfg, size, int(px.shape[0]), n)
+        return n
+
+    def spliced_len(self, input_ids: np.ndarray, numtoks: Optional[int],
+                    pixel_values=None, image_size=None) -> int:
         """Prompt length after image-token splice — what prefill must fit."""
         from ..constants import IMAGE_TOKEN_INDEX
 
@@ -196,32 +215,36 @@ class ContinuousBatcher:
         n_img = int((ids == IMAGE_TOKEN_INDEX).sum())
         if n_img == 0:
             return ids.shape[0]
-        n = numtoks if numtoks is not None else self.cfg.vision.num_patches
+        n = self._vis_tokens(numtoks, pixel_values, image_size)
         return ids.shape[0] + n_img * (n - 1)
 
-    def fits(self, input_ids: np.ndarray, numtoks: Optional[int]) -> bool:
+    def fits(self, input_ids: np.ndarray, numtoks: Optional[int],
+             pixel_values=None, image_size=None) -> bool:
         """True when the prompt fits the pool's prefill region; callers
         should route oversized prompts to the solo generate path."""
-        return self.spliced_len(input_ids, numtoks) <= self.L
+        return self.spliced_len(input_ids, numtoks, pixel_values,
+                                image_size) <= self.L
 
     def submit(self, input_ids: np.ndarray, pixel_values=None,
                numtoks: Optional[int] = None,
                max_new_tokens: int = 128,
-               lora_id: Optional[str] = None) -> _Request:
+               lora_id: Optional[str] = None,
+               image_size: Optional[tuple] = None) -> _Request:
         if lora_id is not None and lora_id not in self.lora_names:
             raise KeyError(f"unknown LoRA adapter {lora_id!r}; loaded: "
                            f"{sorted(k for k in self.lora_names if k)}")
-        if not self.fits(input_ids, numtoks):
+        if not self.fits(input_ids, numtoks, pixel_values, image_size):
             # a negative left-pad would crash the scheduler thread and take
             # the whole pool down with it; reject just this request instead
             raise ValueError(
-                f"prompt ({self.spliced_len(input_ids, numtoks)} spliced "
-                f"tokens) exceeds the pool prefill region ({self.L}); use "
-                f"the solo generate path or raise --pool-prefill-len")
+                f"prompt ({self.spliced_len(input_ids, numtoks, pixel_values, image_size)} "
+                f"spliced tokens) exceeds the pool prefill region ({self.L}); "
+                f"use the solo generate path or raise --pool-prefill-len")
         req = _Request(0, np.asarray(input_ids, np.int32),
                        None if pixel_values is None
                        else np.asarray(pixel_values, np.float32),
-                       numtoks, max_new_tokens, lora_id)
+                       numtoks, max_new_tokens, lora_id,
+                       image_size=tuple(image_size) if image_size else None)
         # the lock spans the error check and the enqueue so the crash
         # handler (which drains pending under the same lock) can never
         # miss a request submitted concurrently with scheduler death
@@ -285,7 +308,11 @@ class ContinuousBatcher:
 
     def _key_seq(self, req: _Request):
         """Spliced token-key sequence for prefix caching, or None when the
-        request shape isn't cacheable (multi-image / anyres)."""
+        request shape isn't cacheable (multi-image).  anyres stacks key on
+        the exact merge token count plus the tile bytes, tile count, and
+        the original size (the unpad crop depends on it)."""
+        import hashlib
+
         from ..constants import IMAGE_TOKEN_INDEX
         from .prefix_cache import build_key_seq
 
@@ -296,10 +323,10 @@ class ContinuousBatcher:
             return build_key_seq(ids, None, None, IMAGE_TOKEN_INDEX)
         if req.pixel_values.ndim != 4:
             return None, 0
-        n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
-        img_hash = int.from_bytes(
-            __import__("hashlib").blake2b(req.pixel_values.tobytes(),
-                                          digest_size=8).digest(), "little")
+        n = self._vis_tokens(req.numtoks, req.pixel_values, req.image_size)
+        h = hashlib.blake2b(req.pixel_values.tobytes(), digest_size=8)
+        h.update(repr((req.pixel_values.shape[0], req.image_size)).encode())
+        img_hash = int.from_bytes(h.digest(), "little")
         return build_key_seq(ids, n, img_hash, IMAGE_TOKEN_INDEX)
 
     def _try_admit_prefix(self, req: _Request, slot: int):
@@ -343,7 +370,8 @@ class ContinuousBatcher:
         # suffix is pure text: map spliced positions back to input ids
         ids = np.asarray(req.input_ids).reshape(-1)
         if text_resume > 0:                      # image inside the prefix
-            n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
+            n = self._vis_tokens(req.numtoks, req.pixel_values,
+                                 req.image_size)
             suffix = ids[n_prefix - n + 1:]
         else:
             suffix = ids[n_prefix:]
@@ -411,7 +439,21 @@ class ContinuousBatcher:
             if handled is not None:
                 return handled
         n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
-        if req.pixel_values is not None:
+        if req.pixel_values is not None and (req.pixel_values.shape[0] > 1
+                                             or req.image_size is not None):
+            # anyres multi-tile: same left-padded (1, L) cache layout as
+            # the single-tile prefill, so pool insertion is identical
+            from ..generate import _prefill_anyres_fn
+
+            size = req.image_size or (self.cfg.vision.image_size,
+                                      self.cfg.vision.image_size)
+            prefill = _prefill_anyres_fn(
+                self.cfg, n, int(req.pixel_values.shape[0]), tuple(size),
+                self.L, self.capacity)
+            logits, cache, lengths = prefill(
+                self._params_for(req), jnp.asarray(req.input_ids),
+                jnp.asarray(req.pixel_values))
+        elif req.pixel_values is not None:
             prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
             logits, cache, lengths, _ = prefill(
                 self._params_for(req), jnp.asarray(req.input_ids),
@@ -620,7 +662,8 @@ class ContinuousBatcher:
             ids = np.concatenate(
                 [np.asarray(req.input_ids).reshape(-1).astype(np.int32),
                  np.asarray(req.generated, np.int32)])[None]
-            if not self.fits(ids, req.numtoks):
+            if not self.fits(ids, req.numtoks, req.pixel_values,
+                             req.image_size):
                 req.out_queue.put(_StreamError(
                     f"request aborted: {reason} and the continuation "
                     f"prompt no longer fits the pool prefill region"))
@@ -628,7 +671,7 @@ class ContinuousBatcher:
                 continue
             cont = _Request(req.rid, ids, req.pixel_values, req.numtoks,
                             remaining, req.lora_id, out_queue=req.out_queue,
-                            emitted=req.emitted)
+                            emitted=req.emitted, image_size=req.image_size)
             self.pending.put(cont)
         self.active = jnp.zeros_like(self.active)
         # reset the pool for a fresh write region

@@ -175,11 +175,13 @@ class ModelWorker:
         images = params.get("images", None)
         num_image_tokens = 0
         pixel_values = None
+        image_sizes = None
         if images is not None and len(images) > 0 and self.is_multimodal:
             if len(images) != prompt.count(DEFAULT_IMAGE_TOKEN):
                 raise ValueError("Number of images does not match number of "
                                  "<image> tokens in prompt")
             images = [load_image_from_base64(image) for image in images]
+            image_sizes = [im.size for im in images]
             pixel_values = process_images(images, self.image_processor,
                                           model.config)
             replace_token = DEFAULT_IMAGE_TOKEN
@@ -218,12 +220,20 @@ class ModelWorker:
             pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
             decode_chunk=8)
 
-        # continuous-batching path: greedy v0 fixed-scale single-tile
-        # requests share one batched decode pool; everything else (sampling,
-        # v2 combine, anyres multi-tile) uses the solo stream
+        # continuous-batching path: greedy v0 fixed-scale requests —
+        # single-tile AND anyres multi-tile — share one batched decode
+        # pool; everything else (sampling, v2 combine, multi-image) uses
+        # the solo stream
         use_batcher = self.batcher is not None and not do_sample
-        if pixel_values is not None and np.asarray(pixel_values).ndim != 4:
-            use_batcher = False     # anyres tiles need the solo prefill
+        px_arr = None if pixel_values is None else np.asarray(pixel_values)
+        anyres = px_arr is not None and px_arr.ndim == 5
+        if anyres:
+            if px_arr.shape[0] != 1:
+                use_batcher = False   # multi-image anyres: solo stream
+            else:
+                px_arr = px_arr[0]    # (T_tiles, 3, H, W) single request
+        elif px_arr is not None and px_arr.ndim != 4:
+            use_batcher = False
         numtoks = None
         if matryoshka_vis_token_scale:
             from ..kvconfig import parse_kv_from_string
@@ -233,7 +243,11 @@ class ModelWorker:
                 use_batcher = False
             else:
                 numtoks = int(kvs["numtoks"])
-        if use_batcher and not self.batcher.fits(input_ids, numtoks):
+        img_size = (tuple(image_sizes[0]) if anyres and image_sizes
+                    else None)
+        if use_batcher and not self.batcher.fits(
+                input_ids, numtoks,
+                px_arr if anyres else None, img_size):
             use_batcher = False     # prompt exceeds the pool prefill region;
             # the solo stream sizes its own prefill, so route there instead
             # of letting a negative left-pad crash the shared scheduler
@@ -250,10 +264,9 @@ class ModelWorker:
 
             req = self.batcher.submit(
                 input_ids,
-                None if pixel_values is None
-                else np.asarray(pixel_values, np.float32),
+                None if px_arr is None else np.asarray(px_arr, np.float32),
                 numtoks=numtoks, max_new_tokens=max_new_tokens,
-                lora_id=lora_id)
+                lora_id=lora_id, image_size=img_size)
             acc = []
             try:
                 for chunk_toks in self.batcher.stream(req):
@@ -276,6 +289,7 @@ class ModelWorker:
         for ids in stream_generate(
                 model.params, model.cfg, input_ids,
                 np.asarray(pixel_values, np.float32) if pixel_values is not None else None,
+                image_sizes=image_sizes,
                 matryoshka_vis_token_scale=matryoshka_vis_token_scale,
                 gen_cfg=gen_cfg):
             new_text = tokenizer.decode(

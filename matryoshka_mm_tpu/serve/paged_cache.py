@@ -155,8 +155,51 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         def mm(x, w_leaf, la_xs, key):
             return proj(x, w_leaf)
 
+    def mpt_body(h, xs):
+        """MPT block (alibi, fused qkv, GELU MLP): no RoPE — the bias
+        encodes position; attention runs through the gather path (the
+        Pallas decode kernel is RoPE-model only).  Reference family:
+        llava/model/language_model/llava_mpt.py."""
+        from ..models.llama import alibi_slopes, layer_norm_nobias
+
+        lp, k_pool, v_pool, la_xs = xs
+        a = lp["attn"]
+        x = layer_norm_nobias(h, lp["norm_1"], 1e-5)
+        qkv = mm(x, a["Wqkv"], la_xs, ("attn", "Wqkv"))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+
+        k_pool = k_pool.at[w_page_id, w_off].set(
+            k[:, :, 0].astype(k_pool.dtype), mode="drop")
+        v_pool = v_pool.at[w_page_id, w_off].set(
+            v[:, :, 0].astype(v_pool.dtype), mode="drop")
+
+        k_rows = k_pool[tables].reshape(B, S_virt, H, Dh)
+        v_rows = v_pool[tables].reshape(B, S_virt, H, Dh)
+        slopes = alibi_slopes(H)
+        rel = (pos[:, None, :, None] - kv_pos[:, None, None, :]
+               ).astype(jnp.float32)
+        bias = -slopes[None, :, None, None] * jnp.maximum(rel, 0)
+        attn = attention_reference(
+            q, k_rows.transpose(0, 2, 1, 3), v_rows.transpose(0, 2, 1, 3),
+            causal=True, q_positions=pos, kv_positions=kv_pos,
+            kv_valid=kv_valid, bias=bias)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        h = h + mm(attn, a["out_proj"], la_xs, ("attn", "out_proj"))
+
+        x = layer_norm_nobias(h, lp["norm_2"], 1e-5)
+        f = lp["ffn"]
+        h = h + mm(jax.nn.gelu(mm(x, f["up_proj"], la_xs,
+                                  ("ffn", "up_proj")), approximate=False),
+                   f["down_proj"], la_xs, ("ffn", "down_proj"))
+        return h, (k_pool, v_pool)
+
     def body(h, xs):
         lp, k_pool, v_pool, la_xs = xs
+        if cfg.arch == "mpt":
+            return mpt_body(h, xs)
         a = lp["self_attn"]
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj")) \
@@ -203,7 +246,12 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
 
     hidden, (new_k, new_v) = jax.lax.scan(
         body, hidden, (params["layers"], k_all, v_all, lp_slices))
-    hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
+    if cfg.arch == "mpt":
+        from ..models.llama import layer_norm_nobias
+
+        hidden = layer_norm_nobias(hidden, params["norm"], 1e-5)
+    else:
+        hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
     return new_k, new_v, logits
 

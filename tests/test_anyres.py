@@ -86,3 +86,35 @@ def test_anyres_generate(params, cfg):
                     matryoshka_vis_token_scale="ver=v0_numtoks=16",
                     gen_cfg=GenerationConfig(max_new_tokens=4))
     np.testing.assert_array_equal(out, out2)
+
+
+def test_anyres_token_count_matches_encoder(params, cfg):
+    """anyres_token_count (used by serving admission) must equal the
+    actual merged feature length for every pinpoint shape."""
+    from matryoshka_mm_tpu.models.llava import anyres_token_count
+
+    rng = np.random.default_rng(1)
+    for size, T in [((500, 500), 5), ((300, 120), 3), ((120, 300), 3),
+                    ((640, 480), 5)]:
+        px = jnp.asarray(rng.standard_normal((T, 3, 56, 56)).astype(np.float32))
+        feats = encode_anyres_features(params, cfg, px, size, 16)
+        assert anyres_token_count(cfg, size, T, 16) == feats.shape[0], size
+
+
+def test_anyres_stream_generate(params, cfg):
+    """stream_generate handles 5D anyres input and matches generate()."""
+    from matryoshka_mm_tpu.generate import GenerationConfig, generate, stream_generate
+
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42]], np.int32)
+    px = np.random.default_rng(2).standard_normal(
+        (1, 5, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, eos_token_id=-1)
+    want = generate(params, cfg, ids, px, image_sizes=[(500, 500)],
+                    matryoshka_vis_token_scale="ver=v0_numtoks=16",
+                    gen_cfg=gen_cfg)[0]
+    chunks = list(stream_generate(params, cfg, ids, px,
+                                  image_sizes=[(500, 500)],
+                                  matryoshka_vis_token_scale="ver=v0_numtoks=16",
+                                  gen_cfg=gen_cfg))
+    got = chunks[-1][0]
+    np.testing.assert_array_equal(got[: len(want)], want)

@@ -320,3 +320,113 @@ def test_batcher_finishes_on_budget_one(params, cfg):
         np.testing.assert_array_equal(toks, want[:1])
     finally:
         batcher.shutdown()
+
+
+def _anyres_cfg():
+    from matryoshka_mm_tpu.models.clip import ClipVisionConfig
+    from matryoshka_mm_tpu.models.llama import LlamaConfig
+    from matryoshka_mm_tpu.models.llava import M3Preset
+
+    return LlavaConfig(
+        llama=LlamaConfig.tiny_debug(),
+        vision=ClipVisionConfig.tiny_debug(),
+        preset=M3Preset(matryoshka_vis_token_scale="ver=v0_numtoks=[1,4,16]"),
+        mm_patch_merge_type="spatial_unpad",
+        image_aspect_ratio="anyres",
+        image_grid_pinpoints="[(112, 56), (56, 112), (112, 112)]",
+        tokenizer_model_max_length=256,
+    )
+
+
+def test_anyres_through_batched_pool():
+    """anyres multi-tile requests are admitted into the shared pool (not
+    routed around it) and match the solo anyres generate."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig, generate
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = _anyres_cfg()
+    params = init_llava_params(jax.random.PRNGKey(3), cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=128,
+                                max_new_tokens=16, gen_cfg=gen_cfg, chunk=2)
+    try:
+        ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42]], np.int32)
+        px = np.random.default_rng(4).standard_normal(
+            (5, 3, 56, 56)).astype(np.float32)
+        req = batcher.submit(ids, px, numtoks=16, max_new_tokens=6,
+                             image_size=(500, 500))
+        toks = np.concatenate(list(batcher.stream(req)))
+        want = generate(params, cfg, ids, px[None], image_sizes=[(500, 500)],
+                        matryoshka_vis_token_scale="ver=v0_numtoks=16",
+                        gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks[: len(want)], want)
+        # fits() accounts for the merged anyres token count (88), not 16
+        assert batcher.spliced_len(ids, 16, px, (500, 500)) == 3 + 88
+    finally:
+        batcher.shutdown()
+
+
+def test_anyres_prefix_cache_hit():
+    """A repeated anyres request reuses cached prefix pages."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = _anyres_cfg()
+    params = init_llava_params(jax.random.PRNGKey(3), cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=4, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=192,
+                                max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                                backend="paged", page_size=16,
+                                prefix_cache=True)
+    try:
+        # enough trailing text that full pages cover the image region
+        # (spliced: 20 text + 88 anyres + 30 text = 138; image region ends
+        # at 108 <= 8 full 16-token pages)
+        ids = np.array([[7] * 20 + [IMAGE_TOKEN_INDEX] + [9] * 30], np.int32)
+        px = np.random.default_rng(4).standard_normal(
+            (5, 3, 56, 56)).astype(np.float32)
+        r1 = batcher.submit(ids, px, numtoks=16, max_new_tokens=4,
+                            image_size=(500, 500))
+        t1 = np.concatenate(list(batcher.stream(r1)))
+        assert batcher.stats["prefix_hits"] == 0
+        r2 = batcher.submit(ids, px, numtoks=16, max_new_tokens=4,
+                            image_size=(500, 500))
+        t2 = np.concatenate(list(batcher.stream(r2)))
+        assert batcher.stats["prefix_hits"] == 1
+        assert batcher.stats["prefix_pages_reused"] > 0
+        np.testing.assert_array_equal(t1[: len(t2)], t2[: len(t1)])
+    finally:
+        batcher.shutdown()
+
+
+def test_mpt_paged_batcher_matches_generate():
+    """MPT (alibi) decodes through the paged backend via the gather
+    attention path — previously rejected with a ValueError."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.models.llama import LlamaConfig
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg = dataclasses.replace(cfg, llama=LlamaConfig.tiny_debug(arch="mpt"))
+    params = init_llava_params(jax.random.PRNGKey(5), cfg)
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                                backend="paged", page_size=16)
+    try:
+        assert batcher.use_kernel is False  # alibi: gather path
+        ids, px = _inputs(6)
+        req = batcher.submit(ids, px, numtoks=4, max_new_tokens=6)
+        toks = np.concatenate(list(batcher.stream(req)))
+        want = generate(params, cfg, ids, px,
+                        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                        gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks[: len(want)], want)
+    finally:
+        batcher.shutdown()
