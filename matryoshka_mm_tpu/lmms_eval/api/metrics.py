@@ -145,7 +145,53 @@ def gpt4_judge(gold, pred: str) -> float:
     return float(m.group(1)) if m else 0.0
 
 
+def _parse_bbox(pred: str):
+    """First four floats in the prediction -> (x1, y1, x2, y2); the
+    reference parses '[x1, y1, x2, y2]' sequences the same way
+    (refcoco/utils_rec.py parse_float_sequence_within)."""
+    nums = re.findall(r"-?\d+(?:\.\d+)?", str(pred))
+    if len(nums) < 4:
+        return None
+    return [float(v) for v in nums[:4]]
+
+
+def _iou(a, b) -> float:
+    ix1, iy1 = max(a[0], b[0]), max(a[1], b[1])
+    ix2, iy2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, ix2 - ix1) * max(0.0, iy2 - iy1)
+    area_a = max(0.0, a[2] - a[0]) * max(0.0, a[3] - a[1])
+    area_b = max(0.0, b[2] - b[0]) * max(0.0, b[3] - b[1])
+    union = area_a + area_b - inter
+    return inter / union if union > 0 else 0.0
+
+
+def rec_iou(gold, pred: str) -> float:
+    """Referring-expression-comprehension IoU of the predicted vs gold
+    normalized bbox (reference: refcoco/utils_rec.py compute_iou)."""
+    box = _parse_bbox(pred)
+    return _iou(gold, box) if box and gold else 0.0
+
+
+def rec_acc05(gold, pred: str) -> float:
+    """IoU >= 0.5 accuracy (the headline REC metric, refcoco_ACC@0.5)."""
+    return 1.0 if rec_iou(gold, pred) >= 0.5 else 0.0
+
+
+def rec_center_acc(gold, pred: str) -> float:
+    """Predicted box center falls inside the gold box
+    (refcoco_Center_ACC; also ScreenSpot's click-accuracy analog)."""
+    box = _parse_bbox(pred)
+    if not box or not gold:
+        return 0.0
+    cx, cy = (box[0] + box[2]) / 2, (box[1] + box[3]) / 2
+    return 1.0 if gold[0] <= cx <= gold[2] and gold[1] <= cy <= gold[3] \
+        else 0.0
+
+
 METRICS: Dict[str, Callable] = {
+    "rec_iou": rec_iou,
+    "rec_acc05": rec_acc05,
+    "rec_center_acc": rec_center_acc,
     "relaxed_accuracy": relaxed_accuracy,
     "contains_match": contains_match,
     "multiple_choice_index": multiple_choice_index,

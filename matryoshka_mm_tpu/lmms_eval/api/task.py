@@ -70,6 +70,16 @@ class ConfigurableTask:
                     path, self.config.get("dataset_name"),
                     split=self.config.get("test_split", "test"))
                 self._docs = list(ds)
+            hook = self.config.get("process_docs")
+            if hook:
+                # "task_utils.<fn>" — the compact analog of the
+                # reference's `!function utils.<fn>` YAML hooks
+                import importlib
+
+                mod_name, fn_name = hook.rsplit(".", 1)
+                mod = importlib.import_module(
+                    f"..tasks.{mod_name}", package=__package__)
+                self._docs = getattr(mod, fn_name)(self._docs)
         return self._docs[:limit] if limit else self._docs
 
     # ---- doc adapters ----

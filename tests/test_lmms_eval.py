@@ -297,3 +297,53 @@ def test_squad_f1_and_bleu4_metrics():
     assert bleu4("a cat sits on the mat quietly today",
                  "a cat sits on the mat quietly today") == pytest.approx(1.0)
     assert bleu4("a cat sits on the mat", "dog") < 0.1
+
+
+def test_rec_metrics_and_process_docs(tmp_path):
+    """RefCOCO-style REC task: process_docs normalizes/explodes docs and
+    the IoU metrics score parsed bboxes (reference:
+    lmms-eval/lmms_eval/tasks/refcoco/utils_rec.py)."""
+    import json
+
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import (rec_acc05,
+                                                         rec_center_acc,
+                                                         rec_iou)
+    from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+
+    assert rec_iou([0.0, 0.0, 0.5, 0.5], "[0.0, 0.0, 0.5, 0.5]") == 1.0
+    assert rec_iou([0.0, 0.0, 0.5, 0.5], "no numbers here") == 0.0
+    assert rec_acc05([0.0, 0.0, 1.0, 1.0], "[0.0, 0.0, 0.6, 1.0]") == 1.0
+    assert rec_acc05([0.0, 0.0, 1.0, 1.0], "[0.0, 0.0, 0.2, 0.2]") == 0.0
+    assert rec_center_acc([0.4, 0.4, 0.6, 0.6], "[0.45, 0.45, 0.55, 0.6]") == 1.0
+
+    docs = [{"image": "x.jpg", "image_width": 100, "image_height": 200,
+             "bbox": [10, 20, 30, 40], "answer": ["a cat", "the cat"]}]
+    p = tmp_path / "docs.json"
+    p.write_text(json.dumps(docs))
+    task = ConfigurableTask({
+        "task": "rec_local", "dataset_path": str(p),
+        "process_docs": "task_utils.refcoco_rec_preprocess",
+        "doc_to_visual": "image", "doc_to_text": "find: {answer}",
+        "doc_to_target": "bbox",
+        "metric_list": [{"metric": "rec_iou", "aggregation": "mean"}],
+    })
+    out = task.docs()
+    assert len(out) == 2                      # answers exploded
+    import numpy as np
+    np.testing.assert_allclose(out[0]["bbox"], [0.1, 0.1, 0.4, 0.3])
+    scores = task.process_results(out[0], "[0.1, 0.1, 0.4, 0.3]")
+    assert scores["rec_iou"] == 1.0
+
+
+def test_new_task_yamls_register():
+    """All 46 task YAMLs (incl. refcoco/cmmmu/mathverse/olympiadbench/
+    ferret/screenspot/multilingual) parse and register."""
+    from matryoshka_mm_tpu.lmms_eval.api.registry import TASK_REGISTRY as TASKS
+    from matryoshka_mm_tpu.lmms_eval.tasks import load_all_tasks
+
+    load_all_tasks()
+    for name in ("refcoco_bbox_rec_val", "refcoco+_bbox_rec_val",
+                 "refcocog_bbox_rec_val", "screenspot_rec_test",
+                 "cmmmu_val", "mathverse_testmini", "olympiadbench_test_en",
+                 "ferret", "llava_in_the_wild_chinese"):
+        assert name in TASKS, name
