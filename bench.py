@@ -68,10 +68,24 @@ def _train_bench():
     K = len(cfg.tokscale_list)
     # tokens processed per optimizer step: K scale-sequences per sample
     toks = B * sum(T - 1 + s for s in cfg.tokscale_list)
+
+    # MFU: 6*P*tokens (fwd+bwd matmul flops) for the decoder over all
+    # scale-sequences, plus the vision tower encoding each image once;
+    # attention flops are negligible at T=256.  v5e bf16 peak: 197 TFLOP/s.
+    def _count(tree):
+        return sum(x.size for x in jax.tree_util.tree_leaves(tree)
+                   if hasattr(x, "size"))
+
+    p_llm = _count(params["llama"])
+    p_vit = _count(params.get("vision_tower", {}))
+    n_patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2 + 1
+    flops = 6.0 * p_llm * toks + 6.0 * p_vit * n_patches * B
+    peak = 197e12
     return {
         "config": "1.1B llama + ViT-L, K=3 scales, B=4, T=256, remat",
         "step_time_s": round(dt, 3),
         "train_tokens_per_sec": round(toks / dt, 1),
+        "mfu": round(flops / dt / peak, 3),
     }
 
 
