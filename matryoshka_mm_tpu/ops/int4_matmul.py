@@ -45,13 +45,16 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Target bytes per streamed weight block: big enough to amortize per-step
-# grid overhead, small enough to double-buffer comfortably in VMEM.
-_BLOCK_BYTES = 256 * 1024
+# Target bytes per streamed weight block.  Measured on v5e (22016x2048
+# packed, in-scan): 256KB blocks -> 385 GB/s, 2MB (2048, 1024) blocks ->
+# ~650 GB/s; quantization pads leaves (ops/quant.py pad_int4_leaf) so the
+# big-block divisors exist.  VMEM at (2048, 1024): 2MB packed x2 buffers
+# + 4MB bf16 nibble temps — fits the 16MB budget.
+_BLOCK_BYTES = 2 * 1024 * 1024
 
 
 def _pick_bk(khalf: int) -> int:
-    for c in (512, 256, 128):
+    for c in (1024, 512, 256, 128):
         if khalf % c == 0:
             return c
     return 0

@@ -220,10 +220,59 @@ def _unpack_int4(packed: jnp.ndarray):
     return lo, hi
 
 
+# Byte whose two excess-8 nibbles both decode to weight 0 — used to pad
+# packed leaves up to kernel-friendly tile multiples with EXACT math (a
+# zero weight contributes nothing regardless of the activation value).
+PAD_BYTE = 0x88 - 256  # int8 bit pattern of 0x88
+
+import dataclasses as _dataclasses
+
+
+@jax.tree_util.register_static
+@_dataclasses.dataclass(frozen=True)
+class LogicalShape:
+    """Static (N, K) of a padded int4 leaf: registered as a static pytree
+    node so it survives jit boundaries as a compile-time constant instead
+    of becoming a traced leaf (slice bounds must be static)."""
+
+    n: int
+    k: int
+
+
+def pad_int4_leaf(leaf: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """Pad a packed leaf so the fused kernel can use ~2MB weight blocks:
+    byte columns to a multiple of 512 and output rows to a multiple of
+    2048 (only for leaves already at that scale — tiny test leaves stay
+    exact).  Measured on v5e: (2048, 1024) blocks stream at ~650 GB/s vs
+    ~385 at the 256KB blocks the unpadded shapes force.  ``orig_shape``
+    records the logical (N, K) so dequantize/matmul can slice the pad
+    back off."""
+    q, s = leaf[Q4KEY], leaf["scale"]
+    N, Kh = q.shape[-2], q.shape[-1]
+    Khp = -(-Kh // 512) * 512 if Kh >= 512 else Kh
+    Np = -(-N // 2048) * 2048 if N >= 2048 else N
+    if (Khp, Np) == (Kh, N):
+        return leaf
+    pad2 = [(0, 0)] * (q.ndim - 2) + [(0, Np - N), (0, Khp - Kh)]
+    q = jnp.pad(q, pad2, constant_values=PAD_BYTE)
+    s = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, Np - N), (0, 0)],
+                constant_values=1.0)
+    return {Q4KEY: q, "scale": s,
+            "orig_shape": LogicalShape(int(N), int(2 * Kh))}
+
+
 def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     lo, hi = _unpack_int4(leaf[Q4KEY])
+    if "orig_shape" in leaf:        # slice kernel-tile padding back off
+        n0, k0 = leaf["orig_shape"].n, leaf["orig_shape"].k
+        kh0 = k0 // 2
+        lo = lo[..., :n0, :kh0]
+        hi = hi[..., :n0, :kh0]
+        scale = leaf["scale"][..., :n0, :]
+    else:
+        scale = leaf["scale"]
     q = jnp.concatenate([lo, hi], axis=-1)              # split-half layout
-    return (q.astype(jnp.float32) * leaf["scale"]).astype(dtype)
+    return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
 def _concat_int4(leaves) -> Dict[str, jnp.ndarray]:
@@ -281,6 +330,17 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
             and all(is_quantized(layers["mlp"].get(n))
                     for n in ("gate_proj", "up_proj")):
         params["layers"] = _fuse_layer_projections(layers)
+
+    def pad_rec(tree):
+        for k in list(tree):
+            child = tree[k]
+            if isinstance(child, dict):
+                if Q4KEY in child:
+                    tree[k] = pad_int4_leaf(child)
+                else:
+                    pad_rec(child)
+
+    pad_rec(params)
     return params
 
 
@@ -315,11 +375,21 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
     if not int4_matmul_eligible(rows, pshape):
         return None
     x2 = x.reshape(rows, x.shape[-1])
+    khp = pshape[-1]
+    if x2.shape[-1] != 2 * khp:
+        # padded leaf (pad_int4_leaf): re-lay the activation into the
+        # padded split-half geometry — [lo_half, 0-pad, hi_half, 0-pad]
+        # (the pad weights decode to exactly 0, so zeros here are exact)
+        kh0 = x2.shape[-1] // 2
+        z = jnp.zeros((rows, khp - kh0), x2.dtype)
+        x2 = jnp.concatenate([x2[:, :kh0], z, x2[:, kh0:], z], axis=-1)
     if stacked:
         y = int4_matmul_stacked(x2, leaf[Q4KEY], leaf["scale"],
                                 leaf["_layer"])
     else:
         y = int4_matmul(x2, leaf[Q4KEY], leaf["scale"])
+    if "orig_shape" in leaf:
+        y = y[:, : leaf["orig_shape"].n]
     if lora is not None:
         # low-rank delta on the side: (x @ A^T) @ B^T * scale — tiny GEMMs,
         # no base-weight materialization (ops/lora.py shapes: A (r, in),
