@@ -176,6 +176,12 @@ class ContinuousBatcher:
             if backend != "paged":
                 raise ValueError("multi-LoRA serving requires the paged "
                                  "backend")
+            layers = params.get("llama", {}).get("layers", {})
+            if "qkv_proj" in layers.get("self_attn", {}):
+                raise ValueError(
+                    "multi-LoRA serving cannot target fused int4 qkv "
+                    "leaves; quantize with fuse=False (or use int8/bf16 "
+                    "base weights)")
             from .multi_lora import pack_adapters
 
             self.lora_pack, self.lora_names = pack_adapters(adapters)

@@ -198,16 +198,23 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
 
     def body(h, xs):
         lp, k_pool, v_pool, la_xs = xs
+        if stacked_int4:
+            lp = index_layer_tree(params["layers"], lp)
         if cfg.arch == "mpt":
-            return mpt_body(h, xs)
+            return mpt_body(h, (lp, k_pool, v_pool, la_xs))
         a = lp["self_attn"]
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-        q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj")) \
-            .reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-        k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj")) \
-            .reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj")) \
-            .reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        if "qkv_proj" in a:
+            # fused int4 layout (ops/quant.py): one kernel for q+k+v
+            qkv = mm(x, a["qkv_proj"], la_xs, None)
+            q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
+        else:
+            q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
+            k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
+            v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
+        q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
@@ -239,13 +246,25 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
 
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         m = lp["mlp"]
-        gate = jax.nn.silu(mm(x, m["gate_proj"], la_xs, ("mlp", "gate_proj")))
-        up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
-        h = h + mm(gate * up, m["down_proj"], la_xs, ("mlp", "down_proj"))
+        if "gateup_proj" in m:
+            gate, up = jnp.split(mm(x, m["gateup_proj"], la_xs, None),
+                                 2, axis=-1)
+        else:
+            gate = mm(x, m["gate_proj"], la_xs, ("mlp", "gate_proj"))
+            up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
+        h = h + mm(jax.nn.silu(gate) * up, m["down_proj"],
+                   la_xs, ("mlp", "down_proj"))
         return h, (k_pool, v_pool)
 
+    # int4-packed layers scan over layer indices so the stacked packed
+    # weights reach the fused kernels unsliced (see models/llama.py)
+    from ..ops.quant import index_layer_tree, tree_has_int4
+
+    stacked_int4 = tree_has_int4(params["layers"])
+    layer_xs = (jnp.arange(cfg.num_hidden_layers) if stacked_int4
+                else params["layers"])
     hidden, (new_k, new_v) = jax.lax.scan(
-        body, hidden, (params["layers"], k_all, v_all, lp_slices))
+        body, hidden, (layer_xs, k_all, v_all, lp_slices))
     if cfg.arch == "mpt":
         from ..models.llama import layer_norm_nobias
 

@@ -430,3 +430,31 @@ def test_mpt_paged_batcher_matches_generate():
         np.testing.assert_array_equal(toks[: len(want)], want)
     finally:
         batcher.shutdown()
+
+
+def test_paged_batcher_with_int4_fused_params():
+    """load_4bit params (fused qkv/gateup int4 leaves) must decode through
+    the paged backend — the hand-written decode body needs the fused-leaf
+    and layer-index paths, not just llama_forward."""
+    from matryoshka_mm_tpu.models.builder import load_pretrained_model
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    tok, model, proc, ctx = load_pretrained_model(
+        "debug://tiny", None, "tiny", load_4bit=True)
+    assert "qkv_proj" in model.params["llama"]["layers"]["self_attn"]
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher = ContinuousBatcher(model.params, model.cfg, max_batch=2,
+                                prefill_len=64, max_new_tokens=16,
+                                gen_cfg=gen_cfg, chunk=2,
+                                backend="paged", page_size=16)
+    try:
+        ids, px = _inputs(9)
+        req = batcher.submit(ids, px, numtoks=4, max_new_tokens=6)
+        toks = np.concatenate(list(batcher.stream(req)))
+        want = generate(model.params, model.cfg, ids, px,
+                        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                        gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks[: len(want)], want)
+    finally:
+        batcher.shutdown()
