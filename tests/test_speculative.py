@@ -93,3 +93,28 @@ def test_speculative_eos_and_budget(model):
     # both mask the eos to pad and stop; agree over vanilla's full output
     assert got2[: len(want2)] == want2
     assert eos not in got2
+
+
+def test_speculative_with_int4_fused(model):
+    """Speculative verify steps (Sq = k+1 rows) must run through the
+    fused int4 path identically to vanilla greedy on the same weights."""
+    import copy
+
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params_int4
+
+    cfg, params = model
+    q = dict(params)
+    q["llama"] = quantize_llama_params_int4(
+        copy.deepcopy(params["llama"]), min_size=1024)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9, 42, 9, 42, 9]],
+                   np.int32)
+    px = np.random.default_rng(0).standard_normal((1, 3, 56, 56)
+                                                  ).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=12, eos_token_id=-1)
+    want = generate(q, cfg, ids, px,
+                    matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                    gen_cfg=gen_cfg)[0]
+    got = speculative_generate(q, cfg, ids, px,
+                               matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                               gen_cfg=gen_cfg)[0]
+    np.testing.assert_array_equal(got[: len(want)], want)
