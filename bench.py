@@ -128,8 +128,9 @@ def _cpu_reference_tok_s(cfg, n_steps: int = 2):
         cache = init_kv_cache(cfg.llama, 1, 320)
         cache = cache._replace(write_idx=jnp.asarray(256, jnp.int32))
         decode = _decode_chunk_fn(cfg, gen_cfg, n_steps)
-        # donated cache: keep a second copy for the timed call
-        cache2 = jax.tree.map(lambda x: x + 0, cache)
+        # donated cache: keep a second copy for the timed call (dtype-
+        # preserving — `x + 0` would promote the bool validity mask)
+        cache2 = jax.tree.map(jnp.array, cache)
         out = decode(params, cache, jnp.zeros((1,), jnp.int32),
                      jnp.full((1,), 256, jnp.int32), jnp.zeros((1,), bool),
                      jax.random.PRNGKey(0))         # compile + warm

@@ -1,13 +1,15 @@
 """Serving controller.
 
-Worker registry with heartbeat expiry and dispatch, byte-compatible with
-the reference's REST protocol (reference: llava/serve/controller.py:28-298):
+Worker registry with heartbeat expiry and dispatch.  The REST surface and
+payload shapes are byte-compatible with the reference's controller
+protocol (reference: llava/serve/controller.py:28-298):
 ``/register_worker``, ``/refresh_all_workers``, ``/list_models``,
 ``/get_worker_address``, ``/receive_heart_beat``,
 ``/worker_generate_stream`` (proxy, ``\\0``-delimited JSON chunks) and
-``/worker_get_status`` (hierarchical controller-as-worker).
-
-aiohttp instead of FastAPI/uvicorn (not available in this image).
+``/worker_get_status`` (hierarchical controller-as-worker).  The
+implementation is this framework's own: a lock-guarded registry keyed by
+worker address with pluggable dispatch policies, on aiohttp (FastAPI/
+uvicorn are not in this image).
 """
 
 from __future__ import annotations
@@ -15,12 +17,12 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import json
+import random
 import threading
 import time
-from enum import Enum, auto
-from typing import List
+from enum import Enum
+from typing import Dict, List, Optional
 
-import numpy as np
 import requests
 
 from ..constants import CONTROLLER_HEART_BEAT_EXPIRATION
@@ -30,16 +32,10 @@ logger = build_logger("controller", "controller.log")
 
 
 class DispatchMethod(Enum):
-    LOTTERY = auto()
-    SHORTEST_QUEUE = auto()
+    """Dispatch policy names match the reference CLI flags."""
 
-    @classmethod
-    def from_str(cls, name: str):
-        if name == "lottery":
-            return cls.LOTTERY
-        if name == "shortest_queue":
-            return cls.SHORTEST_QUEUE
-        raise ValueError("Invalid dispatch method")
+    LOTTERY = "lottery"
+    SHORTEST_QUEUE = "shortest_queue"
 
 
 @dataclasses.dataclass
@@ -50,142 +46,152 @@ class WorkerInfo:
     check_heart_beat: bool
     last_heart_beat: float
 
+    @classmethod
+    def from_status(cls, status: dict, check_heart_beat: bool) -> "WorkerInfo":
+        return cls(model_names=list(status["model_names"]),
+                   speed=status["speed"],
+                   queue_length=status["queue_length"],
+                   check_heart_beat=check_heart_beat,
+                   last_heart_beat=time.time())
+
+
+def _probe_worker(address: str) -> Optional[dict]:
+    """Ask a worker for its /worker_get_status; None when unreachable."""
+    try:
+        r = requests.post(address + "/worker_get_status", timeout=5)
+        return r.json() if r.status_code == 200 else None
+    except requests.exceptions.RequestException as e:
+        logger.error(f"status probe failed for {address}: {e}")
+        return None
+
 
 class Controller:
+    """Thread-safe worker registry + dispatcher."""
+
     def __init__(self, dispatch_method: str, start_expiry_thread: bool = True):
-        self.worker_info = {}
-        self.dispatch_method = DispatchMethod.from_str(dispatch_method)
+        self.worker_info: Dict[str, WorkerInfo] = {}
+        self.dispatch_method = DispatchMethod(dispatch_method)
+        self._lock = threading.Lock()
         if start_expiry_thread:
-            self.heart_beat_thread = threading.Thread(
-                target=self._expiry_loop, daemon=True)
-            self.heart_beat_thread.start()
-        logger.info("Init controller")
+            threading.Thread(target=self._expiry_loop, daemon=True).start()
+        logger.info(f"controller up (dispatch={dispatch_method})")
+
+    # ---- registry ----
+    def register_worker(self, worker_name: str, check_heart_beat: bool,
+                        worker_status: Optional[dict]) -> bool:
+        status = worker_status or _probe_worker(worker_name)
+        if not status:
+            return False
+        with self._lock:
+            fresh = worker_name not in self.worker_info
+            self.worker_info[worker_name] = WorkerInfo.from_status(
+                status, check_heart_beat)
+        logger.info(f"{'new' if fresh else 'refreshed'} worker "
+                    f"{worker_name}: {status}")
+        return True
+
+    def get_worker_status(self, worker_name: str) -> Optional[dict]:
+        return _probe_worker(worker_name)
+
+    def remove_worker(self, worker_name: str):
+        with self._lock:
+            self.worker_info.pop(worker_name, None)
+
+    def refresh_all_workers(self):
+        with self._lock:
+            snapshot = list(self.worker_info.items())
+            self.worker_info = {}
+        for address, info in snapshot:
+            if not self.register_worker(address, info.check_heart_beat, None):
+                logger.info(f"dropping unreachable worker {address}")
+
+    def list_models(self) -> List[str]:
+        with self._lock:
+            return sorted({m for info in self.worker_info.values()
+                           for m in info.model_names})
+
+    # ---- dispatch ----
+    def _serving(self, model_name: str) -> Dict[str, WorkerInfo]:
+        return {addr: info for addr, info in self.worker_info.items()
+                if model_name in info.model_names}
+
+    def get_worker_address(self, model_name: str) -> str:
+        with self._lock:
+            candidates = self._serving(model_name)
+            if not candidates:
+                return ""
+            if self.dispatch_method is DispatchMethod.LOTTERY:
+                # speed-weighted lottery (reference dispatch semantics)
+                weights = [info.speed for info in candidates.values()]
+                if sum(weights) < 1e-4:
+                    return ""
+                return random.choices(list(candidates), weights=weights)[0]
+            # shortest normalized queue; count the dispatch immediately so
+            # a burst of requests spreads before the next heartbeat lands
+            addr = min(candidates,
+                       key=lambda a: candidates[a].queue_length
+                       / candidates[a].speed)
+            self.worker_info[addr].queue_length += 1
+            return addr
+
+    # ---- liveness ----
+    def receive_heart_beat(self, worker_name: str, queue_length: int) -> bool:
+        with self._lock:
+            info = self.worker_info.get(worker_name)
+            if info is None:
+                # a worker we forgot (e.g. restart): it will re-register
+                logger.info(f"heartbeat from unknown worker {worker_name}")
+                return False
+            info.queue_length = queue_length
+            info.last_heart_beat = time.time()
+        return True
+
+    def remove_stale_workers_by_expiration(self):
+        deadline = time.time() - CONTROLLER_HEART_BEAT_EXPIRATION
+        with self._lock:
+            stale = [addr for addr, info in self.worker_info.items()
+                     if info.check_heart_beat
+                     and info.last_heart_beat < deadline]
+            for addr in stale:
+                del self.worker_info[addr]
+        for addr in stale:
+            logger.info(f"expired worker {addr}")
 
     def _expiry_loop(self):
         while True:
             time.sleep(CONTROLLER_HEART_BEAT_EXPIRATION)
             self.remove_stale_workers_by_expiration()
 
-    def register_worker(self, worker_name: str, check_heart_beat: bool,
-                        worker_status: dict) -> bool:
-        if worker_name not in self.worker_info:
-            logger.info(f"Register a new worker: {worker_name}")
-        else:
-            logger.info(f"Register an existing worker: {worker_name}")
-        if not worker_status:
-            worker_status = self.get_worker_status(worker_name)
-        if not worker_status:
-            return False
-        self.worker_info[worker_name] = WorkerInfo(
-            worker_status["model_names"], worker_status["speed"],
-            worker_status["queue_length"], check_heart_beat, time.time())
-        logger.info(f"Register done: {worker_name}, {worker_status}")
-        return True
-
-    def get_worker_status(self, worker_name: str):
-        try:
-            r = requests.post(worker_name + "/worker_get_status", timeout=5)
-        except requests.exceptions.RequestException as e:
-            logger.error(f"Get status fails: {worker_name}, {e}")
-            return None
-        if r.status_code != 200:
-            logger.error(f"Get status fails: {worker_name}, {r}")
-            return None
-        return r.json()
-
-    def remove_worker(self, worker_name: str):
-        del self.worker_info[worker_name]
-
-    def refresh_all_workers(self):
-        old_info = dict(self.worker_info)
-        self.worker_info = {}
-        for w_name, w_info in old_info.items():
-            if not self.register_worker(w_name, w_info.check_heart_beat, None):
-                logger.info(f"Remove stale worker: {w_name}")
-
-    def list_models(self) -> List[str]:
-        model_names = set()
-        for w_info in self.worker_info.values():
-            model_names.update(w_info.model_names)
-        return list(model_names)
-
-    def get_worker_address(self, model_name: str) -> str:
-        if self.dispatch_method == DispatchMethod.LOTTERY:
-            worker_names, worker_speeds = [], []
-            for w_name, w_info in self.worker_info.items():
-                if model_name in w_info.model_names:
-                    worker_names.append(w_name)
-                    worker_speeds.append(w_info.speed)
-            worker_speeds = np.asarray(worker_speeds, np.float32)
-            norm = np.sum(worker_speeds)
-            if norm < 1e-4:
-                return ""
-            pt = np.random.choice(np.arange(len(worker_names)),
-                                  p=worker_speeds / norm)
-            return worker_names[pt]
-        if self.dispatch_method == DispatchMethod.SHORTEST_QUEUE:
-            worker_names, worker_qlen = [], []
-            for w_name, w_info in self.worker_info.items():
-                if model_name in w_info.model_names:
-                    worker_names.append(w_name)
-                    worker_qlen.append(w_info.queue_length / w_info.speed)
-            if len(worker_names) == 0:
-                return ""
-            min_index = int(np.argmin(worker_qlen))
-            w_name = worker_names[min_index]
-            self.worker_info[w_name].queue_length += 1
-            logger.info(f"names: {worker_names}, queue_lens: {worker_qlen}, "
-                        f"ret: {w_name}")
-            return w_name
-        raise ValueError(f"Invalid dispatch method: {self.dispatch_method}")
-
-    def receive_heart_beat(self, worker_name: str, queue_length: int) -> bool:
-        if worker_name not in self.worker_info:
-            logger.info(f"Receive unknown heart beat. {worker_name}")
-            return False
-        self.worker_info[worker_name].queue_length = queue_length
-        self.worker_info[worker_name].last_heart_beat = time.time()
-        logger.info(f"Receive heart beat. {worker_name}")
-        return True
-
-    def remove_stale_workers_by_expiration(self):
-        expire = time.time() - CONTROLLER_HEART_BEAT_EXPIRATION
-        to_delete = [w for w, info in self.worker_info.items()
-                     if info.check_heart_beat and info.last_heart_beat < expire]
-        for worker_name in to_delete:
-            self.remove_worker(worker_name)
-
+    # ---- controller-as-worker (hierarchical mode) ----
     def worker_api_generate_stream(self, params):
-        worker_addr = self.get_worker_address(params["model"])
-        if not worker_addr:
-            logger.info(f"no worker: {params['model']}")
+        address = self.get_worker_address(params["model"])
+        if not address:
+            logger.info(f"no live worker serves {params['model']!r}")
             yield json.dumps({"text": server_error_msg,
                               "error_code": 2}).encode() + b"\0"
             return
         try:
-            response = requests.post(worker_addr + "/worker_generate_stream",
+            upstream = requests.post(address + "/worker_generate_stream",
                                      json=params, stream=True, timeout=5)
-            for chunk in response.iter_lines(decode_unicode=False,
+            for chunk in upstream.iter_lines(decode_unicode=False,
                                              delimiter=b"\0"):
                 if chunk:
                     yield chunk + b"\0"
         except requests.exceptions.RequestException:
-            logger.info(f"worker timeout: {worker_addr}")
+            logger.info(f"worker stream failed: {address}")
             yield json.dumps({"text": server_error_msg,
                               "error_code": 3}).encode() + b"\0"
 
-    def worker_api_get_status(self):
-        model_names = set()
-        speed = 0
-        queue_length = 0
-        for w_name in self.worker_info:
-            worker_status = self.get_worker_status(w_name)
-            if worker_status is not None:
-                model_names.update(worker_status["model_names"])
-                speed += worker_status["speed"]
-                queue_length += worker_status["queue_length"]
-        return {"model_names": list(model_names), "speed": speed,
-                "queue_length": queue_length}
+    def worker_api_get_status(self) -> dict:
+        with self._lock:
+            addresses = list(self.worker_info)
+        statuses = [s for s in (_probe_worker(a) for a in addresses) if s]
+        return {
+            "model_names": sorted({m for s in statuses
+                                   for m in s["model_names"]}),
+            "speed": sum(s["speed"] for s in statuses),
+            "queue_length": sum(s["queue_length"] for s in statuses),
+        }
 
 
 def build_app(controller: Controller):
