@@ -9,6 +9,7 @@ weight-value independent.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -311,15 +312,35 @@ def main():
     if platform == "cpu":
         cpu_tok_s = headline  # bench itself ran on CPU; ratio is 1 by def.
     else:
-        try:
-            cpu_tok_s = _cpu_reference_tok_s(cfg)
-        except Exception as e:
-            results["cpu_reference_error"] = str(e)[:200]
-            cpu_tok_s = None
+        # the measurement costs ~50 min of single-core wall clock (XLA-CPU
+        # compile + two 27GB f32 decode steps), so it is cached on disk;
+        # delete CPU_REFERENCE.json to re-measure
+        cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                  "CPU_REFERENCE.json")
+        cpu_tok_s = None
+        if os.path.exists(cache_path):
+            with open(cache_path) as f:
+                cpu_tok_s = json.load(f)["cpu_tok_s"]
+            results["cpu_reference_cached"] = True
+        else:
+            try:
+                cpu_tok_s = _cpu_reference_tok_s(cfg)
+                with open(cache_path, "w") as f:
+                    json.dump({"cpu_tok_s": cpu_tok_s,
+                               "cores": os.cpu_count(),
+                               "note": "same jitted decode graph, f32 "
+                                       "weights, single-host CPU backend"},
+                              f)
+            except Exception as e:
+                results["cpu_reference_error"] = str(e)[:200]
     if cpu_tok_s:
-        results["cpu_reference_decode_tok_s"] = round(cpu_tok_s, 3)
-    results["baseline_note"] = ("vs_baseline = tpu tok/s / measured cpu "
-                                "tok/s; north-star target is >= 5.0")
+        results["cpu_reference_decode_tok_s"] = round(cpu_tok_s, 4)
+        results["cpu_reference_cores"] = os.cpu_count()
+    results["baseline_note"] = (
+        "vs_baseline = tpu tok/s / measured cpu tok/s (identical jitted "
+        "decode graph on this host's single-core CPU backend; north-star "
+        "target is >= 5.0). The box has 1 core — scale by ~bandwidth for "
+        "a full CPU server estimate.")
     print(json.dumps({
         "metric": "decode_tokens_per_sec (llava-v1.5-7b-m3, scale=144, 1 chip)",
         "value": headline,
