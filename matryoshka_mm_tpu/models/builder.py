@@ -199,6 +199,7 @@ def load_pretrained_model(
     device_map: str = "auto",
     device: str = "tpu",
     use_flash_attn: bool = False,
+    quant_fuse: bool = True,
     **kwargs,
 ) -> Tuple[object, LlavaModel, ClipImageProcessor, int]:
     """reference: builder.py:27-192.  Returns (tokenizer, model,
@@ -223,7 +224,7 @@ def load_pretrained_model(
         image_processor = ClipImageProcessor(
             size={"shortest_edge": s}, crop_size={"height": s, "width": s})
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
-        params = maybe_quantize(params, load_8bit, load_4bit)
+        params = maybe_quantize(params, load_8bit, load_4bit, quant_fuse)
         return DebugTokenizer(cfg.llama.vocab_size), LlavaModel(params, cfg), \
             image_processor, cfg.tokenizer_model_max_length
 
@@ -285,7 +286,7 @@ def load_pretrained_model(
 
         params["vision_tower"] = init_clip_params(jax.random.PRNGKey(0), cfg.vision)
     params = cast_pytree(params, "bfloat16")
-    params = maybe_quantize(params, load_8bit, load_4bit)
+    params = maybe_quantize(params, load_8bit, load_4bit, quant_fuse)
 
     tokenizer = _load_tokenizer(model_path, model_base)
     context_len = hf_cfg.get("max_sequence_length",
@@ -306,9 +307,12 @@ def _load_tokenizer(model_path: str, model_base: Optional[str]):
     return DebugTokenizer()
 
 
-def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
+def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool,
+                   fuse: bool = True) -> dict:
     """bitsandbytes-equivalent weight compression (reference:
-    builder.py:51-60).  int8 covers both flags (int4 packing: future)."""
+    builder.py:51-60).  ``fuse=True`` is the inference layout (fused
+    qkv/gateup + 2MB-tile padding for the fused decode kernels); pass
+    False when per-projection leaves must survive (multi-LoRA serving)."""
     if not (load_8bit or load_4bit):
         return params
     out = dict(params)
@@ -316,7 +320,7 @@ def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
         from ..ops.quant import quantize_llama_params_int4
 
         out["llama"] = quantize_llama_params_int4(
-            params["llama"], min_size=4096, inplace=True)
+            params["llama"], min_size=4096, inplace=True, fuse=fuse)
     else:
         from ..ops.quant import quantize_llama_params_inplace
 
@@ -325,5 +329,6 @@ def maybe_quantize(params: dict, load_8bit: bool, load_4bit: bool) -> dict:
         # alive alongside the int8 one (20GB for a 7B), which OOMs a 16GB
         # chip at the first real computation
         out["llama"] = quantize_llama_params_inplace(params["llama"],
-                                                     min_size=4096)
+                                                     min_size=4096,
+                                                     fuse=fuse)
     return out

@@ -203,6 +203,106 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
     return out[0, :M]
 
 
+# ---------------------------------------------------------------------------
+# int8 variants — same streaming/block design minus the nibble split: one
+# int8->bf16 convert per weight (half the convert work of int4 per byte,
+# but twice the bytes).  Replaces XLA's unfused dequant+matmul for decode.
+# ---------------------------------------------------------------------------
+
+def _kernel8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_j: int):
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    acc_ref[:] += jax.lax.dot_general(
+        x_ref[:], q_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+    @pl.when(j == n_j - 1)
+    def _():
+        o_ref[:] = (acc_ref[:] * s_ref[:]).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                *, interpret: bool = False) -> jnp.ndarray:
+    """``x (M, K) @ (q (N, K) * scale (N, 1)).T -> (M, N)`` fused."""
+    M, K = x.shape
+    N, _ = q.shape
+    BK = _pick_bk(K)
+    BN = _pick_bn(N, BK)
+    n_j = K // BK
+
+    x = x.astype(jnp.bfloat16)
+    Mp = -(-M // 16) * 16
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel8, n_j=n_j),
+        grid=(N // BN, n_j),
+        in_specs=[
+            pl.BlockSpec((Mp, BK), lambda n, j: (0, j)),
+            pl.BlockSpec((BN, BK), lambda n, j: (n, j)),
+            pl.BlockSpec((1, BN), lambda n, j: (0, n)),
+        ],
+        out_specs=pl.BlockSpec((Mp, BN), lambda n, j: (0, n)),
+        out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
+        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(x, q, scale.reshape(1, N).astype(jnp.float32))
+    return out[:M]
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def int8_matmul_stacked(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                        layer_idx: jnp.ndarray,
+                        *, interpret: bool = False) -> jnp.ndarray:
+    """Layer-indexed fused int8 matmul over a stacked ``(L, N, K)`` leaf
+    (scalar-prefetched index, same rationale as int4_matmul_stacked)."""
+    M, K = x.shape
+    L, N, _ = q.shape
+    BK = _pick_bk(K)
+    BN = _pick_bn(N, BK)
+    n_j = K // BK
+
+    x = x.astype(jnp.bfloat16)
+    Mp = -(-M // 16) * 16
+    if Mp != M:
+        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def kernel(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref):
+        del idx_ref
+        _kernel8(x_ref.at[0], q_ref.at[0], s_ref.at[0], o_ref.at[0],
+                 acc_ref, n_j=n_j)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(N // BN, n_j),
+        in_specs=[
+            pl.BlockSpec((1, Mp, BK), lambda n, j, idx: (0, 0, j)),
+            pl.BlockSpec((1, BN, BK), lambda n, j, idx: (idx[0], n, j)),
+            pl.BlockSpec((1, 1, BN), lambda n, j, idx: (idx[0], 0, n)),
+        ],
+        out_specs=pl.BlockSpec((1, Mp, BN), lambda n, j, idx: (0, 0, n)),
+        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
+        interpret=interpret,
+    )(idx, x[None], q, scale.reshape(L, 1, N).astype(jnp.float32))
+    return out[0, :M]
+
+
 def int4_matmul_eligible(x_2d_rows: int, packed_shape, *,
                         max_rows: int = 128) -> bool:
     """The fused kernel keeps the whole activation block resident in VMEM,

@@ -65,21 +65,28 @@ def is_quantized(leaf: Any) -> bool:
     return isinstance(leaf, dict) and (QKEY in leaf or "qint4" in leaf)
 
 
-def tree_has_int4(tree) -> bool:
-    """True when any leaf of the (sub)tree is an int4-packed dict."""
+def tree_has_quantized(tree) -> bool:
+    """True when any leaf of the (sub)tree is a quantized (int8/int4)
+    dict — such trees scan over layer indices so the fused kernels see
+    the stacked weights unsliced."""
     if isinstance(tree, dict):
-        return Q4KEY in tree or any(tree_has_int4(v) for v in tree.values())
+        return (Q4KEY in tree or QKEY in tree
+                or any(tree_has_quantized(v) for v in tree.values()))
     return False
+
+
+# kept as an alias for earlier call sites
+tree_has_int4 = tree_has_quantized
 
 
 def index_layer_tree(tree, idx):
     """Per-layer view of a stacked layer tree for a scan over layer
-    indices.  int4 leaves stay whole (the fused kernel selects the layer
-    via scalar prefetch — slicing them before a pallas call would
+    indices.  Quantized leaves stay whole (the fused kernel selects the
+    layer via scalar prefetch — slicing them before a pallas call would
     materialize a copy); every other leaf is sliced, which XLA fuses into
     its consumers copy-free."""
     if isinstance(tree, dict):
-        if Q4KEY in tree:
+        if Q4KEY in tree or QKEY in tree:
             return {**tree, "_layer": idx}
         return {k: index_layer_tree(v, idx) for k, v in tree.items()}
     return tree[idx]
@@ -99,9 +106,17 @@ def dequantize_array(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     if "qint4" in leaf:
         if "_layer" in leaf:        # stacked layer view (index_layer_tree)
             leaf = {Q4KEY: leaf[Q4KEY][leaf["_layer"]],
-                    "scale": leaf["scale"][leaf["_layer"]]}
+                    "scale": leaf["scale"][leaf["_layer"]],
+                    **({"orig_shape": leaf["orig_shape"]}
+                       if "orig_shape" in leaf else {})}
         return _dequantize_int4(leaf, dtype)
-    return (leaf[QKEY].astype(jnp.float32) * leaf["scale"]).astype(dtype)
+    q, scale = leaf[QKEY], leaf["scale"]
+    if "_layer" in leaf:
+        q, scale = q[leaf["_layer"]], scale[leaf["_layer"]]
+    w = (q.astype(jnp.float32) * scale).astype(dtype)
+    if "orig_shape" in leaf:        # slice kernel-tile padding back off
+        w = w[..., : leaf["orig_shape"].n, : leaf["orig_shape"].k]
+    return w
 
 
 def _should_quantize(name: str, leaf, min_size: int) -> bool:
@@ -133,11 +148,16 @@ def quantize_llama_params(params: dict, min_size: int = 1 << 16) -> dict:
     return rec(params)
 
 
-def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16) -> dict:
+def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16,
+                                  fuse: bool = True) -> dict:
     """Like :func:`quantize_llama_params` but replaces leaves one at a time
     so the bf16 original is freed as quantization proceeds — peak HBM is the
     full bf16 tree plus ONE int8 leaf, not both trees (needed to quantize a
-    7B resident on a 16GB chip)."""
+    7B resident on a 16GB chip).
+
+    ``fuse=True`` (inference layout) merges qkv and gate/up into single
+    leaves and pads to 2MB-block tiles for the fused int8 decode kernel
+    (ops/int4_matmul.py int8_matmul*); use False for LoRA wrapping."""
 
     def rec(tree, path=()):
         if isinstance(tree, dict):
@@ -154,6 +174,25 @@ def quantize_llama_params_inplace(params: dict, min_size: int = 1 << 16) -> dict
                 rec(v, path)
 
     rec(params)
+    layers = params.get("layers")
+    if fuse and isinstance(layers, dict) and "self_attn" in layers \
+            and all(is_quantized(layers["self_attn"].get(n))
+                    for n in ("q_proj", "k_proj", "v_proj")) \
+            and all(is_quantized(layers["mlp"].get(n))
+                    for n in ("gate_proj", "up_proj")):
+        params["layers"] = _fuse_layer_projections(layers, QKEY)
+
+    def pad_rec(tree):
+        for k in list(tree):
+            child = tree[k]
+            if isinstance(child, dict):
+                if QKEY in child:
+                    tree[k] = pad_int8_leaf(child)
+                else:
+                    pad_rec(child)
+
+    if fuse:
+        pad_rec(params)
     return params
 
 
@@ -261,6 +300,21 @@ def pad_int4_leaf(leaf: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
             "orig_shape": LogicalShape(int(N), int(2 * Kh))}
 
 
+def pad_int8_leaf(leaf: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+    """int8 analog of :func:`pad_int4_leaf`: zero weights pad exactly."""
+    q, s = leaf[QKEY], leaf["scale"]
+    N, K = q.shape[-2], q.shape[-1]
+    Kp = -(-K // 512) * 512 if K >= 512 else K
+    Np = -(-N // 2048) * 2048 if N >= 2048 else N
+    if (Kp, Np) == (K, N):
+        return leaf
+    pad2 = [(0, 0)] * (q.ndim - 2) + [(0, Np - N), (0, Kp - K)]
+    q = jnp.pad(q, pad2)
+    s = jnp.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, Np - N), (0, 0)],
+                constant_values=1.0)
+    return {QKEY: q, "scale": s, "orig_shape": LogicalShape(int(N), int(K))}
+
+
 def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     lo, hi = _unpack_int4(leaf[Q4KEY])
     if "orig_shape" in leaf:        # slice kernel-tile padding back off
@@ -275,27 +329,27 @@ def _dequantize_int4(leaf, dtype=jnp.bfloat16) -> jnp.ndarray:
     return (q.astype(jnp.float32) * scale).astype(dtype)
 
 
-def _concat_int4(leaves) -> Dict[str, jnp.ndarray]:
-    """Concatenate int4 leaves along the output-channel axis.  Exact:
+def _concat_quant(leaves, key: str) -> Dict[str, jnp.ndarray]:
+    """Concatenate quantized leaves along the output-channel axis.  Exact:
     per-output-channel scales make quantize-then-concat identical to
     concat-then-quantize."""
-    return {Q4KEY: jnp.concatenate([l[Q4KEY] for l in leaves], axis=-2),
+    return {key: jnp.concatenate([l[key] for l in leaves], axis=-2),
             "scale": jnp.concatenate([l["scale"] for l in leaves], axis=-2)}
 
 
-@jax.jit
-def _fuse_layer_projections(layers: dict) -> dict:
-    """Merge q/k/v -> qkv_proj and gate/up -> gateup_proj on already-packed
-    int4 leaves.  Fewer, larger fused matmuls per decode step: each Pallas
-    call costs ~20us of launch/pipeline-warmup on top of its byte
+def _fuse_layer_projections(layers: dict, key: str = Q4KEY) -> dict:
+    """Merge q/k/v -> qkv_proj and gate/up -> gateup_proj on already-
+    quantized leaves.  Fewer, larger fused matmuls per decode step: each
+    Pallas call costs ~20us of launch/pipeline-warmup on top of its byte
     streaming, so 7 calls/layer -> 4 is a direct latency win."""
     out = dict(layers)
     a = dict(layers["self_attn"])
-    a["qkv_proj"] = _concat_int4([a.pop("q_proj"), a.pop("k_proj"),
-                                  a.pop("v_proj")])
+    a["qkv_proj"] = _concat_quant([a.pop("q_proj"), a.pop("k_proj"),
+                                   a.pop("v_proj")], key)
     out["self_attn"] = a
     m = dict(layers["mlp"])
-    m["gateup_proj"] = _concat_int4([m.pop("gate_proj"), m.pop("up_proj")])
+    m["gateup_proj"] = _concat_quant([m.pop("gate_proj"), m.pop("up_proj")],
+                                     key)
     out["mlp"] = m
     return out
 
@@ -305,10 +359,13 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
                                fuse: bool = True) -> dict:
     """int4-pack the dense kernels (reference: builder.py load_4bit).
 
-    ``fuse=True`` additionally merges the attention qkv and MLP gate/up
-    weights into single leaves (llama/mistral layer layout only) so the
-    fused decode kernel runs once per group; set False to keep the
-    HF-keyed layout (e.g. for LoRA wrapping or delta tools)."""
+    ``fuse=True`` (inference layout) additionally merges the attention
+    qkv and MLP gate/up weights into single leaves so the fused decode
+    kernel runs once per group, and pads every packed leaf to
+    2MB-block-divisible tiles (pad_int4_leaf).  Set False to keep the
+    exact HF-keyed layout — required for LoRA wrapping (adapter shapes
+    derive from leaf shapes, so padded/fused leaves would mis-size the
+    low-rank factors) and for the delta tools."""
 
     def rec(tree):
         for k in list(tree):
@@ -340,21 +397,24 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
                 else:
                     pad_rec(child)
 
-    pad_rec(params)
+    if fuse:
+        pad_rec(params)
     return params
 
 
 def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
-    """Fused dequant-matmul for an int4 (optionally LoRA-wrapped) leaf:
-    ``x (..., K) -> (..., N)`` without materializing bf16 weights.
+    """Fused dequant-matmul for a quantized (int4 or int8, optionally
+    LoRA-wrapped) leaf: ``x (..., K) -> (..., N)`` without materializing
+    bf16 weights.
 
     Returns None when the leaf/shape/backend is ineligible — the caller
     falls back to ``dequantize_array`` + dot (models/llama.py ``proj``).
     Only used on the TPU backend for decode-sized row counts; CPU tests
-    exercise the kernel via ``interpret=True`` directly.
+    exercise the kernels via ``interpret=True`` directly.
     """
     from .int4_matmul import (int4_matmul, int4_matmul_eligible,
-                              int4_matmul_stacked)
+                              int4_matmul_stacked, int8_matmul,
+                              int8_matmul_stacked)
 
     if not isinstance(leaf, dict) or x.dtype != jnp.bfloat16:
         return None
@@ -363,31 +423,37 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
         lora, leaf = leaf, leaf["w"]
         if not isinstance(leaf, dict):
             return None
-    if Q4KEY not in leaf:
+    is4 = Q4KEY in leaf
+    if not is4 and QKEY not in leaf:
         return None
     if jax.default_backend() != "tpu":
         return None
+    key = Q4KEY if is4 else QKEY
     stacked = "_layer" in leaf
-    pshape = leaf[Q4KEY].shape[1:] if stacked else leaf[Q4KEY].shape
+    pshape = leaf[key].shape[1:] if stacked else leaf[key].shape
     rows = 1
     for d in x.shape[:-1]:
         rows *= d
     if not int4_matmul_eligible(rows, pshape):
         return None
     x2 = x.reshape(rows, x.shape[-1])
-    khp = pshape[-1]
-    if x2.shape[-1] != 2 * khp:
+    kp = pshape[-1]
+    if is4 and x2.shape[-1] != 2 * kp:
         # padded leaf (pad_int4_leaf): re-lay the activation into the
         # padded split-half geometry — [lo_half, 0-pad, hi_half, 0-pad]
         # (the pad weights decode to exactly 0, so zeros here are exact)
         kh0 = x2.shape[-1] // 2
-        z = jnp.zeros((rows, khp - kh0), x2.dtype)
+        z = jnp.zeros((rows, kp - kh0), x2.dtype)
         x2 = jnp.concatenate([x2[:, :kh0], z, x2[:, kh0:], z], axis=-1)
+    elif not is4 and x2.shape[-1] != kp:
+        # padded int8 leaf: zero weights pad the tail columns exactly
+        x2 = jnp.pad(x2, ((0, 0), (0, kp - x2.shape[-1])))
     if stacked:
-        y = int4_matmul_stacked(x2, leaf[Q4KEY], leaf["scale"],
-                                leaf["_layer"])
+        fn = int4_matmul_stacked if is4 else int8_matmul_stacked
+        y = fn(x2, leaf[key], leaf["scale"], leaf["_layer"])
     else:
-        y = int4_matmul(x2, leaf[Q4KEY], leaf["scale"])
+        fn = int4_matmul if is4 else int8_matmul
+        y = fn(x2, leaf[key], leaf["scale"])
     if "orig_shape" in leaf:
         y = y[:, : leaf["orig_shape"].n]
     if lora is not None:

@@ -179,9 +179,9 @@ class ContinuousBatcher:
             layers = params.get("llama", {}).get("layers", {})
             if "qkv_proj" in layers.get("self_attn", {}):
                 raise ValueError(
-                    "multi-LoRA serving cannot target fused int4 qkv "
-                    "leaves; quantize with fuse=False (or use int8/bf16 "
-                    "base weights)")
+                    "multi-LoRA serving cannot target fused qkv leaves; "
+                    "quantize the base with fuse=False (the worker does "
+                    "this automatically when --lora-adapters is set)")
             from .multi_lora import pack_adapters
 
             self.lora_pack, self.lora_names = pack_adapters(adapters)

@@ -75,7 +75,10 @@ class ModelWorker:
         (self.tokenizer, self.model, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, self.model_name, load_8bit, load_4bit,
-            device=device, use_flash_attn=use_flash_attn)
+            device=device, use_flash_attn=use_flash_attn,
+            # multi-LoRA targets per-projection leaves: keep the
+            # unfused quantized layout when adapters are configured
+            quant_fuse=not lora_adapters)
         self.is_multimodal = ("llava" in self.model_name.lower()
                               or model_path.startswith("debug://"))
 

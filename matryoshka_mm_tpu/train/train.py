@@ -231,10 +231,14 @@ def train(attn_implementation: str = "flash"):
                                  quantize_llama_params_int4)
 
         if training_args.bits == 8:
-            params["llama"] = quantize_llama_params_inplace(params["llama"])
+            params["llama"] = quantize_llama_params_inplace(params["llama"],
+                                                            fuse=False)
         else:
+            # fuse=False keeps the HF-keyed unpadded layout LoRA wrapping
+            # needs (adapter shapes derive from leaf shapes)
             params["llama"] = quantize_llama_params_int4(params["llama"],
-                                                         inplace=True)
+                                                         inplace=True,
+                                                         fuse=False)
         if not (training_args.lora_enable or model_args.tune_mm_mlp_adapter
                 or model_args.tune_router):
             raise ValueError("--bits 4/8 freezes the LM base; combine with "

@@ -50,9 +50,14 @@ def test_load_4bit_flag():
 
     tok, model, proc, ctx = load_pretrained_model(
         "debug://tiny", None, "tiny", load_8bit=True)
-    assert is_quantized(model.params["llama"]["layers"]["self_attn"]["q_proj"])
+    # int8 inference layout fuses qkv like int4 (one fused kernel/group)
+    assert is_quantized(model.params["llama"]["layers"]["self_attn"]["qkv_proj"])
     out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
     assert out.shape[0] == 1
+    # unfused layout preserved for LoRA wrapping
+    tok2, m2, _, _ = load_pretrained_model(
+        "debug://tiny", None, "tiny", load_8bit=True, quant_fuse=False)
+    assert is_quantized(m2.params["llama"]["layers"]["self_attn"]["q_proj"])
 
 
 def test_int4_roundtrip():
