@@ -60,6 +60,21 @@ def _pick_bk(khalf: int) -> int:
     return 0
 
 
+def _pad_rows(x, bm_cap: int = 256):
+    """Round activation rows to the bf16 sublane tile, then to a whole
+    number of BM-row grid blocks.  Rows beyond ~one block switch the
+    kernel to a 3D grid (weights re-streamed once per row block), which
+    beats the unfused dequant path up to ~4 row blocks — see
+    int4_matmul_eligible."""
+    m = x.shape[0]
+    mp = -(-m // 16) * 16
+    bm = mp if mp <= bm_cap else bm_cap
+    mp = -(-mp // bm) * bm
+    if mp != m:
+        x = jnp.pad(x, ((0, mp - m), (0, 0)))
+    return x, mp, bm
+
+
 def _pick_bn(n: int, bk: int) -> int:
     for c in (2048, 1024, 512, 256, 128):
         if n % c == 0 and c * bk <= _BLOCK_BYTES:
@@ -68,8 +83,8 @@ def _pick_bn(n: int, bk: int) -> int:
 
 
 def _kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref, *, n_j: int,
-            interpret: bool = False):
-    j = pl.program_id(1)
+            interpret: bool = False, j_axis: int = 1):
+    j = pl.program_id(j_axis)
 
     @pl.when(j == 0)
     def _():
@@ -123,25 +138,22 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     BN = _pick_bn(N, BK)
     n_j = Khalf // BK
 
-    x = x.astype(jnp.bfloat16)
-    Mp = -(-M // 16) * 16
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, n_j=n_j, interpret=interpret),
-        grid=(N // BN, n_j),
+        functools.partial(_kernel, n_j=n_j, interpret=interpret, j_axis=2),
+        grid=(Mp // BM, N // BN, n_j),
         in_specs=[
-            pl.BlockSpec((Mp, BK), lambda n, j: (0, j)),
-            pl.BlockSpec((Mp, BK), lambda n, j, _nj=n_j: (0, j + _nj)),
-            pl.BlockSpec((BN, BK), lambda n, j: (n, j)),
-            pl.BlockSpec((1, BN), lambda n, j: (0, n)),
+            pl.BlockSpec((BM, BK), lambda m, n, j: (m, j)),
+            pl.BlockSpec((BM, BK), lambda m, n, j, _nj=n_j: (m, j + _nj)),
+            pl.BlockSpec((BN, BK), lambda m, n, j: (n, j)),
+            pl.BlockSpec((1, BN), lambda m, n, j: (0, n)),
         ],
-        out_specs=pl.BlockSpec((Mp, BN), lambda n, j: (0, n)),
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, j: (m, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
         interpret=interpret,
     )(x, x, packed, scale.reshape(1, N).astype(jnp.float32))
     return out[:M]
@@ -167,36 +179,33 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
     BN = _pick_bn(N, BK)
     n_j = Khalf // BK
 
-    x = x.astype(jnp.bfloat16)
-    Mp = -(-M // 16) * 16
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     def kernel(idx_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref):
         del idx_ref
         _kernel(x_lo_ref.at[0], x_hi_ref.at[0], p_ref.at[0], s_ref.at[0],
-                o_ref.at[0], acc_ref, n_j=n_j, interpret=interpret)
+                o_ref.at[0], acc_ref, n_j=n_j, interpret=interpret, j_axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N // BN, n_j),
+        grid=(Mp // BM, N // BN, n_j),
         in_specs=[
-            pl.BlockSpec((1, Mp, BK), lambda n, j, idx: (0, 0, j)),
-            pl.BlockSpec((1, Mp, BK),
-                         lambda n, j, idx, _nj=n_j: (0, 0, j + _nj)),
-            pl.BlockSpec((1, BN, BK), lambda n, j, idx: (idx[0], n, j)),
-            pl.BlockSpec((1, 1, BN), lambda n, j, idx: (idx[0], 0, n)),
+            pl.BlockSpec((1, BM, BK), lambda m, n, j, idx: (0, m, j)),
+            pl.BlockSpec((1, BM, BK),
+                         lambda m, n, j, idx, _nj=n_j: (0, m, j + _nj)),
+            pl.BlockSpec((1, BN, BK), lambda m, n, j, idx: (idx[0], n, j)),
+            pl.BlockSpec((1, 1, BN), lambda m, n, j, idx: (idx[0], 0, n)),
         ],
-        out_specs=pl.BlockSpec((1, Mp, BN), lambda n, j, idx: (0, 0, n)),
-        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        out_specs=pl.BlockSpec((1, BM, BN), lambda m, n, j, idx: (0, m, n)),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
         interpret=interpret,
     )(idx, x[None], x[None], packed,
       scale.reshape(L, 1, N).astype(jnp.float32))
@@ -209,8 +218,9 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
 # but twice the bytes).  Replaces XLA's unfused dequant+matmul for decode.
 # ---------------------------------------------------------------------------
 
-def _kernel8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_j: int):
-    j = pl.program_id(1)
+def _kernel8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_j: int,
+             j_axis: int = 1):
+    j = pl.program_id(j_axis)
 
     @pl.when(j == 0)
     def _():
@@ -235,24 +245,21 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     BN = _pick_bn(N, BK)
     n_j = K // BK
 
-    x = x.astype(jnp.bfloat16)
-    Mp = -(-M // 16) * 16
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
 
     out = pl.pallas_call(
-        functools.partial(_kernel8, n_j=n_j),
-        grid=(N // BN, n_j),
+        functools.partial(_kernel8, n_j=n_j, j_axis=2),
+        grid=(Mp // BM, N // BN, n_j),
         in_specs=[
-            pl.BlockSpec((Mp, BK), lambda n, j: (0, j)),
-            pl.BlockSpec((BN, BK), lambda n, j: (n, j)),
-            pl.BlockSpec((1, BN), lambda n, j: (0, n)),
+            pl.BlockSpec((BM, BK), lambda m, n, j: (m, j)),
+            pl.BlockSpec((BN, BK), lambda m, n, j: (n, j)),
+            pl.BlockSpec((1, BN), lambda m, n, j: (0, n)),
         ],
-        out_specs=pl.BlockSpec((Mp, BN), lambda n, j: (0, n)),
+        out_specs=pl.BlockSpec((BM, BN), lambda m, n, j: (m, n)),
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
-        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
         interpret=interpret,
     )(x, q, scale.reshape(1, N).astype(jnp.float32))
     return out[:M]
@@ -270,44 +277,43 @@ def int8_matmul_stacked(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     BN = _pick_bn(N, BK)
     n_j = K // BK
 
-    x = x.astype(jnp.bfloat16)
-    Mp = -(-M // 16) * 16
-    if Mp != M:
-        x = jnp.pad(x, ((0, Mp - M), (0, 0)))
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     def kernel(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref):
         del idx_ref
         _kernel8(x_ref.at[0], q_ref.at[0], s_ref.at[0], o_ref.at[0],
-                 acc_ref, n_j=n_j)
+                 acc_ref, n_j=n_j, j_axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
-        grid=(N // BN, n_j),
+        grid=(Mp // BM, N // BN, n_j),
         in_specs=[
-            pl.BlockSpec((1, Mp, BK), lambda n, j, idx: (0, 0, j)),
-            pl.BlockSpec((1, BN, BK), lambda n, j, idx: (idx[0], n, j)),
-            pl.BlockSpec((1, 1, BN), lambda n, j, idx: (idx[0], 0, n)),
+            pl.BlockSpec((1, BM, BK), lambda m, n, j, idx: (0, m, j)),
+            pl.BlockSpec((1, BN, BK), lambda m, n, j, idx: (idx[0], n, j)),
+            pl.BlockSpec((1, 1, BN), lambda m, n, j, idx: (idx[0], 0, n)),
         ],
-        out_specs=pl.BlockSpec((1, Mp, BN), lambda n, j, idx: (0, 0, n)),
-        scratch_shapes=[pltpu.VMEM((Mp, BN), jnp.float32)],
+        out_specs=pl.BlockSpec((1, BM, BN), lambda m, n, j, idx: (0, m, n)),
+        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
     )
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
         interpret=interpret,
     )(idx, x[None], q, scale.reshape(L, 1, N).astype(jnp.float32))
     return out[0, :M]
 
 
 def int4_matmul_eligible(x_2d_rows: int, packed_shape, *,
-                        max_rows: int = 128) -> bool:
-    """The fused kernel keeps the whole activation block resident in VMEM,
-    so it only wins for decode-sized row counts; prefill (many rows) is
-    MXU-bound and amortizes the unfused dequant fine."""
+                        max_rows: int = 1024) -> bool:
+    """Row blocks beyond the first re-stream the weights once each, so
+    the fused path wins until ~4 blocks (1024 rows): int4 prefill traffic
+    is n_blocks x packed bytes vs the unfused path's read-packed +
+    write-bf16 + read-bf16 (~9x packed bytes).  Beyond that, fall back
+    to dequant+GEMM, which amortizes over many rows."""
     if len(packed_shape) != 2:
         return False
     N, Khalf = packed_shape
