@@ -115,8 +115,10 @@ def _kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref, *, n_j: int,
         xl, lo_b, dn, preferred_element_type=jnp.float32)
     acc_ref[:] += jax.lax.dot_general(
         xh, hi_b, dn, preferred_element_type=jnp.float32)
-    # fold the excess-8 bias out: y -= 8 * sum_k (x_lo + x_hi)
-    acc_ref[:] -= 8.0 * jnp.sum((xl + xh).astype(jnp.float32), axis=1,
+    # fold the excess-8 bias out: y -= 8 * sum_k (x_lo + x_hi); cast each
+    # half to f32 BEFORE adding so no element pair is rounded back to bf16
+    acc_ref[:] -= 8.0 * jnp.sum(xl.astype(jnp.float32)
+                                + xh.astype(jnp.float32), axis=1,
                                 keepdims=True)
 
     @pl.when(j == n_j - 1)

@@ -402,6 +402,28 @@ def quantize_llama_params_int4(params: dict, min_size: int = 1 << 16,
     return params
 
 
+import contextlib
+
+# Trace-time gate for the fused quantized matmuls.  pallas_call has no
+# reverse-mode AD rule, so any trace that will be differentiated (QLoRA /
+# adapter training over a quantized base) must take the dequantize+dot
+# fallback instead.  make_train_step disables the fused path for the whole
+# step trace; inference paths leave it on.
+_FUSED_PROJ_ENABLED = [True]
+
+
+@contextlib.contextmanager
+def disable_fused_proj():
+    """Disable fused Pallas dequant-matmuls for code traced inside this
+    block (use around differentiated traces — the fused kernels are
+    forward-only)."""
+    _FUSED_PROJ_ENABLED.append(False)
+    try:
+        yield
+    finally:
+        _FUSED_PROJ_ENABLED.pop()
+
+
 def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
     """Fused dequant-matmul for a quantized (int4 or int8, optionally
     LoRA-wrapped) leaf: ``x (..., K) -> (..., N)`` without materializing
@@ -416,12 +438,20 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
                               int4_matmul_stacked, int8_matmul,
                               int8_matmul_stacked)
 
+    if not _FUSED_PROJ_ENABLED[-1]:
+        return None
     if not isinstance(leaf, dict) or x.dtype != jnp.bfloat16:
         return None
     lora = None
     if "lora_a" in leaf:
         lora, leaf = leaf, leaf["w"]
         if not isinstance(leaf, dict):
+            return None
+        if "orig_shape" in leaf:
+            # LoRA deltas are sized from the logical leaf shape; the fused
+            # branch below computes the delta from the padded-geometry x2,
+            # which would shape-error against kernel-tile padding.  The
+            # fuse=False layout convention avoids this, but enforce it.
             return None
     is4 = Q4KEY in leaf
     if not is4 and QKEY not in leaf:

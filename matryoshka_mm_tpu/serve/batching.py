@@ -239,6 +239,22 @@ class ContinuousBatcher:
         if lora_id is not None and lora_id not in self.lora_names:
             raise KeyError(f"unknown LoRA adapter {lora_id!r}; loaded: "
                            f"{sorted(k for k in self.lora_names if k)}")
+        if pixel_values is not None:
+            from ..constants import IMAGE_TOKEN_INDEX
+
+            px = np.asarray(pixel_values)
+            n_img = int((np.asarray(input_ids).reshape(-1)
+                         == IMAGE_TOKEN_INDEX).sum())
+            if px.ndim == 4 and px.shape[0] > 1 and n_img > 1:
+                # A (n, 3, H, W) stack with several <image> tokens is a
+                # multi-image request, not anyres tiles of one image; the
+                # anyres prefill would merge the images as if they were a
+                # tile grid and spliced_len would over-count.  Mirror the
+                # worker-level multi-image exclusion: route to solo generate.
+                raise ValueError(
+                    "multi-image prompts are not batchable; use the solo "
+                    "generate path (the pool treats a multi-frame stack as "
+                    "anyres tiles of one image)")
         if not self.fits(input_ids, numtoks, pixel_values, image_size):
             # a negative left-pad would crash the scheduler thread and take
             # the whole pool down with it; reject just this request instead

@@ -22,6 +22,7 @@ import jax.numpy as jnp
 import optax
 
 from ..models.llava import LlavaConfig
+from ..ops.quant import disable_fused_proj
 from .optimizer import OptimizerConfig, build_optimizer
 from .train_step import M3Batch, m3_loss
 
@@ -57,8 +58,12 @@ def make_train_step(cfg: LlavaConfig, tx: optax.GradientTransformation,
             return m3_loss(params, cfg, batch,
                            argmaxcost_ema=state.argmaxcost_ema)
 
-        (loss, metrics), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(state.params)
+        # fused Pallas dequant-matmuls are forward-only (no AD rule):
+        # QLoRA/adapter steps over quantized bases must trace the
+        # differentiable dequantize+dot path instead
+        with disable_fused_proj():
+            (loss, metrics), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(state.params)
         # integer leaves (int8/int4 QLoRA bases) get float0 tangents, which
         # optax arithmetic can't consume — replace with typed zeros (they sit
         # in the 'frozen' group, so the zeros are never applied anyway)

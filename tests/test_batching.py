@@ -251,6 +251,34 @@ def test_submit_rejects_overlong_prompt(params, cfg):
         batcher.shutdown()
 
 
+def test_submit_rejects_multi_image_prompt(params, cfg):
+    """A (n, 3, H, W) stack with several <image> tokens is multi-image,
+    not anyres tiles — the pool must reject it (ADVICE r2: the anyres
+    prefill would merge the images as one tile grid and admission/splice
+    would disagree on token counts)."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    batcher = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                                max_new_tokens=16,
+                                gen_cfg=GenerationConfig(max_new_tokens=8,
+                                                         eos_token_id=-1))
+    try:
+        ids = np.full((1, 6), 7, np.int32)
+        ids[0, 1] = IMAGE_TOKEN_INDEX
+        ids[0, 3] = IMAGE_TOKEN_INDEX
+        px = np.zeros((2, 3, 56, 56), np.float32)
+        with pytest.raises(ValueError, match="multi-image"):
+            batcher.submit(ids, px, numtoks=4, max_new_tokens=8)
+        # pool still healthy afterwards
+        ids2, px2 = _inputs(13)
+        r = batcher.submit(ids2, px2, numtoks=4, max_new_tokens=4)
+        out = np.concatenate(list(batcher.stream(r)))
+        assert out.size == 4
+        assert batcher.error is None
+    finally:
+        batcher.shutdown()
+
+
 def test_dense_pool_reset_continues_streams(params, cfg):
     """When the dense pool's write region is exhausted mid-request, the
     request must be re-admitted (prompt + generated so far) and the client

@@ -136,3 +136,54 @@ def test_load_4bit_generate():
     assert is_quantized(leaf) and "qint4" in leaf
     out = model.generate(np.array([[5, 6, 7]], np.int32), max_new_tokens=3)
     assert out.shape[0] == 1
+
+
+def test_disable_fused_proj_gate():
+    """The fused Pallas dequant-matmul has no AD rule; traces that will be
+    differentiated disable it via the context gate (ADVICE r2).  The gate
+    nests and restores."""
+    import matryoshka_mm_tpu.ops.quant as Q
+
+    assert Q._FUSED_PROJ_ENABLED[-1]
+    with Q.disable_fused_proj():
+        assert not Q._FUSED_PROJ_ENABLED[-1]
+        from matryoshka_mm_tpu.ops.quant import quantize_array_int4
+
+        # fused path must refuse regardless of leaf eligibility
+        x = jnp.ones((2, 256), jnp.bfloat16)
+        leaf = quantize_array_int4(
+            jnp.asarray(np.random.default_rng(0)
+                        .standard_normal((128, 256)), jnp.float32))
+        assert Q.fused_int4_proj(x, leaf) is None
+        with Q.disable_fused_proj():
+            assert not Q._FUSED_PROJ_ENABLED[-1]
+        assert not Q._FUSED_PROJ_ENABLED[-1]
+    assert Q._FUSED_PROJ_ENABLED[-1]
+
+
+def test_qlora_grad_through_quantized_base():
+    """jax.grad through a QLoRA (int8 base + LoRA) llama forward: the
+    differentiable dequant+dot path must carry adapter grads (ADVICE r2:
+    the fused kernel would fail at grad trace time if not gated)."""
+    from matryoshka_mm_tpu.models.llama import (LlamaConfig,
+                                                init_llama_params,
+                                                llama_logits)
+    from matryoshka_mm_tpu.ops.lora import add_lora
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params
+
+    cfg = LlamaConfig.tiny_debug()
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    qp = quantize_llama_params(params, min_size=1024)
+    qlp = add_lora(qp, jax.random.PRNGKey(1), r=4, alpha=8.0)
+    leaf = qlp["layers"]["self_attn"]["q_proj"]
+    leaf["lora_b"] = jax.random.normal(jax.random.PRNGKey(2),
+                                       leaf["lora_b"].shape) * 0.02
+    ids = jnp.arange(8).reshape(1, 8)
+
+    def loss(p):
+        return jnp.sum(llama_logits(p, cfg, ids).astype(jnp.float32) ** 2)
+
+    g = jax.grad(loss, allow_int=True)(qlp)
+    gleaf = g["layers"]["self_attn"]["q_proj"]
+    assert float(jnp.abs(gleaf["lora_a"]).max()) > 0
+    assert float(jnp.abs(gleaf["lora_b"]).max()) > 0
