@@ -43,6 +43,19 @@ class _SafeFormatter(string.Formatter):
 _FMT = _SafeFormatter()
 
 
+def _resolve_hook(spec: str):
+    """Resolve a ``"task_utils.<fn>"`` YAML hook to a callable — the
+    compact analog of the reference's ``!function utils.<fn>`` mechanism
+    (reference: lmms-eval/lmms_eval/api/task.py ConfigurableTask config
+    hooks ``process_docs`` / ``process_results`` / per-metric
+    ``aggregation``)."""
+    import importlib
+
+    mod_name, fn_name = spec.rsplit(".", 1)
+    mod = importlib.import_module(f"..tasks.{mod_name}", package=__package__)
+    return getattr(mod, fn_name)
+
+
 class ConfigurableTask:
     def __init__(self, config: Dict[str, Any]):
         self.config = dict(config)
@@ -72,14 +85,7 @@ class ConfigurableTask:
                 self._docs = list(ds)
             hook = self.config.get("process_docs")
             if hook:
-                # "task_utils.<fn>" — the compact analog of the
-                # reference's `!function utils.<fn>` YAML hooks
-                import importlib
-
-                mod_name, fn_name = hook.rsplit(".", 1)
-                mod = importlib.import_module(
-                    f"..tasks.{mod_name}", package=__package__)
-                self._docs = getattr(mod, fn_name)(self._docs)
+                self._docs = _resolve_hook(hook)(self._docs)
         return self._docs[:limit] if limit else self._docs
 
     # ---- doc adapters ----
@@ -184,7 +190,14 @@ class ConfigurableTask:
     # ---- scoring ----
     _METRIC_META = ("metric", "aggregation", "higher_is_better")
 
-    def process_results(self, doc: dict, result: str) -> Dict[str, float]:
+    def process_results(self, doc: dict, result: str) -> Dict[str, Any]:
+        hook = self.config.get("process_results")
+        if hook:
+            # Benchmark-specific scoring hook (reference: per-task utils.py
+            # <task>_process_results, e.g. mme/utils.py:75-90): returns
+            # {metric_key: payload}, where the payload may be a dict the
+            # custom aggregation consumes (acc+ pairing, circular groups).
+            return _resolve_hook(hook)(doc, result)
         target = self.doc_to_target(doc)
         scores = {}
         for m in self.config.get("metric_list", [{"metric": "exact_match"}]):
@@ -196,12 +209,25 @@ class ConfigurableTask:
             scores[name] = fn(target, result, **kwargs)
         return scores
 
-    def aggregate(self, per_doc: List[Dict[str, float]]) -> Dict[str, Any]:
+    def aggregate(self, per_doc: List[Dict[str, Any]]) -> Dict[str, Any]:
         out = {}
         for m in self.config.get("metric_list", [{"metric": "exact_match"}]):
             name = m["metric"]
-            agg = AGGREGATIONS[m.get("aggregation", "mean")]
-            values = [d[name] for d in per_doc]
-            out[name] = agg(values)
+            # a custom process_results may route each doc to a subset of
+            # metric keys (MME: perception vs cognition docs)
+            values = [d[name] for d in per_doc if name in d]
+            agg_spec = m.get("aggregation", "mean")
+            if isinstance(agg_spec, str) and "." in agg_spec:
+                # benchmark-specific aggregation hook (reference: per-task
+                # utils.py <task>_aggregate_results); may return a scalar
+                # or a dict of named sub-scores (per-category breakdowns)
+                result = _resolve_hook(agg_spec)(values)
+                if isinstance(result, dict):
+                    for sub, v in result.items():
+                        out[f"{name}/{sub}"] = v
+                else:
+                    out[name] = result
+                continue
+            out[name] = AGGREGATIONS[agg_spec](values)
             out[f"{name}_stderr"] = bootstrap_stderr(values)
         return out

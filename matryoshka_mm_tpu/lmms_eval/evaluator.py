@@ -105,11 +105,31 @@ def check_integrity(tasks: Optional[List[str]] = None) -> List[str]:
             if key not in cfg:
                 problems.append(f"{name}: missing key {key!r}")
         for m in cfg.get("metric_list", []):
-            if m.get("metric") not in METRICS:
+            # a custom process_results hook defines its own metric keys,
+            # so they need not exist in the shared METRICS registry
+            if not cfg.get("process_results") and m.get("metric") not in METRICS:
                 problems.append(f"{name}: unknown metric {m.get('metric')!r}")
             agg = m.get("aggregation", "mean")
-            if agg not in AGGREGATIONS:
+            if isinstance(agg, str) and "." in agg:
+                from .api.task import _resolve_hook
+
+                try:
+                    _resolve_hook(agg)
+                except Exception as e:
+                    problems.append(f"{name}: unresolvable aggregation "
+                                    f"hook {agg!r} ({e})")
+            elif agg not in AGGREGATIONS:
                 problems.append(f"{name}: unknown aggregation {agg!r}")
+        for hook_key in ("process_docs", "process_results"):
+            hook = cfg.get(hook_key)
+            if hook:
+                from .api.task import _resolve_hook
+
+                try:
+                    _resolve_hook(hook)
+                except Exception as e:
+                    problems.append(f"{name}: unresolvable {hook_key} "
+                                    f"hook {hook!r} ({e})")
         gk = cfg.get("generation_kwargs", {})
         if gk and not isinstance(gk.get("max_new_tokens", 1), int):
             problems.append(f"{name}: max_new_tokens must be int")

@@ -43,3 +43,237 @@ def screenspot_rec_preprocess(docs: List[dict]) -> List[dict]:
             bbox = [x / w, y / h, (x + bw) / w, (y + bh) / h]
         out.append({**doc, "bbox": bbox})
     return out
+
+
+# ---------------------------------------------------------------------------
+# MME — per-category acc + acc_plus (reference:
+# lmms-eval/lmms_eval/tasks/mme/utils.py:53-120).  The same protocol as the
+# repo's standalone scorer (eval/eval_mme.py score_mme); here it is wired
+# into the harness so `mme` prints real MME numbers: each category scores
+# 100*(acc + acc_plus) where acc_plus needs BOTH questions about an image
+# answered correctly, and perception/cognition totals sum their categories.
+# ---------------------------------------------------------------------------
+
+def _mme_parse_pred(pred: str) -> str:
+    """yes / no / other (always-wrong) — reference mme/utils.py:53-67."""
+    p = str(pred).lower().strip().replace(".", "")
+    if p in ("yes", "no"):
+        return p
+    head = p[:4]
+    if "yes" in head:
+        return "yes"
+    if "no" in head:
+        return "no"
+    return "other"
+
+
+def mme_process_results(doc: dict, result: str) -> dict:
+    from ...eval.eval_mme import PERCEPTION
+
+    gt = str(doc["answer"]).lower().strip().replace(".", "")
+    score = float(_mme_parse_pred(result) == gt)
+    cat = doc["category"]
+    key = ("mme_perception_score" if cat in PERCEPTION
+           else "mme_cognition_score")
+    return {key: {"question_id": doc["question_id"], "category": cat,
+                  "score": score}}
+
+
+def mme_aggregate(results: List[dict]) -> dict:
+    """Per-category 100*(acc + acc_plus) averaged over the category's
+    images, plus the summed total (Perception and Cognition run through
+    separate metric keys, so each call's total is that group's headline
+    number)."""
+    from collections import defaultdict
+
+    by_cat: dict = defaultdict(lambda: defaultdict(list))
+    for r in results:
+        by_cat[r["category"]][r["question_id"]].append(r["score"])
+    out = {}
+    for cat, questions in sorted(by_cat.items()):
+        total = 0.0
+        for scores in questions.values():
+            acc = 100.0 * sum(scores) / len(scores)
+            acc_plus = 100.0 * float(len(scores) == 2 and sum(scores) == 2)
+            total += acc + acc_plus
+        out[cat] = round(total / len(questions), 2)
+    out["total"] = round(sum(out.values()), 2)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MMBench — option-letter inference + circular consistency + category hit
+# rates (reference: lmms-eval/lmms_eval/tasks/mmbench/mmbench_evals.py).
+# Circular protocol: rows with index i, i+1e6, i+2e6, ... are the same
+# question with rotated options; the question counts as a hit only when
+# EVERY rotation's inferred letter matches its gold letter.  Letter
+# inference is the evaluator's prefetch chain (standalone letter token,
+# punctuation-wrapped letter, unique option-text containment); the GPT
+# fallback for unmatchable free-form answers is optional and gated on
+# MMBENCH_GPT_MATCH=1 + OPENAI_API_KEY, and an unmatchable prediction
+# counts as a miss otherwise (deterministic, unlike the reference's
+# random fallback draw at mmbench_evals.py:196-201).
+# ---------------------------------------------------------------------------
+
+_OPTION_LETTERS = "ABCDE"
+
+
+def infer_option_letter(pred: str, options: dict) -> str | None:
+    """Infer which option a free-form prediction chose.
+
+    ``options`` maps letters to option text.  Mirrors
+    MMBench_Evaluator.can_infer_option/can_infer_text: (1) a unique
+    standalone choice letter among the answer's tokens (bare or wrapped in
+    the evaluator's punctuation patterns), with the reference's guard
+    against 'A' used as an article in long answers; (2) failing that, a
+    unique option text contained in the answer."""
+    letters = [c for c in _OPTION_LETTERS if c in options]
+    pred = str(pred)
+    tokens = [t.strip() for t in pred.split()]
+
+    def hits(prefix: str, suffix: str) -> list:
+        return [c for c in letters if f"{prefix}{c}{suffix}" in tokens]
+
+    found = hits("", "")
+    if len(found) == 1:
+        if found[0] == "A" and len(tokens) > 3:
+            pass        # 'A' is likely an article in a long sentence
+        else:
+            return found[0]
+    for pre, suf in (("", "."), ("", ","), ("", ":"), ("", ")"), ("", ")."),
+                     ("(", ")"), ("(", ")."), (":", ""), (":", ","),
+                     (":", "."), (":", ")"), (":", ").")):
+        found = hits(pre, suf)
+        if len(found) == 1:
+            return found[0]
+    low = pred.lower()
+    text_hits = [c for c in letters
+                 if options[c] and str(options[c]).lower() in low]
+    if len(text_hits) == 1:
+        return text_hits[0]
+    return None
+
+
+def _mmbench_options(doc: dict) -> dict:
+    return {c: doc[c] for c in _OPTION_LETTERS
+            if doc.get(c) not in (None, "", "nan")}
+
+
+def mmbench_preprocess(docs: List[dict]) -> List[dict]:
+    """Build the options block the prompt template interpolates
+    (reference: mmbench_evals.py create_options_prompt with sys_prompt
+    'There are several options:') and blank out missing hints."""
+    out = []
+    for doc in docs:
+        opts = _mmbench_options(doc)
+        block = "There are several options:\n" + "\n".join(
+            f"{c}. {opts[c]}" for c in sorted(opts))
+        hint = doc.get("hint")
+        if hint is None or str(hint) == "nan":
+            hint = ""
+        out.append({**doc, "options": block, "hint": hint})
+    return out
+
+
+def mmbench_process_results(doc: dict, result: str) -> dict:
+    opts = _mmbench_options(doc)
+    pred = infer_option_letter(result, opts)
+    if pred is None:
+        pred = _mmbench_gpt_match(doc, result, opts)
+    return {"mmbench_accuracy": {
+        "index": int(doc.get("index", 0)),
+        "pred": pred,
+        "answer": str(doc.get("answer", "")).strip().upper(),
+        "category": doc.get("category", "uncategorized"),
+        "l2_category": doc.get("l2-category") or doc.get("L2-category")
+        or doc.get("l2_category"),
+    }}
+
+
+def _mmbench_gpt_match(doc: dict, result: str, options: dict):
+    """Optional GPT-assisted answer matching (reference:
+    mmbench_evals.py build_prompt/extract_answer_from_item); returns the
+    matched letter or None.  Off unless MMBENCH_GPT_MATCH=1 and an API key
+    is configured."""
+    import os
+
+    if os.environ.get("MMBENCH_GPT_MATCH") != "1":
+        return None
+    try:
+        from ...eval.gpt_review import openai_chat_fn
+
+        chat = openai_chat_fn()
+    except Exception:
+        return None
+    opt_str = "\n".join(f"{c}. {options[c]}" for c in sorted(options))
+    out = chat(
+        "You are an AI assistant who will help me to match an answer with "
+        "several options of a single-choice question. You are provided "
+        "with a question, several options, and an answer, and you need to "
+        "find which option is most similar to the answer. If the meaning "
+        "of all options are significantly different from the answer, "
+        "output E. Your should output a single uppercase character in A, "
+        "B, C, D (if they are valid options), and E.",
+        f"Question: {doc.get('question', '')}?\nOptions: {opt_str}\n"
+        f"Answer: {result}\nYour output: ")
+    letter = infer_option_letter(out, {**options, "E": "none of the above"})
+    return letter if letter in options else None
+
+
+def mmbench_aggregate(results: List[dict]) -> dict:
+    """Overall + per-category + per-L2-category hit rates under circular
+    consistency (reference: mmbench_evals.py eval_sub_data +
+    calculate_hit_rates)."""
+    from collections import defaultdict
+
+    groups = defaultdict(list)
+    for r in results:
+        groups[r["index"] % 1_000_000].append(r)
+    hits, cats, l2s = [], defaultdict(list), defaultdict(list)
+    for base, rows in sorted(groups.items()):
+        hit = float(all(r["pred"] is not None and r["pred"] == r["answer"]
+                        for r in rows))
+        main = next((r for r in rows if r["index"] == base), rows[0])
+        hits.append(hit)
+        cats[main["category"]].append(hit)
+        if main["l2_category"]:
+            l2s[main["l2_category"]].append(hit)
+    out = {"overall": round(sum(hits) / len(hits), 4) if hits else 0.0}
+    for cat, vs in sorted(cats.items()):
+        out[f"category/{cat}"] = round(sum(vs) / len(vs), 4)
+    for cat, vs in sorted(l2s.items()):
+        out[f"l2/{cat}"] = round(sum(vs) / len(vs), 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# SEED-Bench — accuracy per question type ("data_type") plus overall
+# (reference: lmms-eval/lmms_eval/tasks/seedbench/utils.py:17-46, which
+# fans each doc into seed_<data_type> and seed_all metric keys).
+# ---------------------------------------------------------------------------
+
+def seedbench_process_results(doc: dict, result: str) -> dict:
+    pred = str(result).strip()
+    if len(pred) > 1:
+        pred = pred[:1]
+    return {"seed_accuracy": {
+        "pred": pred.upper(),
+        "answer": str(doc.get("answer", "")).strip().upper(),
+        "data_type": doc.get("data_type", "unknown"),
+    }}
+
+
+def seedbench_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    by_type = defaultdict(list)
+    for r in results:
+        by_type[r["data_type"]].append(float(r["pred"] == r["answer"]))
+    out = {}
+    all_scores = []
+    for t, vs in sorted(by_type.items()):
+        out[t] = round(sum(vs) / len(vs), 4)
+        all_scores.extend(vs)
+    out["all"] = round(sum(all_scores) / len(all_scores), 4) \
+        if all_scores else 0.0
+    return out

@@ -1,0 +1,201 @@
+"""Benchmark-faithful lmms-eval aggregations: MME acc+acc_plus, MMBench
+circular consistency + category hit rates, SEED per-question-type
+breakdown (golden fixtures hand-computed from the reference protocols:
+lmms-eval/lmms_eval/tasks/mme/utils.py:75-120,
+mmbench/mmbench_evals.py:184-270, seedbench/utils.py:17-46)."""
+
+import json
+
+import pytest
+
+from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+    infer_option_letter,
+    mmbench_aggregate,
+    mmbench_preprocess,
+    mmbench_process_results,
+    mme_aggregate,
+    mme_process_results,
+    seedbench_aggregate,
+    seedbench_process_results,
+)
+
+
+# ---------------------------------------------------------------------------
+# MME
+# ---------------------------------------------------------------------------
+
+def _mme_doc(qid, cat, answer):
+    return {"question_id": qid, "category": cat, "answer": answer,
+            "question": "?"}
+
+
+def test_mme_parse_and_routing():
+    d = _mme_doc("existence/0001.png", "existence", "Yes")
+    r = mme_process_results(d, "Yes.")
+    assert list(r) == ["mme_perception_score"]
+    assert r["mme_perception_score"]["score"] == 1.0
+    # 'Nope' -> 'no' via the reference's 4-char prefix rule
+    assert mme_process_results(
+        _mme_doc("x", "existence", "No"), "Nope")[
+            "mme_perception_score"]["score"] == 1.0
+    # non-yes/no output is 'other' and always wrong
+    assert mme_process_results(
+        _mme_doc("x", "existence", "Yes"), "maybe")[
+            "mme_perception_score"]["score"] == 0.0
+    d = _mme_doc("code_reasoning/0002.png", "code_reasoning", "No")
+    assert list(mme_process_results(d, "no")) == ["mme_cognition_score"]
+
+
+def test_mme_acc_plus_golden():
+    """Image I1 both questions right -> acc 100 + acc_plus 100; image I2
+    one right -> acc 50 + acc_plus 0; category score = (200 + 50)/2."""
+    results = [
+        {"question_id": "existence/I1", "category": "existence", "score": 1.0},
+        {"question_id": "existence/I1", "category": "existence", "score": 1.0},
+        {"question_id": "existence/I2", "category": "existence", "score": 1.0},
+        {"question_id": "existence/I2", "category": "existence", "score": 0.0},
+    ]
+    agg = mme_aggregate(results)
+    assert agg["existence"] == pytest.approx(125.0)
+    assert agg["total"] == pytest.approx(125.0)
+
+
+def test_mme_multi_category_total():
+    results = []
+    for qid, s1, s2 in [("count/A", 1, 1), ("count/B", 0, 0)]:
+        results += [{"question_id": qid, "category": "count", "score": s1},
+                    {"question_id": qid, "category": "count", "score": s2}]
+    results += [{"question_id": "OCR/C", "category": "OCR", "score": 1.0},
+                {"question_id": "OCR/C", "category": "OCR", "score": 0.0}]
+    agg = mme_aggregate(results)
+    assert agg["count"] == pytest.approx(100.0)   # (200 + 0)/2
+    assert agg["OCR"] == pytest.approx(50.0)
+    assert agg["total"] == pytest.approx(150.0)
+
+
+def test_mme_task_yaml_wiring(tmp_path):
+    """The registered mme task runs the hook pipeline end-to-end over a
+    local fixture: per-category scores and perception/cognition totals."""
+    from matryoshka_mm_tpu.lmms_eval.api.registry import get_task
+
+    cfg = dict(get_task("mme"))
+    docs = [
+        _mme_doc("existence/I1", "existence", "Yes"),
+        _mme_doc("existence/I1", "existence", "No"),
+        _mme_doc("code_reasoning/C1", "code_reasoning", "Yes"),
+        _mme_doc("code_reasoning/C1", "code_reasoning", "No"),
+    ]
+    p = tmp_path / "mme.json"
+    p.write_text(json.dumps(docs))
+    cfg["dataset_path"] = str(p)
+    cfg.pop("doc_to_visual")
+    task = ConfigurableTask(cfg)
+    preds = ["Yes", "No", "Yes", "Yes"]   # perception perfect, cognition half
+    per_doc = [task.process_results(d, r) for d, r in zip(task.docs(), preds)]
+    agg = task.aggregate(per_doc)
+    assert agg["mme_perception_score/existence"] == pytest.approx(200.0)
+    assert agg["mme_perception_score/total"] == pytest.approx(200.0)
+    assert agg["mme_cognition_score/code_reasoning"] == pytest.approx(50.0)
+    assert agg["mme_cognition_score/total"] == pytest.approx(50.0)
+
+
+# ---------------------------------------------------------------------------
+# MMBench
+# ---------------------------------------------------------------------------
+
+OPTS = {"A": "teddy bear", "B": "green pear", "C": "cat", "D": "dog"}
+
+
+def test_infer_option_letter_prefetch_chain():
+    assert infer_option_letter("B", OPTS) == "B"
+    assert infer_option_letter("The answer is B.", OPTS) == "B"
+    assert infer_option_letter("(C) because cats", OPTS) == "C"
+    assert infer_option_letter("D: a dog", OPTS) == "D"
+    # 'A' as an article in a long sentence must not match as a letter...
+    assert infer_option_letter("A creature that barks loudly", OPTS) is None
+    # ...but unique option-text containment still resolves
+    assert infer_option_letter("I think it's a green pear!", OPTS) == "B"
+    # ambiguous (two letters) -> unmatchable
+    assert infer_option_letter("B or C", OPTS) is None
+    assert infer_option_letter("", OPTS) is None
+
+
+def _mmb_doc(index, answer, cat="object", l2="perception", **opts):
+    d = {"index": index, "answer": answer, "category": cat,
+         "l2-category": l2, "question": "what?", "hint": None}
+    d.update(opts or OPTS)
+    return d
+
+
+def test_mmbench_preprocess_options_block():
+    docs = mmbench_preprocess([_mmb_doc(1, "A")])
+    assert docs[0]["hint"] == ""
+    assert docs[0]["options"].startswith("There are several options:\n")
+    assert "A. teddy bear" in docs[0]["options"]
+    assert "D. dog" in docs[0]["options"]
+
+
+def test_mmbench_circular_consistency_golden():
+    """Q1 (index 1): both rotations inferred correctly -> hit.  Q2 (index
+    2): main right but rotation wrong -> miss.  Overall 1/2; categories
+    split per main row."""
+    rows = [
+        mmbench_process_results(_mmb_doc(1, "B", cat="object"), "B."),
+        mmbench_process_results(_mmb_doc(1_000_001, "C", cat="object"), "C"),
+        mmbench_process_results(_mmb_doc(2, "A", cat="attribute"),
+                                "A"),
+        mmbench_process_results(_mmb_doc(1_000_002, "D", cat="attribute"),
+                                "B"),
+    ]
+    agg = mmbench_aggregate([r["mmbench_accuracy"] for r in rows])
+    assert agg["overall"] == pytest.approx(0.5)
+    assert agg["category/object"] == pytest.approx(1.0)
+    assert agg["category/attribute"] == pytest.approx(0.0)
+    assert agg["l2/perception"] == pytest.approx(0.5)
+
+
+def test_mmbench_unmatchable_is_deterministic_miss():
+    rows = [mmbench_process_results(_mmb_doc(3, "B"), "no idea at all")]
+    assert rows[0]["mmbench_accuracy"]["pred"] is None
+    agg = mmbench_aggregate([r["mmbench_accuracy"] for r in rows])
+    assert agg["overall"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# SEED-Bench
+# ---------------------------------------------------------------------------
+
+def test_seedbench_per_type_golden():
+    docs = [
+        ({"answer": "A", "data_type": "image"}, "A"),
+        ({"answer": "B", "data_type": "image"}, "C"),
+        ({"answer": "C", "data_type": "video"}, "C. something"),
+        ({"answer": "D", "data_type": "video"}, "D"),
+    ]
+    per_doc = [seedbench_process_results(d, r) for d, r in docs]
+    agg = seedbench_aggregate([p["seed_accuracy"] for p in per_doc])
+    assert agg["image"] == pytest.approx(0.5)
+    assert agg["video"] == pytest.approx(1.0)
+    assert agg["all"] == pytest.approx(0.75)
+
+
+def test_check_integrity_accepts_hooks():
+    from matryoshka_mm_tpu.lmms_eval.api.registry import (TASK_REGISTRY,
+                                                          register_task)
+    from matryoshka_mm_tpu.lmms_eval.evaluator import check_integrity
+
+    assert check_integrity(["mme", "mmbench_en", "seedbench"]) == []
+    register_task("bad_hook_task", {
+        "task": "bad_hook_task", "dataset_path": "x",
+        "doc_to_text": "{q}", "doc_to_target": "a",
+        "process_results": "task_utils.does_not_exist",
+        "metric_list": [{"metric": "whatever",
+                         "aggregation": "task_utils.also_missing"}]})
+    try:
+        problems = check_integrity(["bad_hook_task"])
+        assert any("aggregation" in p for p in problems)
+        assert any("process_results" in p for p in problems)
+    finally:
+        TASK_REGISTRY.pop("bad_hook_task", None)   # keep the corpus clean
+        # for test_check_integrity's no-arg whole-registry scan
