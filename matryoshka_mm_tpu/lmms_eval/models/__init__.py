@@ -1,1 +1,1 @@
-from . import llava  # noqa: F401  (register adapters)
+from . import gpt4v, llava  # noqa: F401  (register adapters)

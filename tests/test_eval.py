@@ -128,3 +128,54 @@ def test_model_vqa_loader_end_to_end(tmp_path):
     assert len(answers) == 1
     assert answers[0]["question_id"] == 1
     assert isinstance(answers[0]["text"], str)
+
+
+def test_textvqa_scorer_end_to_end(tmp_path):
+    """eval_textvqa: question recovery across all three prompt layouts +
+    the annotation join + consensus scoring (behavior contract with
+    reference llava/eval/eval_textvqa.py)."""
+    import json
+
+    from matryoshka_mm_tpu.eval.eval_textvqa import (eval_single,
+                                                     question_from_prompt,
+                                                     score_textvqa)
+
+    # prompt layouts
+    assert question_from_prompt(
+        "OCR tokens: a b\nQuestion: What Brand? Short answer:"
+    ) == "what brand?"
+    assert question_from_prompt(
+        "Reference OCR token: xyz\nWhat is shown?\nAnswer briefly."
+    ) == "what is shown?"
+    assert question_from_prompt(
+        "What is shown?\nReference OCR token: xyz\nAnswer briefly."
+    ) == "what is shown?"
+    assert question_from_prompt("What color?\nAnswer briefly.") == "what color?"
+    try:
+        question_from_prompt("one-liner with no structure")
+        raise AssertionError("should reject")
+    except ValueError:
+        pass
+
+    annotations = [
+        {"image_id": "im1", "question": "What Color?",
+         "answers": ["red"] * 10},
+        {"image_id": "im2", "question": "What brand?",
+         "answers": ["acme"] * 5 + ["other"] * 5},
+    ]
+    answers = [
+        {"question_id": "im1", "prompt": "What color?\nAnswer briefly.",
+         "text": "red"},
+        {"question_id": "im2",
+         "prompt": "OCR tokens: acme co\nQuestion: What brand? Short answer:",
+         "text": "nothing"},
+    ]
+    scores = score_textvqa(annotations, answers)
+    assert scores["samples"] == 2
+    assert scores["accuracy"] == 0.5
+
+    ann_path = tmp_path / "ann.json"
+    ann_path.write_text(json.dumps({"data": annotations}))
+    res_path = tmp_path / "res.jsonl"
+    res_path.write_text("\n".join(json.dumps(a) for a in answers))
+    assert eval_single(str(ann_path), str(res_path)) == 0.5

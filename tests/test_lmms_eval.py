@@ -1,6 +1,7 @@
 """End-to-end lmms-eval harness with a local task + debug model."""
 
 import json
+import os
 
 import pytest
 
@@ -347,3 +348,72 @@ def test_new_task_yamls_register():
                  "cmmmu_val", "mathverse_testmini", "olympiadbench_test_en",
                  "ferret", "llava_in_the_wild_chinese"):
         assert name in TASKS, name
+
+
+def test_gpt4v_adapter_mock(tmp_path):
+    """The API adapter runs a task corpus with an injected endpoint —
+    proves the harness is model-agnostic (reference:
+    lmms-eval/lmms_eval/models/gpt4v.py)."""
+    from PIL import Image
+
+    from matryoshka_mm_tpu.lmms_eval.api.registry import get_model
+    from matryoshka_mm_tpu.lmms_eval.api.task import ConfigurableTask
+
+    calls = []
+
+    def fake_post(payload):
+        calls.append(payload)
+        # first content part is the text, any image arrives as a data URL
+        parts = payload["messages"][0]["content"]
+        assert parts[0]["type"] == "text"
+        has_img = any(p["type"] == "image_url" for p in parts)
+        assert not has_img or parts[1]["image_url"]["url"].startswith(
+            "data:image/png;base64,")
+        return {"choices": [{"message": {"content": "red"}}]}
+
+    GPT4V = get_model("gpt4v")
+    lm = GPT4V(model_version="test-model", post_fn=fake_post)
+
+    docs = [{"question": "What color?", "answer": "red", "image": "r.jpg"},
+            {"question": "What shape?", "answer": "square", "image": "r.jpg"}]
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (32, 32), (200, 0, 0)).save(img_dir / "r.jpg")
+    dpath = tmp_path / "docs.json"
+    dpath.write_text(json.dumps(docs))
+    task = ConfigurableTask({
+        "task": "toy_api", "dataset_path": str(dpath),
+        "doc_to_visual": "image", "doc_to_text": "{question}",
+        "doc_to_target": "answer",
+        "dataset_kwargs": {"image_folder": str(img_dir)},
+        "generation_kwargs": {"max_new_tokens": 8, "temperature": 0.0},
+        "metric_list": [{"metric": "exact_match"}],
+    })
+    instances = task.build_instances()
+    resps = lm.generate_until(instances)
+    assert resps == ["red", "red"]
+    assert len(calls) == 2
+    assert calls[0]["model"] == "test-model"
+    assert calls[0]["max_tokens"] == 8
+    scores = [task.process_results(i.doc, r)
+              for i, r in zip(instances, resps)]
+    assert [s["exact_match"] for s in scores] == [1.0, 0.0]
+
+    with pytest.raises(NotImplementedError):
+        lm.loglikelihood(instances)
+
+
+@pytest.mark.skipif("OPENAI_API_KEY" not in os.environ,
+                    reason="live API smoke needs OPENAI_API_KEY")
+def test_gpt4v_adapter_live_smoke():
+    from matryoshka_mm_tpu.lmms_eval.api.instance import Instance
+    from matryoshka_mm_tpu.lmms_eval.api.registry import get_model
+
+    lm = get_model("gpt4v")(model_version=os.environ.get(
+        "GPT4V_MODEL", "gpt-4o-mini"))
+    inst = Instance(request_type="generate_until", doc={},
+                    arguments=("Reply with the single word: ok",
+                               {"max_new_tokens": 4}, None),
+                    idx=0, task_name="smoke", doc_id=0)
+    out = lm.generate_until([inst])
+    assert isinstance(out[0], str) and out[0]
