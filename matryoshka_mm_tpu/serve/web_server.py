@@ -20,9 +20,48 @@ from io import BytesIO
 import requests
 
 from ..conversation import SeparatorStyle, conv_templates
-from ..utils.logging import build_logger, server_error_msg
+from ..utils.logging import (build_logger, moderation_msg, server_error_msg,
+                             violates_moderation)
 
 logger = build_logger("web_server", "web_server.log")
+
+
+class ConversationLogger:
+    """Per-day conversation/vote jsonl logs + content-hashed image archive
+    (reference: gradio_web_server.py:106-110 get_conv_log_filename +
+    :316-323 image saving by hash, :377-385 vote logging)."""
+
+    def __init__(self, log_dir: str):
+        self.log_dir = log_dir
+        self.image_dir = os.path.join(log_dir, "serve_images")
+        os.makedirs(self.image_dir, exist_ok=True)
+
+    def _filename(self) -> str:
+        import datetime
+
+        day = datetime.datetime.now().strftime("%Y-%m-%d")
+        return os.path.join(self.log_dir, f"{day}-conv.json")
+
+    def save_image_b64(self, b64: str) -> str:
+        """Archive an uploaded image once by content hash; returns the
+        hash (the log row references it instead of inlining bytes)."""
+        import hashlib
+
+        raw = base64.b64decode(b64)
+        h = hashlib.md5(raw).hexdigest()
+        path = os.path.join(self.image_dir, f"{h}.img")
+        if not os.path.exists(path):
+            with open(path, "wb") as f:
+                f.write(raw)
+        return h
+
+    def log(self, rec_type: str, payload: dict, ip: str = "") -> None:
+        import time
+
+        row = {"tstamp": round(time.time(), 4), "type": rec_type,
+               "ip": ip, **payload}
+        with open(self._filename(), "a") as f:
+            f.write(json.dumps(row) + "\n")
 
 # slider position -> visual token budget (reference: gradio_web_server.py:97-103)
 scale2tokens = {1: 1, 2: 9, 3: 36, 4: 144, 5: 576}
@@ -64,6 +103,9 @@ label{font-size:13px;color:#444}
          onkeydown="if(event.key==='Enter')send()">
   <button onclick="send()">Send</button>
   <button onclick="clearChat()">Clear</button>
+  <button onclick="vote('upvote')" title="Upvote">&#128077;</button>
+  <button onclick="vote('downvote')" title="Downvote">&#128078;</button>
+  <button onclick="vote('flag')" title="Flag">&#9873;</button>
 </div>
 <script>
 const scale2tokens = {1:1, 2:9, 3:36, 4:144, 5:576};
@@ -78,6 +120,11 @@ async function fileToB64(input){
   return btoa(new Uint8Array(buf).reduce((s,b)=>s+String.fromCharCode(b), ''));
 }
 function clearChat(){history=[];document.getElementById('chat').innerHTML='';}
+function vote(type){
+  fetch('/vote', {method:'POST', headers:{'Content-Type':'application/json'},
+    body: JSON.stringify({type: type, history: history,
+      model: document.getElementById('model').value})});
+}
 async function send(){
   const msg = document.getElementById('msg').value;
   if(!msg) return;
@@ -144,14 +191,39 @@ def _video_to_grid_b64(video_bytes: bytes) -> str:
         os.unlink(path)
 
 
-def build_app(controller_url: str, conv_mode: str = "vicuna_v1"):
+def build_app(controller_url: str, conv_mode: str = "vicuna_v1",
+              log_dir: str = None, moderate: bool = False,
+              moderate_fn=None):
+    """``log_dir`` enables conversation/vote jsonl logging + the hashed
+    image archive; ``moderate`` turns on the content-moderation hook
+    (``moderate_fn`` injectable for tests, default
+    utils.logging.violates_moderation)."""
     from aiohttp import web
+
+    conv_log = ConversationLogger(log_dir) if log_dir else None
+    check_text = moderate_fn or violates_moderation
 
     routes = web.RouteTableDef()
 
     @routes.get("/")
     async def index(request):
         return web.Response(text=INDEX_HTML, content_type="text/html")
+
+    @routes.post("/vote")
+    async def vote(request):
+        # reference: upvote/downvote/flag buttons append a vote row to the
+        # daily conv log (gradio_web_server.py:128-160,377-385)
+        data = await request.json()
+        vtype = data.get("type")
+        if vtype not in ("upvote", "downvote", "flag"):
+            return web.json_response({"ok": False,
+                                      "error": f"bad vote type {vtype!r}"},
+                                     status=400)
+        if conv_log is not None:
+            conv_log.log(vtype, {"model": data.get("model", ""),
+                                 "state": data.get("history", [])},
+                         ip=request.remote or "")
+        return web.json_response({"ok": True, "logged": conv_log is not None})
 
     @routes.post("/list_models")
     async def list_models(request):
@@ -183,11 +255,27 @@ def build_app(controller_url: str, conv_mode: str = "vicuna_v1"):
             images = [data["image_b64"]]
         if images and "<image>" not in msg:
             msg = "<image>\n" + msg
+
+        resp = web.StreamResponse()
+
+        if moderate and check_text(data["message"]):
+            # flagged input never reaches the worker; the attempt is
+            # logged (reference: add_text moderation path, utils.py:96-115)
+            if conv_log is not None:
+                conv_log.log("flagged", {"model": model,
+                                         "text": data["message"]},
+                             ip=request.remote or "")
+            await resp.prepare(request)
+            await resp.write(json.dumps(
+                {"text": moderation_msg, "error_code": 1,
+                 "grid_b64": grid_b64}).encode() + b"\0")
+            await resp.write_eof()
+            return resp
+
         conv.append_message(conv.roles[0], msg)
         conv.append_message(conv.roles[1], None)
         prompt = conv.get_prompt()
 
-        resp = web.StreamResponse()
         await resp.prepare(request)
 
         try:
@@ -214,6 +302,7 @@ def build_app(controller_url: str, conv_mode: str = "vicuna_v1"):
             "images": images,
             "matryoshka_vis_token_scale": f"ver=v0_numtoks={scale2tokens[scale]}",
         }
+        final_text, final_code = "", 0
         try:
             r = requests.post(worker_addr + "/worker_generate_stream",
                               headers=headers, json=pload, stream=True,
@@ -225,13 +314,24 @@ def build_app(controller_url: str, conv_mode: str = "vicuna_v1"):
                 text = d["text"]
                 if d.get("error_code", 0) == 0 and text.startswith(prompt):
                     text = text[len(prompt):].strip()
+                final_text, final_code = text, d.get("error_code", 0)
                 await resp.write(json.dumps(
-                    {"text": text, "error_code": d.get("error_code", 0),
+                    {"text": text, "error_code": final_code,
                      "grid_b64": grid_b64}).encode() + b"\0")
                 grid_b64 = None  # send once
         except requests.RequestException:
+            final_text, final_code = server_error_msg, 3
             await resp.write(json.dumps(
                 {"text": server_error_msg, "error_code": 3}).encode() + b"\0")
+        if conv_log is not None:
+            # one row per completed exchange; images archived by hash
+            # (reference: http_bot finally-block logging, :356-372)
+            conv_log.log("chat", {
+                "model": model, "scale": scale2tokens.get(scale, scale),
+                "prompt": data["message"], "response": final_text,
+                "error_code": final_code,
+                "images": [conv_log.save_image_b64(b) for b in images],
+            }, ip=request.remote or "")
         await resp.write_eof()
         return resp
 
@@ -247,11 +347,18 @@ def main():
     parser.add_argument("--controller-url", type=str,
                         default="http://localhost:21001")
     parser.add_argument("--conv-mode", type=str, default="vicuna_v1")
+    parser.add_argument("--log-dir", type=str, default="logs/web",
+                        help="conversation/vote jsonl logs + image archive "
+                             "('' disables)")
+    parser.add_argument("--moderate", action="store_true",
+                        help="content-moderation hook on user input")
     args = parser.parse_args()
 
     from aiohttp import web
 
-    web.run_app(build_app(args.controller_url, args.conv_mode),
+    web.run_app(build_app(args.controller_url, args.conv_mode,
+                          log_dir=args.log_dir or None,
+                          moderate=args.moderate),
                 host=args.host, port=args.port, print=None)
 
 

@@ -98,7 +98,24 @@ def disable_jax_init_warnings():
 
 
 def violates_moderation(text: str) -> bool:
-    """Content-moderation hook (reference: llava/utils.py:96-115 calls the
-    OpenAI moderation API).  No external API in this environment — returns
-    False; deployments can override."""
-    return False
+    """Content-moderation hook (reference: llava/utils.py:96-115).  With
+    OPENAI_API_KEY set, posts to the OpenAI moderation endpoint and returns
+    its flagged verdict; offline (or on any API failure) returns False —
+    fail-open like the reference."""
+    import os
+
+    api_key = os.environ.get("OPENAI_API_KEY")
+    if not api_key:
+        return False
+    import requests
+
+    base = os.environ.get("OPENAI_BASE_URL", "https://api.openai.com/v1")
+    try:
+        r = requests.post(
+            f"{base}/moderations",
+            headers={"Authorization": f"Bearer {api_key}"},
+            json={"input": text.replace("\n", "")}, timeout=10)
+        r.raise_for_status()
+        return bool(r.json()["results"][0]["flagged"])
+    except Exception:  # noqa: BLE001 — fail-open (reference behavior)
+        return False

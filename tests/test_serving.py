@@ -1,6 +1,7 @@
 """SGLang-style worker: param mapping + in-process HTTP drive."""
 
 import json
+import os
 
 import numpy as np
 import pytest
@@ -79,3 +80,92 @@ def test_sglang_app_http():
         asyncio.run(drive())
     finally:
         worker.batcher.shutdown()
+
+
+def test_web_server_logging_votes_moderation(tmp_path, monkeypatch):
+    """Web UI observability (reference: gradio_web_server.py:106-110,
+    316-323, 377-385): daily conversation jsonl + hashed image archive,
+    vote/flag endpoints, and the moderation gate that blocks flagged
+    input before it reaches a worker."""
+    import asyncio
+    import base64
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from matryoshka_mm_tpu.serve import web_server as W
+
+    log_dir = str(tmp_path / "weblogs")
+    app = W.build_app("http://localhost:1", log_dir=log_dir,
+                      moderate=True,
+                      moderate_fn=lambda t: "NAUGHTY" in t)
+
+    # fake worker stream: chat_stream consults the controller then the
+    # worker; patch both HTTP hops
+    class FakeResp:
+        def __init__(self, payload):
+            self._p = payload
+
+        def json(self):
+            return self._p
+
+        def iter_lines(self, decode_unicode=False, delimiter=b"\0"):
+            yield json.dumps({"text": "PROMPT a red square",
+                              "error_code": 0}).encode()
+
+    def fake_post(url, *a, **k):
+        if url.endswith("/get_worker_address"):
+            return FakeResp({"address": "http://fake-worker"})
+        return FakeResp({})
+
+    monkeypatch.setattr(W.requests, "post", fake_post)
+
+    img_b64 = base64.b64encode(b"not-really-an-image").decode()
+
+    async def drive():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            # 1) normal chat -> logged with archived image hash
+            r = await client.post("/chat_stream", json={
+                "message": "what is this?", "model": "m", "scale": 4,
+                "history": [], "image_b64": img_b64})
+            raw = await r.read()
+            rows = [json.loads(c) for c in raw.split(b"\x00") if c.strip()]
+            assert rows[-1]["error_code"] == 0
+
+            # 2) moderation gate: flagged text never reaches the worker
+            r = await client.post("/chat_stream", json={
+                "message": "NAUGHTY text", "model": "m", "scale": 4,
+                "history": []})
+            raw = await r.read()
+            rows = [json.loads(c) for c in raw.split(b"\x00") if c.strip()]
+            assert rows[0]["error_code"] == 1
+            assert "MODERATION" in rows[0]["text"].upper()
+
+            # 3) votes
+            for vtype in ("upvote", "downvote", "flag"):
+                r = await client.post("/vote", json={
+                    "type": vtype, "model": "m", "history": [["q", "a"]]})
+                assert (await r.json())["ok"] is True
+            r = await client.post("/vote", json={"type": "nonsense"})
+            assert r.status == 400
+        finally:
+            await client.close()
+
+    asyncio.run(drive())
+
+    import glob
+    logs = glob.glob(os.path.join(log_dir, "*-conv.json"))
+    assert len(logs) == 1
+    rows = [json.loads(l) for l in open(logs[0])]
+    types = [r["type"] for r in rows]
+    assert types == ["chat", "flagged", "upvote", "downvote", "flag"]
+    chat = rows[0]
+    assert chat["model"] == "m" and chat["scale"] == 144
+    assert chat["response"]        # streamed text made it into the log
+    # image archived once, content-hashed
+    assert len(chat["images"]) == 1
+    archived = os.path.join(log_dir, "serve_images",
+                            chat["images"][0] + ".img")
+    assert os.path.exists(archived)
+    assert open(archived, "rb").read() == b"not-really-an-image"
