@@ -30,3 +30,33 @@ def mesh8():
 
     devices = np.asarray(jax.devices()).reshape(4, 2)
     return Mesh(devices, axis_names=("data", "model"))
+
+
+# ---------------------------------------------------------------------------
+# Quick subset: `pytest -m quick` (<5 min) for iteration; the full suite
+# (~18 min, compile-heavy jit/scan/pallas tests) stays the CI gate.
+# Modules are listed rather than individual tests so new tests in a fast
+# module inherit the marker automatically.
+# ---------------------------------------------------------------------------
+
+_QUICK_MODULES = {
+    "test_conversation", "test_kvconfig", "test_mm_utils",
+    "test_image_processing", "test_eval", "test_eval_scorers",
+    "test_gpt_review", "test_lmms_eval", "test_lmms_eval_aggregations",
+    "test_igvlm", "test_data_pipeline", "test_serve_units",
+    "test_pooling", "test_splice", "test_quant", "test_serving",
+    "test_native_image_ops", "test_prefix_cache", "test_losses",
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast subset (pure-python + small-jit modules), "
+                   "run with `pytest -m quick`")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        module = item.nodeid.split("::")[0].rsplit("/", 1)[-1]
+        if module.removesuffix(".py") in _QUICK_MODULES:
+            item.add_marker(pytest.mark.quick)
