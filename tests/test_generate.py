@@ -128,3 +128,96 @@ def test_gateprobargmax(params):
                    matryoshka_vis_token_scale="ver=v0_numtoks=gateprobargmax",
                    gen_cfg=GenerationConfig(max_new_tokens=3))
     assert out.shape[0] == 1
+
+
+def _reference_v2_loop(params, cfg, ids, px, tokscales, steps, combine):
+    """Torch port of the reference's patched greedy loop for ver=v2
+    (reference: generationmixin_patch.py:168-270): K independent KV-cache
+    streams advanced one token per step with a python loop, next-token
+    logits combined in torch exactly as the reference does —
+    betas-weighted sum with the adaptive plausibility cutoff gamma
+    (:251-262) or entropy pickby (:263-270, compute_entropy :365-372) —
+    then greedy argmax.  Used as golden for the fused scan decode."""
+    import torch
+
+    from matryoshka_mm_tpu.generate import _prefill_fn, _round_up
+    from matryoshka_mm_tpu.models.llama import (embed_tokens, lm_head,
+                                                llama_forward)
+
+    T = ids.shape[1]
+    L = _round_up(T - 1 + max(tokscales), 64)
+    capacity = L + steps + 4
+
+    caches, logits0 = [], []
+    for n in tokscales:
+        lg, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, jnp.asarray(ids), jnp.asarray(px))
+        caches.append(cache)
+        logits0.append(np.asarray(lg, np.float32))
+    lengths = np.asarray(lengths)
+
+    def combine_torch(logits_list):
+        lt = [torch.tensor(l) for l in logits_list]
+        if combine["type"] == "avg":
+            next_logits = sum(b * l for b, l in zip(combine["betas"], lt))
+            gamma = combine.get("gamma", 0)
+            if gamma > 0:
+                cutoff = (torch.log(torch.tensor(gamma))
+                          + next_logits.max(dim=-1, keepdim=True).values)
+                next_logits = next_logits.masked_fill(lt[-1] < cutoff,
+                                                      -float("inf"))
+            return next_logits
+        # pickby=entropy: score = -entropy, pick argmax score
+        scores = []
+        for l in lt:
+            probs = torch.nn.functional.softmax(l, dim=-1)
+            logprobs = torch.nn.functional.log_softmax(l, dim=-1)
+            scores.append(torch.sum(probs * logprobs, dim=-1))  # -entropy
+        inds = torch.argmax(torch.stack(scores), dim=0)
+        return torch.cat([lt[i] for i in inds], 0)
+
+    token = int(torch.argmax(combine_torch(logits0), dim=-1)[0])
+    out = [token]
+    pos = lengths.copy()
+    for _ in range(steps - 1):
+        logits_list = []
+        for k in range(len(tokscales)):
+            embeds = embed_tokens(params["llama"],
+                                  jnp.asarray([[token]], jnp.int32))
+            hidden, caches[k] = llama_forward(
+                params["llama"], cfg.llama, embeds,
+                position_ids=jnp.asarray(pos[:, None]),
+                attn_valid=jnp.ones((1, 1), bool), cache=caches[k])
+            logits_list.append(
+                np.asarray(lm_head(params["llama"], hidden[:, 0:1, :])[:, 0],
+                           np.float32))
+        token = int(torch.argmax(combine_torch(logits_list), dim=-1)[0])
+        out.append(token)
+        pos = pos + 1
+    return out
+
+
+@pytest.mark.parametrize("spec,combine", [
+    ("ver=v2_numtoks=[4,16]_betas=[1.0,0.5]_gamma=0.1",
+     {"type": "avg", "betas": [1.0, 0.5], "gamma": 0.1}),
+    ("ver=v2_numtoks=[1,4,16]_pickby=entropy",
+     {"type": "score"}),
+])
+def test_v2_combine_matches_reference_loop(params, cfg, spec, combine):
+    """Token-for-token parity of the fused v2 combine-logits scan decode
+    against the torch port of the reference's per-step loop, >=20 steps."""
+    rng = np.random.default_rng(3)
+    ids = rng.integers(5, 90, (1, 7)).astype(np.int32)
+    ids[0, 2] = IMAGE_TOKEN_INDEX
+    px = rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+
+    steps = 22
+    tokscales = [int(s) for s in
+                 spec.split("numtoks=[")[1].split("]")[0].split(",")]
+    want = _reference_v2_loop(params, cfg, ids, px, tokscales, steps, combine)
+    got = generate(params, cfg, ids, px,
+                   matryoshka_vis_token_scale=spec,
+                   gen_cfg=GenerationConfig(max_new_tokens=steps,
+                                            eos_token_id=-1))
+    np.testing.assert_array_equal(np.asarray(got[0]), want)
