@@ -169,3 +169,57 @@ def test_openended_entry_end_to_end(tmp_path):
     assert len(calls) == 1
     assert summary["accuracy"] == 1.0 and summary["score"] == 4.0
     assert "pred" in df.columns
+
+
+def test_gpt4v_entries_end_to_end(tmp_path):
+    """API-backed IG-VLM entries (reference: IG-VLM/eval_gpt4v_*): grid
+    preprocessing + mock endpoint + scoring, for both the multiple-choice
+    exact-match entry and the open-ended GPT-judge entry."""
+    pd = pytest.importorskip("pandas")
+    cv2 = pytest.importorskip("cv2")
+    from matryoshka_mm_tpu.igvlm import (eval_gpt4v_multiplechoice as mc,
+                                         eval_gpt4v_openended as oe)
+
+    vdir = tmp_path / "videos"
+    vdir.mkdir()
+    path = str(vdir / "v0.mp4")
+    w = cv2.VideoWriter(path, cv2.VideoWriter_fourcc(*"mp4v"), 10, (32, 24))
+    for i in range(12):
+        w.write(np.full((24, 32, 3), i * 20 % 255, np.uint8))
+    w.release()
+
+    api_calls = []
+
+    def fake_post(payload):
+        api_calls.append(payload)
+        parts = payload["messages"][0]["content"]
+        assert parts[1]["image_url"]["url"].startswith("data:image/png")
+        return {"choices": [{"message": {"content": "A"}}]}
+
+    # multiple-choice: prediction 'A' matches the gold answer
+    qa = tmp_path / "qa_mc.csv"
+    pd.DataFrame([{"question_id": 0, "video_name": "v0.mp4",
+                   "question": "what happens",
+                   "options": "A. flicker\nB. nothing",
+                   "answer": "A"}]).to_csv(qa, index=False)
+    args = mc.build_parser().parse_args([
+        "--path_qa_pair_csv", str(qa), "--path_video", str(vdir),
+        "--path_result", str(tmp_path / "mc.csv")])
+    acc = mc.run(args, post_fn=fake_post)
+    assert len(api_calls) == 1
+    assert "what happens" in api_calls[0]["messages"][0]["content"][0]["text"]
+    assert acc["accuracy"] == 1.0
+
+    # open-ended: same transport, judged by the fake GPT judge
+    qa2 = tmp_path / "qa_oe.csv"
+    pd.DataFrame([{"question_id": 0, "video_name": "v0.mp4",
+                   "question": "what happens", "answer": "A"}]) \
+        .to_csv(qa2, index=False)
+    args = oe.build_parser().parse_args([
+        "--path_qa_pair_csv", str(qa2), "--path_video", str(vdir),
+        "--path_result", str(tmp_path / "oe_out")])
+    judge_calls = []
+    df, summary = oe.run(args, judge=_fake_judge(judge_calls),
+                         post_fn=fake_post)
+    assert len(api_calls) == 2 and len(judge_calls) == 1
+    assert summary["accuracy"] == 1.0 and summary["score"] == 4.0
