@@ -2,53 +2,90 @@
 
 Measures the BASELINE.json north-star metrics — images/sec ViT-L/14-336
 encode, p50 TTFT and decode tokens/sec as a function of
-``matryoshka_vis_token_scale`` — and prints ONE JSON line.
+``matryoshka_vis_token_scale`` — plus batched/quantized decode, serving
+throughput under concurrency, and M3 train-step MFU at the reference
+recipe shape (K=5 scales, ctx up to 2048) — and prints ONE JSON line.
 
 Weights are random-init (no network egress for checkpoints); throughput is
 weight-value independent.
+
+Measurement protocol (pinned so consecutive runs agree within ~3%):
+fixed seeds/prompts, every decode number is the median of N>=5 timed
+samples (each sample = 64 generated tokens), synced by a host fetch of the
+result (block_until_ready alone under-reports through the tunnel), with
+the max-min spread and the kernel path recorded per number.
 """
 
 import json
 import os
+import threading
 import time
 
 import numpy as np
+
+N_DECODE_SAMPLES = 5
 
 
 def _median(xs):
     return float(np.median(np.asarray(xs)))
 
 
-def _train_bench():
+def _spread_pct(xs):
+    xs = np.asarray(xs, np.float64)
+    return float((xs.max() - xs.min()) / np.median(xs) * 100.0)
+
+
+def _train_bench(scales, T, B, label, lora_7b=False):
     import jax
     import jax.numpy as jnp
 
     from matryoshka_mm_tpu.constants import IGNORE_INDEX, IMAGE_TOKEN_INDEX
     from matryoshka_mm_tpu.models.clip import ClipVisionConfig
     from matryoshka_mm_tpu.models.llama import LlamaConfig
-    from matryoshka_mm_tpu.models.llava import LlavaConfig, M3Preset, init_llava_params
+    from matryoshka_mm_tpu.models.llava import (LlavaConfig, M3Preset,
+                                                init_llava_params)
     from matryoshka_mm_tpu.train.optimizer import OptimizerConfig
     from matryoshka_mm_tpu.train.train_step import M3Batch
     from matryoshka_mm_tpu.train.trainer import create_train_state, make_train_step
 
-    # ~1.1B decoder (2048 hidden, 16 layers) + ViT-L tower, K=3 scales
-    cfg = LlavaConfig(
-        llama=LlamaConfig(hidden_size=2048, intermediate_size=5504,
-                          num_hidden_layers=16, num_attention_heads=16,
-                          num_key_value_heads=16, vocab_size=32000,
-                          dtype="bfloat16", remat=True),
-        vision=ClipVisionConfig.vit_l_14_336(dtype="bfloat16"),
-        preset=M3Preset(
-            matryoshka_vis_token_scale="ver=v0_numtoks=[1,36,144]",
-            moe="t=dense_ft=cls_obj=weightedlm_loadb=switch_alpha=0.01_costt=count"),
-        router_feature_types=("cls",),
-        tokenizer_model_max_length=1024,
-    )
-    params = init_llava_params(jax.random.PRNGKey(0), cfg)
-    state, tx = create_train_state(params, OptimizerConfig(total_steps=10))
+    scale_str = "[" + ",".join(str(s) for s in scales) + "]"
+    if lora_7b:
+        # 7B QLoRA feasibility (reference claims 7B LoRA trains on 24GB
+        # GPUs, README.md:253): int8 frozen base + LoRA adapters on a
+        # single 16GB v5e chip
+        import dataclasses
+
+        from matryoshka_mm_tpu.ops.lora import add_lora
+        from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
+
+        cfg = LlavaConfig.llava_v15_7b_m3()   # K=5 scales by default
+        cfg = dataclasses.replace(
+            cfg, llama=dataclasses.replace(cfg.llama, remat=True),
+            tokenizer_model_max_length=T + 64)
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        params["llama"] = quantize_llama_params_inplace(params["llama"],
+                                                        fuse=False)
+        params = add_lora(params, jax.random.PRNGKey(1), r=16, alpha=32.0)
+        opt_cfg = OptimizerConfig(total_steps=10, lora_enable=True)
+    else:
+        # ~1.1B decoder (2048 hidden, 16 layers) + ViT-L tower
+        cfg = LlavaConfig(
+            llama=LlamaConfig(hidden_size=2048, intermediate_size=5504,
+                              num_hidden_layers=16, num_attention_heads=16,
+                              num_key_value_heads=16, vocab_size=32000,
+                              dtype="bfloat16", remat=True),
+            vision=ClipVisionConfig.vit_l_14_336(dtype="bfloat16"),
+            preset=M3Preset(
+                matryoshka_vis_token_scale=f"ver=v0_numtoks={scale_str}",
+                moe="t=dense_ft=cls_obj=weightedlm_loadb=switch_alpha=0.01_costt=count"),
+            router_feature_types=("cls",),
+            tokenizer_model_max_length=T + 64,
+        )
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        opt_cfg = OptimizerConfig(total_steps=10)
+    state, tx = create_train_state(params, opt_cfg)
     step = make_train_step(cfg, tx, donate=True)
 
-    B, T = 4, 256
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 31000, (B, T)).astype(np.int32)
     ids[:, 3] = IMAGE_TOKEN_INDEX
@@ -60,34 +97,140 @@ def _train_bench():
 
     state, metrics = step(state, batch)   # compile
     _ = float(metrics["loss"])
-    n_steps = 3
+    n_steps = 2 if (lora_7b or T >= 2048) else 3
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = step(state, batch)
     _ = float(metrics["loss"])            # host pull = sync
     dt = (time.perf_counter() - t0) / n_steps
-    K = len(cfg.tokscale_list)
     # tokens processed per optimizer step: K scale-sequences per sample
-    toks = B * sum(T - 1 + s for s in cfg.tokscale_list)
+    seq_lens = [T - 1 + s for s in cfg.tokscale_list]
+    toks = B * sum(seq_lens)
 
-    # MFU: 6*P*tokens (fwd+bwd matmul flops) for the decoder over all
-    # scale-sequences, plus the vision tower encoding each image once;
-    # attention flops are negligible at T=256.  v5e bf16 peak: 197 TFLOP/s.
+    # MFU: decoder matmuls 6*P*tokens (fwd+bwd) over all scale-sequences,
+    # causal attention 6*h*L_layers*sum(S_k^2) per sample (2*S^2*h fwd per
+    # layer after the causal 1/2, x3 for fwd+bwd), and the vision tower
+    # encoding each image once.  Remat recompute flops are NOT counted
+    # (standard model-flops MFU).  v5e bf16 peak: 197 TFLOP/s.
     def _count(tree):
         return sum(x.size for x in jax.tree_util.tree_leaves(tree)
-                   if hasattr(x, "size"))
+                   if hasattr(x, "dtype")
+                   and not jnp.issubdtype(x.dtype, jnp.integer))
 
-    p_llm = _count(params["llama"])
+    base = params.get("llama", params)
+    p_llm = _count(base)
+    if lora_7b:
+        # int8 leaves hold the same logical param count as bf16
+        p_llm = 6_738_415_616
     p_vit = _count(params.get("vision_tower", {}))
     n_patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2 + 1
-    flops = 6.0 * p_llm * toks + 6.0 * p_vit * n_patches * B
+    h = cfg.llama.hidden_size
+    n_layers = cfg.llama.num_hidden_layers
+    attn_flops = 6.0 * h * n_layers * B * sum(s * s for s in seq_lens)
+    flops = 6.0 * p_llm * toks + attn_flops + 6.0 * p_vit * n_patches * B
     peak = 197e12
     return {
-        "config": "1.1B llama + ViT-L, K=3 scales, B=4, T=256, remat",
+        "config": label,
         "step_time_s": round(dt, 3),
         "train_tokens_per_sec": round(toks / dt, 1),
         "mfu": round(flops / dt / peak, 3),
     }
+
+
+def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None):
+    """Run a train config, halving B on failure (the 16GB single chip
+    cannot fit the reference's per-device B=4 at T>=1024 — measured
+    18.3GB HBM vs 15.75GB — and the tunneled runtime surfaces that OOM
+    as an opaque HTTP 500, so ANY failure at B>1 falls back to B//2 and
+    records what happened)."""
+    errors = []
+    while B >= 1:
+        try:
+            full = f"{label}, B={B}, remat"
+            out = _train_bench(scales, T, B, full, lora_7b=lora_7b)
+            if errors:
+                out["fallback"] = errors
+            if note:
+                out["note"] = note
+            return out
+        except Exception as e:  # noqa: BLE001
+            errors.append(f"B={B}: {str(e)[:120]}")
+            if B == 1:
+                return {"config": label, "error": errors}
+            B //= 2
+    return {"config": label, "error": errors}
+
+
+def _serving_bench(params, cfg):
+    """Continuous-batching serving throughput under concurrency
+    (reference worker default: 5 concurrent generations,
+    llava/serve/model_worker.py:268).  Drives the ContinuousBatcher
+    (scheduler + paged KV + prefix cache + batched decode) directly;
+    the aiohttp transport (~ms/request) is excluded.  Reports req/s,
+    aggregate decode tok/s, and per-request TTFT p50/p95 measured from
+    submit to first streamed token."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    n_requests, concurrency, max_new = 18, 6, 64
+    batcher = ContinuousBatcher(
+        params, cfg, max_batch=8, prefill_len=256, max_new_tokens=96,
+        chunk=8, backend="paged", prefix_cache=True,
+        gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=8,
+                                 eos_token_id=-1))
+    try:
+        batcher.warmup(with_image=True, numtoks=144)
+
+        rng = np.random.default_rng(0)
+        reqs = []
+        for i in range(n_requests):
+            ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
+            ids[0, 3] = IMAGE_TOKEN_INDEX
+            px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
+            reqs.append((ids, px))
+
+        results = [None] * n_requests
+        sem = threading.Semaphore(concurrency)
+
+        def worker(i):
+            with sem:
+                t0 = time.perf_counter()
+                req = batcher.submit(reqs[i][0], reqs[i][1], numtoks=144,
+                                     max_new_tokens=max_new)
+                ttft = None
+                n_tok = 0
+                for chunk in batcher.stream(req):
+                    if ttft is None:
+                        ttft = time.perf_counter() - t0
+                    n_tok += int(np.asarray(chunk).size)
+                results[i] = {"ttft_s": ttft, "n_tok": n_tok,
+                              "latency_s": time.perf_counter() - t0}
+
+        threads = [threading.Thread(target=worker, args=(i,))
+                   for i in range(n_requests)]
+        t0 = time.perf_counter()
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        wall = time.perf_counter() - t0
+        ok = [r for r in results if r is not None]
+        ttfts = [r["ttft_s"] for r in ok]
+        total_tok = sum(r["n_tok"] for r in ok)
+        return {
+            "requests": n_requests, "concurrency": concurrency,
+            "ok": len(ok), "max_new_tokens": max_new,
+            "wall_s": round(wall, 2),
+            "requests_per_s": round(len(ok) / wall, 2),
+            "throughput_tok_s": round(total_tok / wall, 1),
+            "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 3),
+            "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 3),
+            "note": "paged KV + prefix cache + int8 fused decode, batcher-"
+                    "level (HTTP transport excluded)",
+        }
+    finally:
+        batcher.shutdown()
 
 
 def _cpu_reference_tok_s(cfg, n_steps: int = 2):
@@ -179,7 +322,7 @@ def main():
 
     sync(encode(vis_params, px))  # compile
     times = []
-    for _ in range(5):
+    for _ in range(N_DECODE_SAMPLES):
         t0 = time.perf_counter()
         sync(encode(vis_params, px))
         times.append(time.perf_counter() - t0)
@@ -202,6 +345,25 @@ def main():
     ids = jnp.asarray(ids)
 
     gen_cfg = GenerationConfig(max_new_tokens=64, decode_chunk=32)
+    decode_meta = {}
+
+    def _timed_decode(decode, params, cache, first, lengths, B):
+        """Median decode tok/s over N samples of 2x32-token chunks, each
+        synced by a host fetch."""
+        finished = jnp.zeros((B,), bool)
+        key = jax.random.PRNGKey(0)
+        c, tok, lens, fin, toks = decode(params, cache, first, lengths,
+                                         finished, key)
+        _ = np.asarray(jax.device_get(tok))  # compile+sync
+        rates = []
+        for _ in range(N_DECODE_SAMPLES):
+            t0 = time.perf_counter()
+            for _ in range(2):
+                c, tok, lens, fin, toks = decode(params, c, tok, lens, fin, key)
+            _ = np.asarray(jax.device_get(tok))
+            rates.append(B * 64 / (time.perf_counter() - t0))
+        return rates, c
+
     scale_metrics = {}
     for numtoks in cfg.tokscale_list:
         L = -(-(T - 1 + numtoks) // 64) * 64
@@ -210,7 +372,7 @@ def main():
         logits, cache, lengths, _ = prefill(params, ids, px1)
         _ = np.asarray(jax.device_get(logits[0, :2]))  # compile+sync
         ttfts = []
-        for _ in range(3):
+        for _ in range(N_DECODE_SAMPLES):
             t0 = time.perf_counter()
             logits, cache, lengths, _ = prefill(params, ids, px1)
             _ = np.asarray(jax.device_get(logits[0, :2]))
@@ -219,21 +381,11 @@ def main():
 
         decode = _decode_chunk_fn(cfg, gen_cfg, 32)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        finished = jnp.zeros((1,), bool)
-        key = jax.random.PRNGKey(0)
-        c, tok, lens, fin, toks = decode(params, cache, first, lengths,
-                                         finished, key)
-        _ = np.asarray(jax.device_get(tok))  # compile+sync
-        t0 = time.perf_counter()
-        n_chunks = 2
-        for _ in range(n_chunks):
-            c, tok, lens, fin, toks = decode(params, c, tok, lens, fin, key)
-        _ = np.asarray(jax.device_get(tok))
-        dt = time.perf_counter() - t0
-        tok_per_sec = (32 * n_chunks) / dt
+        rates, c = _timed_decode(decode, params, cache, first, lengths, 1)
         scale_metrics[str(numtoks)] = {
             "ttft_ms_p50": round(ttft * 1e3, 2),
-            "decode_tok_s": round(tok_per_sec, 2),
+            "decode_tok_s": round(_median(rates), 2),
+            "spread_pct": round(_spread_pct(rates), 1),
         }
         del cache, c
 
@@ -244,7 +396,7 @@ def main():
     # weight copies out of the steps loop — models/llama.py docstring);
     # int8 (load_8bit) remains the high-throughput deployment.
     # --------------------------------------------------------------
-    def _batched_decode(tag, B):
+    def _batched_decode(tag, B, kernel):
         numtoks = 144
         L = -(-(T - 1 + numtoks) // 64) * 64
         capacity = L + gen_cfg.max_new_tokens
@@ -255,27 +407,30 @@ def main():
         _ = np.asarray(jax.device_get(logits[0, :2]))
         decode = _decode_chunk_fn(cfg, gen_cfg, 32)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        c, tok, lens, fin, toks = decode(params, cache, first, lengths,
-                                         jnp.zeros((B,), bool),
-                                         jax.random.PRNGKey(0))
-        _ = np.asarray(jax.device_get(tok))
-        t0 = time.perf_counter()
-        for _ in range(2):
-            c, tok, lens, fin, toks = decode(params, c, tok, lens, fin,
-                                             jax.random.PRNGKey(0))
-        _ = np.asarray(jax.device_get(tok))
-        dt = time.perf_counter() - t0
-        results[tag] = round(B * 64 / dt, 2)
+        rates, _c = _timed_decode(decode, params, cache, first, lengths, B)
+        results[tag] = round(_median(rates), 2)
+        decode_meta[tag] = {"spread_pct": round(_spread_pct(rates), 1),
+                            "kernel": kernel,
+                            "samples": N_DECODE_SAMPLES}
 
-    _batched_decode("bf16_decode_tok_s_b4", 4)
+    _batched_decode("bf16_decode_tok_s_b4", 4, "xla_bf16_dot")
 
     from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
 
     params["llama"] = quantize_llama_params_inplace(params["llama"])
 
+    k8 = "pallas_fused_int8 (stacked scalar-prefetch, ops/int4_matmul.py)"
     for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4"),
                    (8, "int8_decode_tok_s_b8")):
-        _batched_decode(tag, B)
+        _batched_decode(tag, B, k8)
+
+    # --------------------------------------------------------------
+    # 3a) serving: continuous batching under concurrency, int8 weights
+    # --------------------------------------------------------------
+    try:
+        results["serving"] = _serving_bench(params, cfg)
+    except Exception as e:  # noqa: BLE001
+        results["serving"] = {"error": str(e)[:200]}
     del params
 
     # --------------------------------------------------------------
@@ -288,22 +443,38 @@ def main():
 
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     params["llama"] = quantize_llama_params_int4(params["llama"], inplace=True)
+    k4 = "pallas_fused_int4 (split-half excess-8, ops/int4_matmul.py)"
     for B, tag in ((1, "int4_decode_tok_s_b1"), (4, "int4_decode_tok_s_b4"),
                    (8, "int4_decode_tok_s_b8")):
-        _batched_decode(tag, B)
+        _batched_decode(tag, B, k4)
     del params
 
     results["scales"] = scale_metrics
+    results["decode_meta"] = decode_meta
 
     # --------------------------------------------------------------
-    # 4) M3 training-step throughput on a ~1.1B-param config
-    # (7B training needs a pod; this measures the single-chip step:
-    # vision once + K=3 scales folded into one batched forward + remat)
+    # 4) M3 training-step throughput.  K=3/T=256 kept for cross-round
+    # comparability; K=5 at T=1024/2048 measures the reference recipe
+    # shape (scripts/v1_5/finetune.sh:33,36 — K=5 scales, ctx 2048; the
+    # reference's per-device B=4 is halved on OOM for the 16GB chip);
+    # plus a 7B QLoRA on-chip feasibility step (README.md:253).
     # --------------------------------------------------------------
-    try:
-        results["train"] = _train_bench()
-    except Exception as e:  # keep the bench line even if training OOMs
-        results["train"] = {"error": str(e)[:200]}
+    results["train"] = _train_bench_safe(
+        [1, 36, 144], 256, 4, "1.1B llama + ViT-L, K=3 scales, T=256")
+    # B pinned to 2 at K=5: the reference per-device B=4 needs 18.3GB HBM
+    # at T=1024 (measured via the memory probe) vs 15.75GB on this chip,
+    # and the failed compile costs minutes per bench run — the halving
+    # backstop in _train_bench_safe still covers regressions.
+    oom_note = "reference per-device B=4 OOMs on 16GB (18.3GB HBM needed)"
+    results["train_k5_t1024"] = _train_bench_safe(
+        [1, 9, 36, 144, 576], 1024, 2, "1.1B llama + ViT-L, K=5 scales, T=1024",
+        note=oom_note)
+    results["train_k5_t2048"] = _train_bench_safe(
+        [1, 9, 36, 144, 576], 2048, 2, "1.1B llama + ViT-L, K=5 scales, T=2048",
+        note=oom_note)
+    results["train_lora_7b"] = _train_bench_safe(
+        [1, 9, 36, 144, 576], 1024, 1,
+        "7B QLoRA (int8 base + LoRA r16), K=5 scales, T=1024", lora_7b=True)
 
     headline = scale_metrics["144"]["decode_tok_s"]
     # BASELINE north-star: >=5x MEASURED CPU-reference throughput per chip.

@@ -61,9 +61,11 @@ def make_train_step(cfg: LlavaConfig, tx: optax.GradientTransformation,
         # fused Pallas dequant-matmuls are forward-only (no AD rule):
         # QLoRA/adapter steps over quantized bases must trace the
         # differentiable dequantize+dot path instead
+        # allow_int: QLoRA bases are int8/int4 leaves; they get float0
+        # tangents which are zeroed below (they sit in the frozen group)
         with disable_fused_proj():
             (loss, metrics), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(state.params)
+                loss_fn, has_aux=True, allow_int=True)(state.params)
         # integer leaves (int8/int4 QLoRA bases) get float0 tangents, which
         # optax arithmetic can't consume — replace with typed zeros (they sit
         # in the 'frozen' group, so the zeros are never applied anyway)

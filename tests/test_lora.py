@@ -177,3 +177,50 @@ def test_lora_checkpoint_roundtrip(tmp_path):
     got = np.asarray(
         re_attached["llama"]["layers"]["self_attn"]["q_proj"]["lora_b"])
     np.testing.assert_allclose(got, 0.05, atol=1e-7)
+
+
+def test_qlora_train_step_end_to_end():
+    """QLoRA through the real train step: int8 frozen base + LoRA
+    adapters; grads flow (allow_int for integer leaves), adapters move,
+    quantized base bytes unchanged."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params
+    from matryoshka_mm_tpu.train.optimizer import OptimizerConfig
+    from matryoshka_mm_tpu.train.train_step import M3Batch
+    from matryoshka_mm_tpu.train.trainer import create_train_state, make_train_step
+
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    params["llama"] = quantize_llama_params(params["llama"], min_size=1024)
+    params = add_lora(params, jax.random.PRNGKey(1), r=4, alpha=8.0)
+
+    opt_cfg = OptimizerConfig(learning_rate=1e-2, total_steps=4,
+                              lr_schedule="constant", warmup_ratio=0.0,
+                              lora_enable=True)
+    state, tx = create_train_state(params, opt_cfg)
+    step_fn = make_train_step(cfg, tx, donate=False)
+
+    rng = np.random.default_rng(0)
+    B, T = 2, 16
+    ids = rng.integers(5, 100, (B, T)).astype(np.int32)
+    ids[:, 2] = IMAGE_TOKEN_INDEX
+    labels = ids.copy()
+    labels[:, :4] = -100
+    batch = M3Batch(
+        input_ids=jnp.asarray(ids),
+        pixel_values=jnp.asarray(
+            rng.standard_normal((B, 3, 56, 56)).astype(np.float32)),
+        labels=jnp.asarray(labels),
+        attn_mask=jnp.ones((B, T), bool),
+    )
+
+    leaf0 = state.params["llama"]["layers"]["self_attn"]["q_proj"]
+    q0 = np.asarray(leaf0["w"]["qint8"])
+    b0 = np.asarray(leaf0["lora_b"])
+    for _ in range(2):
+        state, metrics = step_fn(state, batch)
+    assert np.isfinite(float(metrics["loss"]))
+    leaf1 = state.params["llama"]["layers"]["self_attn"]["q_proj"]
+    np.testing.assert_array_equal(q0, np.asarray(leaf1["w"]["qint8"]))
+    assert np.abs(np.asarray(leaf1["lora_b"]) - b0).max() > 0
