@@ -281,13 +281,21 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 
 def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
                    q_positions, kv_valid, kv_positions,
-                   cache_k, cache_v, write_idx, q_index_offset: int = 0):
-    """One decoder layer.  cache_k/v: (B, S_max, n_kv, Dh) or None."""
+                   cache_k, cache_v, write_idx, layer_idx=None,
+                   q_index_offset: int = 0):
+    """One decoder layer.
+
+    ``cache_k/v`` are the FULL stacked buffers ``(L, B, S_max, n_kv, Dh)``
+    (or None) and ``layer_idx`` selects this layer's slice.  The new slots
+    are written in place into the stacked buffer (a tiny
+    dynamic_update_slice the carry aliasing keeps copy-free) and only this
+    layer's slice is read back for attention — see llama_forward."""
     if cfg.arch == "mpt":
         return _mpt_layer_forward(
             layer_params, hidden, cfg=cfg, q_positions=q_positions,
             kv_valid=kv_valid, kv_positions=kv_positions,
-            cache_k=cache_k, cache_v=cache_v, write_idx=write_idx)
+            cache_k=cache_k, cache_v=cache_v, write_idx=write_idx,
+            layer_idx=layer_idx)
 
     B, S, D = hidden.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -311,15 +319,20 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     k = apply_rope(k, cos, sin)
 
     if cache_k is not None:
-        # Write the S new entries at slots [write_idx, write_idx + S).
-        k_slots = k.transpose(0, 2, 1, 3)  # (B, S, Hkv, Dh)
-        v_slots = v.transpose(0, 2, 1, 3)
+        # Write the S new entries at slots [write_idx, write_idx + S) of
+        # layer `layer_idx` in the stacked buffer (in place), then read
+        # back only this layer's slice for attention.
+        li = jnp.asarray(layer_idx, jnp.int32)
+        k_slots = k.transpose(0, 2, 1, 3)[None]  # (1, B, S, Hkv, Dh)
+        v_slots = v.transpose(0, 2, 1, 3)[None]
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k_slots.astype(cache_k.dtype), (0, write_idx, 0, 0))
+            cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v_slots.astype(cache_v.dtype), (0, write_idx, 0, 0))
-        attn_k = cache_k.transpose(0, 2, 1, 3)  # (B, Hkv, S_max, Dh)
-        attn_v = cache_v.transpose(0, 2, 1, 3)
+            cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
+        ck = jax.lax.dynamic_index_in_dim(cache_k, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0, keepdims=False)
+        attn_k = ck.transpose(0, 2, 1, 3)  # (B, Hkv, S_max, Dh)
+        attn_v = cv.transpose(0, 2, 1, 3)
         attn_out = attention(
             q, attn_k, attn_v, causal=True, q_positions=q_positions,
             kv_positions=kv_positions, kv_valid=kv_valid,
@@ -348,7 +361,7 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
 
 def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
                        q_positions, kv_valid, kv_positions,
-                       cache_k, cache_v, write_idx):
+                       cache_k, cache_v, write_idx, layer_idx=None):
     """MPT block: bias-free LN, fused qkv, alibi attention, GELU MLP
     (reference model family: llava/model/language_model/llava_mpt.py)."""
     B, S, D = hidden.shape
@@ -365,14 +378,17 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
     slopes = alibi_slopes(H)                                  # (H,)
 
     if cache_k is not None:
+        li = jnp.asarray(layer_idx, jnp.int32)
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.transpose(0, 2, 1, 3).astype(cache_k.dtype),
-            (0, write_idx, 0, 0))
+            cache_k, k.transpose(0, 2, 1, 3)[None].astype(cache_k.dtype),
+            (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.transpose(0, 2, 1, 3).astype(cache_v.dtype),
-            (0, write_idx, 0, 0))
-        attn_k = cache_k.transpose(0, 2, 1, 3)
-        attn_v = cache_v.transpose(0, 2, 1, 3)
+            cache_v, v.transpose(0, 2, 1, 3)[None].astype(cache_v.dtype),
+            (li, 0, write_idx, 0, 0))
+        attn_k = jax.lax.dynamic_index_in_dim(
+            cache_k, li, 0, keepdims=False).transpose(0, 2, 1, 3)
+        attn_v = jax.lax.dynamic_index_in_dim(
+            cache_v, li, 0, keepdims=False).transpose(0, 2, 1, 3)
         kvp = kv_positions
     else:
         attn_k, attn_v = k, v
@@ -458,22 +474,31 @@ def llama_forward(
         new_positions = jax.lax.dynamic_update_slice(
             cache.positions, position_ids.astype(jnp.int32), (0, write_idx))
 
-        def body(h, xs):
-            layer_params, ck, cv = xs
+        # The stacked KV buffers ride the scan CARRY, not xs/ys: each layer
+        # writes its tiny new-slot slice in place and reads back only its
+        # own (B, S_max, ...) slice.  The previous xs/ys form made lax.scan
+        # re-stack the full multi-hundred-MB cache into fresh arrays every
+        # step (~0.4 ms/token of pure copy at 7B decode).
+        def body(carry, xs):
+            h, k_all, v_all = carry
             if stacked_int4:
-                layer_params = index_layer_tree(params["layers"],
-                                                layer_params)
-            h, (ck, cv) = _layer_forward(
+                idx = xs
+                layer_params = index_layer_tree(params["layers"], idx)
+            else:
+                idx, layer_params = xs
+            h, (k_all, v_all) = _layer_forward(
                 layer_params, h, cfg=cfg, cos=cos, sin=sin,
                 q_positions=position_ids, kv_valid=new_valid,
-                kv_positions=new_positions, cache_k=ck, cache_v=cv,
-                write_idx=write_idx, q_index_offset=q_index_offset)
-            return h, (ck, cv)
+                kv_positions=new_positions, cache_k=k_all, cache_v=v_all,
+                write_idx=write_idx, layer_idx=idx,
+                q_index_offset=q_index_offset)
+            return (h, k_all, v_all), None
 
-        layer_xs = (jnp.arange(cfg.num_hidden_layers) if stacked_int4
-                    else params["layers"])
-        hidden, (new_k, new_v) = jax.lax.scan(
-            body, hidden, (layer_xs, cache.k, cache.v))
+        layer_ids = jnp.arange(cfg.num_hidden_layers)
+        layer_xs = (layer_ids if stacked_int4
+                    else (layer_ids, params["layers"]))
+        (hidden, new_k, new_v), _ = jax.lax.scan(
+            body, (hidden, cache.k, cache.v), layer_xs)
         new_cache = KVCache(new_k, new_v, new_valid, new_positions,
                             write_idx + S)
 

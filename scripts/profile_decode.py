@@ -18,10 +18,13 @@ import gzip
 import json
 import os
 import re
+import sys
 import tempfile
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def build_decode(bits: int, batch: int, steps: int):

@@ -11,9 +11,13 @@ Usage: python scripts/sweep_int4_blocks.py [--bits 4|8] [--rows 16]
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def time_scan(fn, params_args, n_iter=3):
