@@ -28,7 +28,9 @@ linear in the activations and is folded into a per-row correction
 (``-8 * rowsum(x)``) outside the matmul.  Rejected alternatives, measured
 on v5e: int8 vector shifts (Mosaic: unsupported), int32-widened shift
 unpack (156 GB/s), f32 floor/fma arithmetic unpack (371 GB/s); the
-bitcast form reaches ~650 GB/s of packed bytes inside the decode scan.
+bitcast form with the int8 nibbles fed straight to the MXU (_UNPACK =
+"mixed") reaches ~680 GB/s of packed bytes inside the decode scan
+(int8: ~720).
 
 Activations stay bf16 (W4A16): the result is bit-identical to
 ``dequantize_array`` + matmul up to f32 accumulation order (int4 values
@@ -51,9 +53,28 @@ from jax.experimental.pallas import tpu as pltpu
 # big-block divisors exist.  VMEM at (2048, 1024): 2MB packed x2 buffers
 # + 4MB bf16 nibble temps — fits the 16MB budget.
 _BLOCK_BYTES = 2 * 1024 * 1024
+# Scoped-VMEM budget passed to Mosaic (v5e has 128MB physical; the 16MB
+# default rejects block shapes whose double-buffers + nibble temps exceed
+# it even though they fit comfortably).
+_VMEM_LIMIT = 64 * 1024 * 1024
+# "mixed" feeds the int8 nibbles straight to dot_general and lets Mosaic
+# convert in the MXU feed pipeline — skips the explicit VPU int8->bf16
+# convert over every weight element (measured: 5521 -> 5367 us/token at
+# 7B int4 decode, identical output).  "bf16" keeps the explicit convert.
+_UNPACK = "mixed"
 
 
-def _pick_bk(khalf: int) -> int:
+def _pick_bk(khalf: int, bm: int = 256) -> int:
+    """Block width over the packed-K axis.
+
+    For decode-narrow row blocks (bm <= 32) prefer BK = the whole packed
+    row: a single j step per n block whose weight DMA is one fully
+    contiguous span (measured on v5e decode: 5595 -> 5468 us/token at 7B
+    int4).  The full-K working set (packed double-buffer + bf16 nibble
+    temps ~ 6*BN*BK bytes) only fits VMEM with small row blocks, so
+    prefill keeps the 1024-column blocks."""
+    if bm <= 32 and khalf <= 4096 and khalf % 128 == 0:
+        return khalf
     for c in (1024, 512, 256, 128):
         if khalf % c == 0:
             return c
@@ -105,9 +126,11 @@ def _kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref, *, n_j: int,
         # sign-extension select is needed; the constant -8 bias is folded
         # into a per-row correction below, outside the matmul.
         pi = pltpu.bitcast(p_ref[:], jnp.int32)    # (BN, BK/4) words
-        lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8).astype(jnp.bfloat16)
-        hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F,
-                             jnp.int8).astype(jnp.bfloat16)
+        lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
+        hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
+        if _UNPACK == "bf16":
+            lo_b = lo_b.astype(jnp.bfloat16)
+            hi_b = hi_b.astype(jnp.bfloat16)
     dn = (((1,), (1,)), ((), ()))
     xl = x_lo_ref[:]
     xh = x_hi_ref[:]
@@ -136,11 +159,10 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     """
     M, K = x.shape
     N, Khalf = packed.shape
-    BK = _pick_bk(Khalf)
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
+    BK = _pick_bk(Khalf, BM)
     BN = _pick_bn(N, BK)
     n_j = Khalf // BK
-
-    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
 
     out = pl.pallas_call(
         functools.partial(_kernel, n_j=n_j, interpret=interpret, j_axis=2),
@@ -155,7 +177,8 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, x, packed, scale.reshape(1, N).astype(jnp.float32))
     return out[:M]
@@ -177,11 +200,10 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
     """
     M, K = x.shape
     L, N, Khalf = packed.shape
-    BK = _pick_bk(Khalf)
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
+    BK = _pick_bk(Khalf, BM)
     BN = _pick_bn(N, BK)
     n_j = Khalf // BK
-
-    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     def kernel(idx_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref):
@@ -207,7 +229,8 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(idx, x[None], x[None], packed,
       scale.reshape(L, 1, N).astype(jnp.float32))
@@ -221,15 +244,20 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
 # ---------------------------------------------------------------------------
 
 def _kernel8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_j: int,
-             j_axis: int = 1):
+             j_axis: int = 1, interpret: bool = False):
     j = pl.program_id(j_axis)
 
     @pl.when(j == 0)
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
+    w = q_ref[:]
+    if _UNPACK == "bf16" or interpret:
+        # XLA (interpret mode) requires matching dot operand types; Mosaic
+        # accepts the int8 operand and converts in the MXU feed (_UNPACK)
+        w = w.astype(jnp.bfloat16)
     acc_ref[:] += jax.lax.dot_general(
-        x_ref[:], q_ref[:].astype(jnp.bfloat16), (((1,), (1,)), ((), ())),
+        x_ref[:], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
 
     @pl.when(j == n_j - 1)
@@ -243,14 +271,14 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     """``x (M, K) @ (q (N, K) * scale (N, 1)).T -> (M, N)`` fused."""
     M, K = x.shape
     N, _ = q.shape
-    BK = _pick_bk(K)
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
+    BK = _pick_bk(K, BM)
     BN = _pick_bn(N, BK)
     n_j = K // BK
 
-    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
-
     out = pl.pallas_call(
-        functools.partial(_kernel8, n_j=n_j, j_axis=2),
+        functools.partial(_kernel8, n_j=n_j, j_axis=2,
+                          interpret=interpret),
         grid=(Mp // BM, N // BN, n_j),
         in_specs=[
             pl.BlockSpec((BM, BK), lambda m, n, j: (m, j)),
@@ -261,7 +289,8 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((Mp, N), jnp.bfloat16),
         scratch_shapes=[pltpu.VMEM((BM, BN), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(x, q, scale.reshape(1, N).astype(jnp.float32))
     return out[:M]
@@ -275,17 +304,16 @@ def int8_matmul_stacked(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     (scalar-prefetched index, same rationale as int4_matmul_stacked)."""
     M, K = x.shape
     L, N, _ = q.shape
-    BK = _pick_bk(K)
+    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
+    BK = _pick_bk(K, BM)
     BN = _pick_bn(N, BK)
     n_j = K // BK
-
-    x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
     def kernel(idx_ref, x_ref, q_ref, s_ref, o_ref, acc_ref):
         del idx_ref
         _kernel8(x_ref.at[0], q_ref.at[0], s_ref.at[0], o_ref.at[0],
-                 acc_ref, n_j=n_j, j_axis=2)
+                 acc_ref, n_j=n_j, j_axis=2, interpret=interpret)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -303,7 +331,8 @@ def int8_matmul_stacked(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel", "arbitrary")),
+            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
+            vmem_limit_bytes=_VMEM_LIMIT),
         interpret=interpret,
     )(idx, x[None], q, scale.reshape(L, 1, N).astype(jnp.float32))
     return out[0, :M]
@@ -319,5 +348,6 @@ def int4_matmul_eligible(x_2d_rows: int, packed_shape, *,
     if len(packed_shape) != 2:
         return False
     N, Khalf = packed_shape
-    bk = _pick_bk(Khalf)
+    bm = min(-(-x_2d_rows // 16) * 16, 256)
+    bk = _pick_bk(Khalf, bm)
     return (x_2d_rows <= max_rows and bk > 0 and _pick_bn(N, bk) > 0)

@@ -29,7 +29,7 @@ import queue
 import threading
 import time
 from dataclasses import dataclass, field
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import Dict, List, Optional
 
 import numpy as np
@@ -78,7 +78,10 @@ class _Request:
 
 @lru_cache(maxsize=8)
 def _pool_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
-    @jax.jit
+    # donate the pool cache: updated in place across chunks (the caller
+    # always replaces self.pool; on error the batcher dies, so the
+    # invalidated buffer is never touched again)
+    @partial(jax.jit, donate_argnums=(1,))
     def decode(params, cache: KVCache, tokens, lengths, active, budget, rng):
         """Advance all pool rows `steps` tokens; inactive rows are masked."""
 

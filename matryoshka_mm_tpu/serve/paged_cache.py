@@ -20,7 +20,7 @@ kernel that reads pages in place is the planned upgrade.
 
 from __future__ import annotations
 
-from functools import lru_cache
+from functools import lru_cache, partial
 from typing import List, NamedTuple, Optional, Tuple
 
 import numpy as np
@@ -155,14 +155,15 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         def mm(x, w_leaf, la_xs, key):
             return proj(x, w_leaf)
 
-    def mpt_body(h, xs):
+    def mpt_body(carry, xs):
         """MPT block (alibi, fused qkv, GELU MLP): no RoPE — the bias
         encodes position; attention runs through the gather path (the
         Pallas decode kernel is RoPE-model only).  Reference family:
         llava/model/language_model/llava_mpt.py."""
         from ..models.llama import alibi_slopes, layer_norm_nobias
 
-        lp, k_pool, v_pool, la_xs = xs
+        h, k_all, v_all = carry
+        idx, lp, la_xs = xs
         a = lp["attn"]
         x = layer_norm_nobias(h, lp["norm_1"], 1e-5)
         qkv = mm(x, a["Wqkv"], la_xs, ("attn", "Wqkv"))
@@ -171,10 +172,12 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         k = k.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
 
-        k_pool = k_pool.at[w_page_id, w_off].set(
-            k[:, :, 0].astype(k_pool.dtype), mode="drop")
-        v_pool = v_pool.at[w_page_id, w_off].set(
-            v[:, :, 0].astype(v_pool.dtype), mode="drop")
+        k_all = k_all.at[idx, w_page_id, w_off].set(
+            k[:, :, 0].astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[idx, w_page_id, w_off].set(
+            v[:, :, 0].astype(v_all.dtype), mode="drop")
+        k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
 
         k_rows = k_pool[tables].reshape(B, S_virt, H, Dh)
         v_rows = v_pool[tables].reshape(B, S_virt, H, Dh)
@@ -194,14 +197,15 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         h = h + mm(jax.nn.gelu(mm(x, f["up_proj"], la_xs,
                                   ("ffn", "up_proj")), approximate=False),
                    f["down_proj"], la_xs, ("ffn", "down_proj"))
-        return h, (k_pool, v_pool)
+        return (h, k_all, v_all), None
 
-    def body(h, xs):
-        lp, k_pool, v_pool, la_xs = xs
+    def body(carry, xs):
+        h, k_all, v_all = carry
+        idx, lp, la_xs = xs
         if stacked_int4:
-            lp = index_layer_tree(params["layers"], lp)
+            lp = index_layer_tree(params["layers"], idx)
         if cfg.arch == "mpt":
-            return mpt_body(h, (lp, k_pool, v_pool, la_xs))
+            return mpt_body(carry, (idx, lp, la_xs))
         a = lp["self_attn"]
         x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
         if "qkv_proj" in a:
@@ -218,11 +222,15 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # write new kv into each row's current page slot
-        k_new = k[:, :, 0].astype(k_pool.dtype)          # (B, Hkv, Dh)
-        v_new = v[:, :, 0].astype(v_pool.dtype)
-        k_pool = k_pool.at[w_page_id, w_off].set(k_new, mode="drop")
-        v_pool = v_pool.at[w_page_id, w_off].set(v_new, mode="drop")
+        # write new kv into each row's current page slot of THIS layer's
+        # slice in the stacked pool (in place on the scan carry), then
+        # read back only this layer's pool for attention
+        k_new = k[:, :, 0].astype(k_all.dtype)           # (B, Hkv, Dh)
+        v_new = v[:, :, 0].astype(v_all.dtype)
+        k_all = k_all.at[idx, w_page_id, w_off].set(k_new, mode="drop")
+        v_all = v_all.at[idx, w_page_id, w_off].set(v_new, mode="drop")
+        k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
+        v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
 
         if use_kernel:
             from ..ops.paged_attention import paged_decode_attention
@@ -254,17 +262,19 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
             up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
         h = h + mm(jax.nn.silu(gate) * up, m["down_proj"],
                    la_xs, ("mlp", "down_proj"))
-        return h, (k_pool, v_pool)
+        return (h, k_all, v_all), None
 
     # int4-packed layers scan over layer indices so the stacked packed
     # weights reach the fused kernels unsliced (see models/llama.py)
     from ..ops.quant import index_layer_tree, tree_has_int4
 
     stacked_int4 = tree_has_int4(params["layers"])
-    layer_xs = (jnp.arange(cfg.num_hidden_layers) if stacked_int4
-                else params["layers"])
-    hidden, (new_k, new_v) = jax.lax.scan(
-        body, hidden, (layer_xs, k_all, v_all, lp_slices))
+    layer_ids = jnp.arange(cfg.num_hidden_layers)
+    # the stacked pools ride the CARRY (in-place slot writes), not xs/ys —
+    # the xs/ys form re-stacked the full pool every step (models/llama.py)
+    layer_xs = None if stacked_int4 else params["layers"]
+    (hidden, new_k, new_v), _ = jax.lax.scan(
+        body, (hidden, k_all, v_all), (layer_ids, layer_xs, lp_slices))
     if cfg.arch == "mpt":
         from ..models.llama import layer_norm_nobias
 
@@ -340,7 +350,9 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
     between chunks); rows that finish mid-chunk simply stop writing."""
     from ..generate import _select_token
 
-    @jax.jit
+    # donate the page pools: the scheduler replaces self.paged with the
+    # returned pools every chunk, and a decode error kills the batcher
+    @partial(jax.jit, donate_argnums=(1, 2))
     def decode(params, k_all, v_all, tables, row_len, tokens, budget,
                active, rng, lora_pack=None, lora_idx=None):
         def step(carry, _):

@@ -72,7 +72,7 @@ def build_decode(bits: int, batch: int, steps: int):
     return run
 
 
-def parse_trace(trace_dir: str, steps: int):
+def parse_trace(trace_dir: str, steps: int, collapse: bool = True):
     """Aggregate device-op durations from the profiler dump."""
     paths = glob.glob(os.path.join(trace_dir, "**", "*.trace.json.gz"),
                       recursive=True)
@@ -92,7 +92,7 @@ def parse_trace(trace_dir: str, steps: int):
         dur = e.get("dur", 0)  # microseconds
         name = e.get("name", "?")
         # collapse fusion instances: strip trailing .N / numeric suffixes
-        key = re.sub(r"[.\d]+$", "", name)
+        key = re.sub(r"[.\d]+$", "", name) if collapse else name
         buckets[key] += dur
         total += dur
     return buckets, total
@@ -104,6 +104,8 @@ def main():
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--steps", type=int, default=32)
     ap.add_argument("--top", type=int, default=24)
+    ap.add_argument("--no-collapse", action="store_true",
+                    help="keep per-call-site op name suffixes")
     args = ap.parse_args()
 
     import jax
@@ -119,7 +121,8 @@ def main():
     trace_dir = tempfile.mkdtemp(prefix="decode_trace_")
     with jax.profiler.trace(trace_dir):
         run()
-    buckets, total = parse_trace(trace_dir, args.steps)
+    buckets, total = parse_trace(trace_dir, args.steps,
+                                 collapse=not args.no_collapse)
     per_step = total / args.steps
     print(f"device-op total: {total/1e3:.2f} ms for {args.steps} steps "
           f"({per_step:.0f} us/token)")

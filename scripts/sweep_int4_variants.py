@@ -59,7 +59,7 @@ def make_stacked(BK, BN, BM, fuse_dots=False, ext_corr=False):
 
         @pl.when(j == n_j - 1)
         def _():
-            o_ref[:] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
+            o_ref[0] = (acc_ref[:] * s_ref[0]).astype(o_ref.dtype)
 
     @jax.jit
     def mm(x, packed, scale, layer_idx):
@@ -102,17 +102,23 @@ def make_stacked(BK, BN, BM, fuse_dots=False, ext_corr=False):
     return mm
 
 
-def time_marginal(mm, N, Khalf, rows, L_small=8, L_big=64, n_iter=5):
-    """Marginal per-layer seconds via two-point slope."""
+def time_marginal(mm, N, Khalf, rows, L_small=16, L_big=128, n_iter=6):
+    """Marginal per-layer seconds via two-point slope of min-times."""
     import jax
     import jax.numpy as jnp
 
     times = {}
     for L in (L_small, L_big):
-        rng = np.random.default_rng(0)
-        q = jnp.asarray(rng.integers(0, 255, (L, N, Khalf)), jnp.int8)
-        s = jnp.asarray(rng.standard_normal((L, N, 1)) * 0.01, jnp.float32)
-        x = jnp.asarray(rng.standard_normal((rows, Khalf * 2)), jnp.bfloat16)
+        # weights generated ON DEVICE: shipping ~3GB of host-side randoms
+        # through the axon tunnel dwarfs the thing being measured
+        key = jax.random.PRNGKey(0)
+        q = jax.jit(lambda k: jax.random.randint(
+            k, (L, N, Khalf), -128, 128, jnp.int32).astype(jnp.int8))(key)
+        s = jax.jit(lambda k: 0.01 * jax.random.normal(
+            k, (L, N, 1), jnp.float32))(key)
+        x = jax.jit(lambda k: jax.random.normal(
+            k, (rows, Khalf * 2), jnp.bfloat16))(key)
+        q.block_until_ready()
 
         @jax.jit
         def scan_fn(x, q, s):
@@ -127,11 +133,13 @@ def time_marginal(mm, N, Khalf, rows, L_small=8, L_big=64, n_iter=5):
 
         out = scan_fn(x, q, s)
         np.asarray(jax.device_get(out))
-        t0 = time.perf_counter()
+        best = float("inf")
         for _ in range(n_iter):
+            t0 = time.perf_counter()
             out = scan_fn(x, q, s)
-        np.asarray(jax.device_get(out))
-        times[L] = (time.perf_counter() - t0) / n_iter
+            np.asarray(jax.device_get(out))
+            best = min(best, time.perf_counter() - t0)
+        times[L] = best
         del q, s
     return (times[L_big] - times[L_small]) / (L_big - L_small)
 
@@ -151,23 +159,16 @@ def main():
     }
     N, Khalf = shapes[args.shape]
 
-    variants = []
-    for BK in (256, 512, 1024, 2048):
-        if Khalf % BK:
-            continue
-        for BN in (512, 1024, 2048, 4096):
-            if N % BN or BN * BK > 4 * 1024 * 1024:
-                continue
-            variants.append((f"BK{BK}_BN{BN}", dict(BK=BK, BN=BN, BM=16)))
-    variants += [
-        ("BK1024_BN2048_fused", dict(BK=1024, BN=2048, BM=16,
-                                     fuse_dots=True)),
-        ("BK1024_BN2048_extcorr", dict(BK=1024, BN=2048, BM=16,
-                                       ext_corr=True)),
-        ("BK1024_BN2048_BM8", dict(BK=1024, BN=2048, BM=8)),
-    ]
-    variants = [(n, kw) for n, kw in variants
-                if Khalf % kw["BK"] == 0 and N % kw["BN"] == 0]
+    # auto-generate block candidates: BK | Khalf, BN | N, both lane/tile
+    # aligned, block size 1.5-6MB, biggest first (bigger DMAs win on v5e)
+    bks = [d for d in range(512, Khalf + 1, 128) if Khalf % d == 0]
+    bns = [d for d in range(512, min(N, 8192) + 1, 512) if N % d == 0]
+    cands = sorted(
+        ((bk, bn) for bk in bks for bn in bns
+         if (0.75 if bk == Khalf else 1.5) * 2**20 <= bk * bn <= 5 * 2**20),
+        key=lambda t: (t[0] != Khalf, -(t[0] * t[1])))
+    variants = [(f"BK{bk}_BN{bn}", dict(BK=bk, BN=bn, BM=16))
+                for bk, bn in cands[:7]]
 
     print(f"shape={args.shape} N={N} Khalf={Khalf} rows={args.rows}")
     bytes_per_layer = N * Khalf
