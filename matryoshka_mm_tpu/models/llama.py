@@ -34,6 +34,12 @@ from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
                          index_layer_tree, tree_has_int4)
 
 
+def _flash_decode_ok(impl: str) -> bool:
+    """Route Sq==1 cached attention through ops/decode_attention.py on TPU
+    ('auto'); impl='reference'/'flash' keep the XLA path for parity runs."""
+    return impl == "auto" and jax.default_backend() == "tpu"
+
+
 def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
     """``x (..., in)`` times a weight leaf stored ``(out, in)`` -> ``(..., out)``.
 
@@ -329,15 +335,31 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
-        ck = jax.lax.dynamic_index_in_dim(cache_k, li, 0, keepdims=False)
-        cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0, keepdims=False)
-        attn_k = ck.transpose(0, 2, 1, 3)  # (B, Hkv, S_max, Dh)
-        attn_v = cv.transpose(0, 2, 1, 3)
-        attn_out = attention(
-            q, attn_k, attn_v, causal=True, q_positions=q_positions,
-            kv_positions=kv_positions, kv_valid=kv_valid,
-            sliding_window=window, q_index_offset=q_index_offset,
-            impl=cfg.attn_impl)
+        if S == 1 and _flash_decode_ok(cfg.attn_impl):
+            # single-token decode: the Pallas flash-decode kernel reads
+            # THIS layer's cache blocks straight out of the stacked
+            # buffer (scalar-prefetched index) in the native
+            # (B, S, Hkv, Dh) layout — no slice materialization, one
+            # cache read (XLA's fused QK/PV pair reads it twice at
+            # ~450 GB/s plus a 300us/token slice copy if pre-sliced)
+            from ..ops.decode_attention import flash_decode_attention_stacked
+
+            attn_out = flash_decode_attention_stacked(
+                q[:, :, 0, :], cache_k, cache_v, li, kv_valid,
+                kv_positions, q_positions[:, 0],
+                sliding_window=window)[:, :, None, :]
+        else:
+            ck = jax.lax.dynamic_index_in_dim(cache_k, li, 0,
+                                              keepdims=False)
+            cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0,
+                                              keepdims=False)
+            attn_k = ck.transpose(0, 2, 1, 3)  # (B, Hkv, S_max, Dh)
+            attn_v = cv.transpose(0, 2, 1, 3)
+            attn_out = attention(
+                q, attn_k, attn_v, causal=True, q_positions=q_positions,
+                kv_positions=kv_positions, kv_valid=kv_valid,
+                sliding_window=window, q_index_offset=q_index_offset,
+                impl=cfg.attn_impl)
     else:
         attn_out = attention(
             q, k, v, causal=True, q_positions=q_positions,
