@@ -140,3 +140,64 @@ def paged_decode_attention(
     )(page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
       qg, k_pages, v_pages)
     return out.reshape(B, H, Dh)
+
+
+def paged_decode_attention_stacked(
+    q: jnp.ndarray,             # (B, H, Dh) current-token queries
+    k_all: jnp.ndarray,         # (L, n_pages, page, Hkv, Dh) stacked pools
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,     # scalar i32
+    page_tables: jnp.ndarray,   # (B, P) int32
+    row_len: jnp.ndarray,       # (B,)
+) -> jnp.ndarray:
+    """Layer-indexed variant over the stacked page pools.
+
+    Slicing ``k_all[l]`` before the pallas_call makes XLA materialize the
+    whole per-layer pool (every page, not just this batch's rows) — the
+    scalar-prefetched layer index steers the page BlockSpec straight into
+    layer ``l`` instead (same rationale as
+    ops/decode_attention.flash_decode_attention_stacked)."""
+    B, H, Dh = q.shape
+    _, n_pages, page_size, Hkv, _ = k_all.shape
+    P = page_tables.shape[1]
+    scale = Dh ** -0.5
+    G = H // Hkv
+    qg = q.reshape(B, Hkv, G, Dh)
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+
+    def kernel(idx_ref, tables_ref, row_len_ref, q_ref, k_ref, v_ref,
+               out_ref, acc_ref, m_ref, l_ref):
+        del idx_ref
+        _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
+                out_ref, acc_ref, m_ref, l_ref, page_size=page_size,
+                num_pages=P, scale=scale)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, P),
+        in_specs=[
+            pl.BlockSpec((1, Hkv, G, Dh),
+                         lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, Hkv, Dh),
+                         lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p],
+                                                     0, 0, 0)),
+            pl.BlockSpec((1, 1, page_size, Hkv, Dh),
+                         lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p],
+                                                     0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, Hkv, G, Dh),
+                               lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G, Dh), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), q.dtype),
+        interpret=_interpret(),
+    )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
+      qg, k_all, v_all)
+    return out.reshape(B, H, Dh)

@@ -155,8 +155,13 @@ class ContinuousBatcher:
                 self.index = None
             self.tables = jnp.asarray(self.alloc.tables)
             # the Pallas paged-decode kernel bakes in RoPE; MPT (alibi)
-            # attends through the gather path inside the same decode body
+            # attends through the gather path inside the same decode body.
+            # Mosaic also can't slice the lane (last) dim, so head_dim must
+            # fill whole 128-lane registers — tiny debug configs (Dh=16)
+            # take the gather path even on real TPU.
+            head_dim = cfg.llama.hidden_size // cfg.llama.num_attention_heads
             self.use_kernel = (cfg.llama.arch != "mpt"
+                               and head_dim % 128 == 0
                                and (jax.default_backend() == "tpu"
                                     if use_kernel is None
                                     else bool(use_kernel)))

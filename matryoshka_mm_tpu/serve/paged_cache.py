@@ -229,19 +229,24 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         v_new = v[:, :, 0].astype(v_all.dtype)
         k_all = k_all.at[idx, w_page_id, w_off].set(k_new, mode="drop")
         v_all = v_all.at[idx, w_page_id, w_off].set(v_new, mode="drop")
-        k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
 
         if use_kernel:
-            from ..ops.paged_attention import paged_decode_attention
+            from ..ops.paged_attention import paged_decode_attention_stacked
 
-            # retired rows get 0-length attention (harmless; masked out)
+            # retired rows get 0-length attention (harmless; masked out);
+            # the stacked kernel reads pages straight out of layer `idx`
+            # — slicing k_all[idx] first would make XLA materialize the
+            # whole per-layer pool every layer
             eff_len = jnp.where(active, row_len, 0)
-            attn = paged_decode_attention(
-                q[:, :, 0, :], k_pool, v_pool, tables, eff_len)
+            attn = paged_decode_attention_stacked(
+                q[:, :, 0, :], k_all, v_all, idx, tables, eff_len)
             attn = attn.reshape(B, 1, H * Dh)
         else:
             # gather each row's pages -> (B, S_virt, n_kv, Dh)
+            k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
+                                                  keepdims=False)
+            v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
+                                                  keepdims=False)
             k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
             v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
             attn = attention_reference(
@@ -385,7 +390,10 @@ def paged_decode_step(params, cfg: LlamaConfig, paged: PagedKVCache,
                       use_kernel: Optional[bool] = None
                       ) -> Tuple[PagedKVCache, jnp.ndarray]:
     if use_kernel is None:
-        use_kernel = jax.default_backend() == "tpu"
+        # Mosaic can't slice the lane dim: the kernel needs 128-aligned Dh
+        head_dim = cfg.hidden_size // cfg.num_attention_heads
+        use_kernel = (jax.default_backend() == "tpu"
+                      and head_dim % 128 == 0)
     max_pages = tables.shape[1]
     fn = _paged_decode_fn(cfg, max_pages, page_size, bool(use_kernel))
     return fn(params, paged, tables, row_len, tokens, active)

@@ -76,3 +76,26 @@ def test_paged_attention_gqa():
     v_exp = np.repeat(v_pages, H // Hkv, axis=2)
     want = _reference(q, k_exp, v_exp, tables, row_len)
     np.testing.assert_allclose(got, want, atol=2e-4)
+
+
+def test_paged_attention_stacked_matches_plain():
+    """Layer-indexed stacked variant selects the right layer's pools."""
+    from matryoshka_mm_tpu.ops.paged_attention import (
+        paged_decode_attention_stacked)
+
+    L = 3
+    rng = np.random.default_rng(3)
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    k_all = rng.standard_normal((L, NPAGES, PAGE, H, Dh)).astype(np.float32)
+    v_all = rng.standard_normal((L, NPAGES, PAGE, H, Dh)).astype(np.float32)
+    tables = np.arange(B * P).reshape(B, P).astype(np.int32)
+    row_len = np.asarray([22, 47], np.int32)
+    for l in range(L):
+        got = np.asarray(paged_decode_attention_stacked(
+            jnp.asarray(q), jnp.asarray(k_all), jnp.asarray(v_all),
+            jnp.asarray(l, jnp.int32), jnp.asarray(tables),
+            jnp.asarray(row_len)))
+        want = np.asarray(paged_decode_attention(
+            jnp.asarray(q), jnp.asarray(k_all[l]), jnp.asarray(v_all[l]),
+            jnp.asarray(tables), jnp.asarray(row_len)))
+        np.testing.assert_allclose(got, want, atol=2e-5)
