@@ -34,10 +34,23 @@ from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
                          index_layer_tree, tree_has_int4)
 
 
-def _flash_decode_ok(impl: str) -> bool:
+def _flash_decode_ok(impl: str, head_dim: int, batch: int,
+                     quantized: bool) -> bool:
     """Route Sq==1 cached attention through ops/decode_attention.py on TPU
-    ('auto'); impl='reference'/'flash' keep the XLA path for parity runs."""
-    return impl == "auto" and jax.default_backend() == "tpu"
+    ('auto'); impl='reference'/'flash' keep the XLA path for parity runs.
+
+    Two hardware gates (both measured on v5e, 7B):
+    - Mosaic can't slice the 128-lane dim, so head_dim must be 128-aligned
+      (tiny debug configs fall back to the XLA path);
+    - in the bf16 B=1 decode graph, XLA's buffer assignment inserts a
+      per-layer copy of one full stacked cache buffer when it feeds a
+      custom call (profiled: copy-done 3.3 ms/token = 32 x 84 MB at HBM
+      speed), erasing the kernel's gain (53 -> 38 tok/s).  The B>=2 and
+      quantized-weight graphs alias cleanly and keep the win (b4 +3%,
+      int8/int4 b8 +16/+21%), so bf16 b1 stays on the XLA pair."""
+    return (impl == "auto" and head_dim % 128 == 0
+            and (batch >= 2 or quantized)
+            and jax.default_backend() == "tpu")
 
 
 def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
@@ -335,7 +348,9 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
-        if S == 1 and _flash_decode_ok(cfg.attn_impl):
+        quantized = any(isinstance(a.get(k), dict)
+                        for k in ("qkv_proj", "q_proj"))
+        if S == 1 and _flash_decode_ok(cfg.attn_impl, Dh, B, quantized):
             # single-token decode: the Pallas flash-decode kernel reads
             # THIS layer's cache blocks straight out of the stacked
             # buffer (scalar-prefetched index) in the native
