@@ -9,8 +9,10 @@ decode chunks (SURVEY.md §7 step 9):
 
 * the pool is a fixed (max_batch, capacity) KV cache; every request is
   left-padded into the same prefill region so all rows share write slots;
-* new requests prefill with the existing batch=1 jitted prefill, then their
-  cache rows are inserted into the pool with ``dynamic_update_slice``;
+* new requests prefill into pool rows: compatible burst arrivals share ONE
+  batched (G, L) prefill (weights read once for the whole group, see
+  _admit_group), the rest use the batch=1 prefill; cache rows are inserted
+  into the pool with ``dynamic_update_slice``;
 * one jitted decode-chunk advances all active rows; finished rows free
   their slot and late joiners reuse it (validity masks keep causality
   exact regardless of join time);
@@ -197,6 +199,10 @@ class ContinuousBatcher:
 
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         self.slots: List[Optional[_Request]] = [None] * max_batch
+        self._admitting: List[_Request] = []   # mid-admission, for the crash handler
+        # admissions by path: solo b=1 prefills vs rows sharing a batched
+        # group prefill (plus prefix-cache hits in self.stats when enabled)
+        self.admit_stats = {"solo": 0, "grouped": 0}
         self.error: Optional[BaseException] = None
         self._rid = 0
         self._lock = threading.Lock()
@@ -300,10 +306,15 @@ class ContinuousBatcher:
             yield item
 
     def warmup(self, with_image: bool = True,
-               numtoks: Optional[int] = None) -> float:
+               numtoks: Optional[int] = None,
+               batch_sizes: tuple = ()) -> float:
         """Run one dummy request through the pool to trigger the prefill
         and decode-chunk compiles before real traffic arrives.  Returns the
-        wall seconds spent (the cold-start cost the first user would pay)."""
+        wall seconds spent (the cold-start cost the first user would pay).
+
+        ``batch_sizes`` additionally precompiles the batched group-prefill
+        traces (power-of-two sizes, see _admit_group) so a burst of
+        arrivals doesn't pay a ~30s jit compile mid-traffic."""
         import time as _time
 
         from ..constants import IMAGE_TOKEN_INDEX
@@ -319,6 +330,22 @@ class ContinuousBatcher:
                           max_new_tokens=self.chunk + 1)
         for _ in self.stream(req):
             pass
+        n = numtoks if numtoks is not None else self.cfg.vision.num_patches
+        for g in batch_sizes:
+            ids_g = jnp.zeros((g, self.L), jnp.int32).at[:, -2].set(
+                IMAGE_TOKEN_INDEX if with_image else 7)
+            mask_g = jnp.zeros((g, self.L), bool).at[:, -3:].set(True)
+            if with_image:
+                px_g = jnp.zeros((g, 3, self.cfg.vision.image_size,
+                                  self.cfg.vision.image_size), jnp.float32)
+                out = _prefill_fn(self.cfg, n, self.L, self.capacity)(
+                    self.params, ids_g, px_g, mask_g)
+            else:
+                from ..generate import _prefill_text_fn
+
+                out = _prefill_text_fn(self.cfg, self.L, self.capacity)(
+                    self.params, ids_g, mask_g)
+            jax.block_until_ready(out[0])
         return _time.time() - t0
 
     def shutdown(self):
@@ -463,8 +490,23 @@ class ContinuousBatcher:
         req.slot = slot
         self.slots[slot] = req
 
-    def _admit(self, req: _Request, slot: int) -> bool:
-        if self.backend == "paged" and self.index is not None:
+    def _pad_ids(self, reqs) -> tuple:
+        """Left-pad raw prompt ids to the fixed ``(G, self.L)`` prefill
+        shape plus validity mask.  Fixing T at ``self.L`` means ONE jit
+        trace per group size instead of one per prompt length (the spliced
+        forward already runs over ``out_len=self.L`` regardless, so the
+        pad costs nothing but the masked embedding lookups)."""
+        G = len(reqs)
+        ids = np.full((G, self.L), self.gen_cfg.pad_token_id, np.int32)
+        mask = np.zeros((G, self.L), bool)
+        for g, r in enumerate(reqs):
+            flat = np.asarray(r.input_ids, np.int32).reshape(-1)
+            ids[g, self.L - flat.shape[0]:] = flat
+            mask[g, self.L - flat.shape[0]:] = True
+        return jnp.asarray(ids), jnp.asarray(mask)
+
+    def _admit(self, req: _Request, slot: int, try_prefix: bool = True) -> bool:
+        if try_prefix and self.backend == "paged" and self.index is not None:
             handled = self._try_admit_prefix(req, slot)
             if handled is not None:
                 return handled
@@ -485,16 +527,14 @@ class ContinuousBatcher:
                 jnp.asarray(req.pixel_values))
         elif req.pixel_values is not None:
             prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
+            ids_p, mask = self._pad_ids([req])
             logits, cache, lengths, _ = prefill(
-                self._params_for(req), jnp.asarray(req.input_ids),
-                jnp.asarray(req.pixel_values))
+                self._params_for(req), ids_p,
+                jnp.asarray(req.pixel_values), mask)
         else:
             from ..generate import _prefill_text_fn
 
-            T = req.input_ids.shape[1]
-            pad = self.L - T
-            ids_p = jnp.pad(jnp.asarray(req.input_ids), ((0, 0), (pad, 0)))
-            mask = jnp.pad(jnp.ones((1, T), bool), ((0, 0), (pad, 0)))
+            ids_p, mask = self._pad_ids([req])
             logits, cache, lengths = _prefill_text_fn(
                 self.cfg, self.L, self.capacity)(self._params_for(req),
                                                  ids_p, mask)
@@ -507,7 +547,64 @@ class ContinuousBatcher:
         else:
             self._insert_dense(slot, cache)
         self._finish_admit(req, slot, first, lengths[0])
+        self.admit_stats["solo"] += 1
         return True
+
+    def _admit_group(self, members) -> bool:
+        """Admit several compatible requests with ONE batched prefill.
+
+        ``members`` is a list of ``(req, slot)`` pairs that share the
+        batched-prefill signature (all plain single-image with the same
+        numtoks and lora_id, or all text-only with the same lora_id).
+        Serial b=1 admissions cost ~full-weight-read each; one (G, L)
+        prefill reads the weights once and scales only in FLOPs, so
+        admission throughput under burst arrivals improves ~Gx (the
+        reference worker's per-request generation threads never batch
+        prefill at all: llava/serve/model_worker.py:240-268).
+        Per-row pool insertion and failure handling are unchanged."""
+        reqs = [r for r, _ in members]
+        params = self._params_for(reqs[0])
+        ids_p, mask = self._pad_ids(reqs)
+        if reqs[0].pixel_values is not None:
+            n = (reqs[0].numtoks if reqs[0].numtoks is not None
+                 else self.cfg.vision.num_patches)
+            px = jnp.asarray(np.concatenate(
+                [np.asarray(r.pixel_values, np.float32) for r in reqs], 0))
+            prefill = _prefill_fn(self.cfg, n, self.L, self.capacity)
+            logits, cache, lengths, _ = prefill(params, ids_p, px, mask)
+        else:
+            from ..generate import _prefill_text_fn
+
+            logits, cache, lengths = _prefill_text_fn(
+                self.cfg, self.L, self.capacity)(params, ids_p, mask)
+
+        first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
+        ok_any = False
+        for g, (req, slot) in enumerate(members):
+            row = KVCache(k=cache.k[:, g:g + 1], v=cache.v[:, g:g + 1],
+                          valid=cache.valid[g:g + 1],
+                          positions=cache.positions[g:g + 1],
+                          write_idx=cache.write_idx)
+            if self.backend == "paged":
+                if not self._insert_paged(req, slot, row, lengths[g:g + 1]):
+                    continue        # re-queued or failed by _insert_paged
+            else:
+                self._insert_dense(slot, row)
+            self._finish_admit(req, slot, first[g:g + 1], lengths[g])
+            self.admit_stats["grouped"] += 1
+            ok_any = True
+        return ok_any
+
+    @staticmethod
+    def _group_key(req: _Request):
+        """Batched-prefill compatibility key, or None when the request must
+        admit solo (anyres tile stacks trace per tile count/size)."""
+        if req.pixel_values is None:
+            return ("text", req.lora_id)
+        if req.pixel_values.ndim == 4 and req.pixel_values.shape[0] == 1 \
+                and req.image_size is None:
+            return ("img", req.lora_id, req.numtoks)
+        return None
 
     def _insert_dense(self, slot: int, cache: KVCache):
         # insert row `slot`: kv (n_layers, B, S, ...) axis 1; valid/positions
@@ -593,9 +690,9 @@ class ContinuousBatcher:
             # lock, no new request can slip into pending after the drain
             with self._lock:
                 self.error = e
-                inflight = getattr(self, "_admitting", None)
-                if inflight is not None:
+                for inflight in getattr(self, "_admitting", []):
                     inflight.out_queue.put(None)
+                self._admitting = []
                 for slot, req in enumerate(self.slots):
                     if req is not None:
                         req.out_queue.put(None)
@@ -617,20 +714,49 @@ class ContinuousBatcher:
             decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
         rng = jax.random.PRNGKey(0)
         while not self._stop:
-            # admit as many pending requests as there are free slots
+            # Admit as many pending requests as there are free slots.
+            # Prefix-cache hits admit immediately (suffix-only prefill);
+            # the rest are grouped by batched-prefill compatibility and
+            # admitted with one (G, L) prefill per group — see _admit_group.
             admitted = False
-            for slot in range(self.max_batch):
-                if self.slots[slot] is None:
-                    try:
-                        req = self.pending.get_nowait()
-                    except queue.Empty:
+            free = [s for s in range(self.max_batch) if self.slots[s] is None]
+            fallthrough = []            # (req, slot) pairs needing full prefill
+            while free:
+                try:
+                    req = self.pending.get_nowait()
+                except queue.Empty:
+                    break
+                slot = free.pop(0)
+                self._admitting.append(req)  # visible to the crash handler
+                if self.backend == "paged" and self.index is not None:
+                    handled = self._try_admit_prefix(req, slot)
+                    if handled is True:
+                        self._admitting.remove(req)
+                        admitted = True
+                        continue
+                    if handled is False:    # pool pressure: stop admitting
+                        self._admitting.remove(req)
                         break
-                    self._admitting = req       # visible to the crash handler
-                    ok = self._admit(req, slot)
-                    self._admitting = None
-                    if not ok:
-                        break
-                    admitted = True
+                fallthrough.append((req, slot))
+
+            groups: Dict = {}
+            for req, slot in fallthrough:
+                groups.setdefault(self._group_key(req), []).append((req, slot))
+            for key, members in groups.items():
+                while members:
+                    if key is None or len(members) == 1:
+                        req, slot = members.pop(0)
+                        ok = self._admit(req, slot, try_prefix=False)
+                        self._admitting.remove(req)
+                        admitted |= ok
+                    else:
+                        # power-of-two chunks bound the set of batched
+                        # prefill traces to {2, 4, 8, ...}
+                        g = 1 << (len(members).bit_length() - 1)
+                        chunk, members = members[:g], members[g:]
+                        admitted |= self._admit_group(chunk)
+                        for req, _ in chunk:
+                            self._admitting.remove(req)
 
             if not bool(np.asarray(self.active).any()):
                 if not admitted:

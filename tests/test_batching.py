@@ -486,3 +486,83 @@ def test_paged_batcher_with_int4_fused_params():
         np.testing.assert_array_equal(toks[: len(want)], want)
     finally:
         batcher.shutdown()
+
+
+def _paused_batcher(monkeypatch, params, cfg, **kw):
+    """Build a ContinuousBatcher whose scheduler thread hasn't started, so
+    submissions pile up in pending and the first admission round sees them
+    all at once (deterministic batched-admission grouping)."""
+    import threading
+
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    orig_start = threading.Thread.start
+    monkeypatch.setattr(threading.Thread, "start", lambda self: None)
+    try:
+        batcher = ContinuousBatcher(params, cfg, **kw)
+    finally:
+        monkeypatch.undo()
+    return batcher, orig_start
+
+
+def test_batched_admission_group_matches_generate(params, cfg, monkeypatch):
+    """A burst of compatible arrivals must admit through ONE batched group
+    prefill (admit_stats) and still match solo greedy generation exactly —
+    including rows with different raw prompt lengths (mask path)."""
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher, start = _paused_batcher(
+        monkeypatch, params, cfg, max_batch=4, prefill_len=64,
+        max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+        backend="paged", page_size=16)
+    try:
+        rng = np.random.default_rng(7)
+        reqs, wants = [], []
+        for i in range(4):
+            ids = np.array([[5 + i, 17, IMAGE_TOKEN_INDEX, 42, 9, 3][: 4 + (i % 3)]],
+                           np.int32)
+            px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+            reqs.append(batcher.submit(ids, px, numtoks=4, max_new_tokens=6))
+            wants.append(generate(params, cfg, ids, px,
+                                  matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                                  gen_cfg=gen_cfg)[0])
+        start(batcher._thread)      # all 4 pending -> one group of 4
+        for req, want in zip(reqs, wants):
+            toks = np.concatenate(list(batcher.stream(req)))
+            np.testing.assert_array_equal(toks[: len(want)], want)
+        assert batcher.admit_stats["grouped"] == 4
+        assert batcher.admit_stats["solo"] == 0
+    finally:
+        batcher.shutdown()
+
+
+def test_batched_admission_mixed_burst(params, cfg, monkeypatch):
+    """Image and text-only arrivals group separately; odd group sizes split
+    into power-of-two chunks + solo remainder."""
+    gen_cfg = GenerationConfig(max_new_tokens=5, decode_chunk=2,
+                               eos_token_id=-1)
+    batcher, start = _paused_batcher(
+        monkeypatch, params, cfg, max_batch=4, prefill_len=64,
+        max_new_tokens=16, gen_cfg=gen_cfg, chunk=2)
+    try:
+        rng = np.random.default_rng(8)
+        reqs, wants = [], []
+        for i in range(3):          # 3 image requests -> group 2 + solo 1
+            ids = np.array([[5 + i, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+            px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+            reqs.append(batcher.submit(ids, px, numtoks=4, max_new_tokens=5))
+            wants.append(generate(params, cfg, ids, px,
+                                  matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                                  gen_cfg=gen_cfg)[0])
+        ids_t = np.array([[11, 12, 13, 14]], np.int32)
+        reqs.append(batcher.submit(ids_t, None, max_new_tokens=5))
+        wants.append(generate(params, cfg, ids_t, None,
+                              gen_cfg=gen_cfg)[0])
+        start(batcher._thread)
+        for req, want in zip(reqs, wants):
+            toks = np.concatenate(list(batcher.stream(req)))
+            np.testing.assert_array_equal(toks[: len(want)], want)
+        assert batcher.admit_stats["grouped"] == 2
+        assert batcher.admit_stats["solo"] == 2
+    finally:
+        batcher.shutdown()
