@@ -53,6 +53,13 @@ from jax.experimental.pallas import tpu as pltpu
 # big-block divisors exist.  VMEM at (2048, 1024): 2MB packed x2 buffers
 # + 4MB bf16 nibble temps — fits the 16MB budget.
 _BLOCK_BYTES = 2 * 1024 * 1024
+# Decode-narrow (bm <= 32) blocks can afford to be bigger: the activation
+# and accumulator footprints are tiny, so the packed double-buffers own
+# VMEM.  Long-K shapes need this so BK = K/2 blocks (fully contiguous
+# half-row DMA spans) aren't rejected: 7B down_proj at (BK 2816, BN 1024)
+# measured 44.3 -> 14.3 us/layer vs the strided (512, 4096) blocks
+# (scripts/sweep_int4_variants.py, marginal per-layer slope).
+_BLOCK_BYTES_DECODE = 3 * 1024 * 1024
 # Scoped-VMEM budget passed to Mosaic (v5e has 128MB physical; the 16MB
 # default rejects block shapes whose double-buffers + nibble temps exceed
 # it even though they fit comfortably).
@@ -68,13 +75,18 @@ def _pick_bk(khalf: int, bm: int = 256) -> int:
     """Block width over the packed-K axis.
 
     For decode-narrow row blocks (bm <= 32) prefer BK = the whole packed
-    row: a single j step per n block whose weight DMA is one fully
-    contiguous span (measured on v5e decode: 5595 -> 5468 us/token at 7B
-    int4).  The full-K working set (packed double-buffer + bf16 nibble
-    temps ~ 6*BN*BK bytes) only fits VMEM with small row blocks, so
-    prefill keeps the 1024-column blocks."""
-    if bm <= 32 and khalf <= 4096 and khalf % 128 == 0:
-        return khalf
+    row (or the largest 128-aligned submultiple <= 4096 lanes): a j step
+    whose weight DMA is one fully contiguous span beats strided 512-column
+    blocks (measured on v5e decode: full-K 5595 -> 5468 us/token at 7B
+    int4; half-K on the long-K down_proj 44.3 -> 14.3 us/layer).  The
+    working set (packed double-buffer + nibble temps ~ 6*BN*BK bytes)
+    only fits VMEM with small row blocks, so prefill keeps the
+    1024-column blocks."""
+    if bm <= 32 and khalf % 128 == 0:
+        for d in (1, 2, 4):
+            if khalf % d == 0 and khalf // d <= 4096 \
+                    and (khalf // d) % 128 == 0:
+                return khalf // d
     for c in (1024, 512, 256, 128):
         if khalf % c == 0:
             return c
@@ -96,9 +108,10 @@ def _pad_rows(x, bm_cap: int = 256):
     return x, mp, bm
 
 
-def _pick_bn(n: int, bk: int) -> int:
+def _pick_bn(n: int, bk: int, bm: int = 256) -> int:
+    cap = _BLOCK_BYTES_DECODE if bm <= 32 else _BLOCK_BYTES
     for c in (2048, 1024, 512, 256, 128):
-        if n % c == 0 and c * bk <= _BLOCK_BYTES:
+        if n % c == 0 and c * bk <= cap:
             return c
     return 128 if n % 128 == 0 else 0
 
@@ -161,7 +174,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     N, Khalf = packed.shape
     x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     BK = _pick_bk(Khalf, BM)
-    BN = _pick_bn(N, BK)
+    BN = _pick_bn(N, BK, BM)
     n_j = Khalf // BK
 
     out = pl.pallas_call(
@@ -202,7 +215,7 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
     L, N, Khalf = packed.shape
     x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     BK = _pick_bk(Khalf, BM)
-    BN = _pick_bn(N, BK)
+    BN = _pick_bn(N, BK, BM)
     n_j = Khalf // BK
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
@@ -273,7 +286,7 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     N, _ = q.shape
     x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     BK = _pick_bk(K, BM)
-    BN = _pick_bn(N, BK)
+    BN = _pick_bn(N, BK, BM)
     n_j = K // BK
 
     out = pl.pallas_call(
@@ -306,7 +319,7 @@ def int8_matmul_stacked(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
     L, N, _ = q.shape
     x, Mp, BM = _pad_rows(x.astype(jnp.bfloat16))
     BK = _pick_bk(K, BM)
-    BN = _pick_bn(N, BK)
+    BN = _pick_bn(N, BK, BM)
     n_j = K // BK
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
 
@@ -350,4 +363,4 @@ def int4_matmul_eligible(x_2d_rows: int, packed_shape, *,
     N, Khalf = packed_shape
     bm = min(-(-x_2d_rows // 16) * 16, 256)
     bk = _pick_bk(Khalf, bm)
-    return (x_2d_rows <= max_rows and bk > 0 and _pick_bn(N, bk) > 0)
+    return (x_2d_rows <= max_rows and bk > 0 and _pick_bn(N, bk, bm) > 0)
