@@ -31,7 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
-                         index_layer_tree, tree_has_int4)
+                         fused_quant_mlp, index_layer_tree, tree_has_int4)
 
 
 def _flash_decode_ok(impl: str, head_dim: int, batch: int,
@@ -386,13 +386,16 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
     m = layer_params["mlp"]
-    if "gateup_proj" in m:
-        gate_up = proj(x, m["gateup_proj"])
-        gate, up = jnp.split(gate_up, 2, axis=-1)
-    else:
-        gate = proj(x, m["gate_proj"])
-        up = proj(x, m["up_proj"])
-    hidden = hidden + proj(jax.nn.silu(gate) * up, m["down_proj"])
+    mlp_out = fused_quant_mlp(x, m)   # whole-MLP single-kernel decode path
+    if mlp_out is None:
+        if "gateup_proj" in m:
+            gate_up = proj(x, m["gateup_proj"])
+            gate, up = jnp.split(gate_up, 2, axis=-1)
+        else:
+            gate = proj(x, m["gate_proj"])
+            up = proj(x, m["up_proj"])
+        mlp_out = proj(jax.nn.silu(gate) * up, m["down_proj"])
+    hidden = hidden + mlp_out
     return hidden, (cache_k, cache_v)
 
 

@@ -495,6 +495,56 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
     return y.reshape(x.shape[:-1] + (y.shape[-1],))
 
 
+def fused_quant_mlp(x: jnp.ndarray, mlp: dict) -> jnp.ndarray | None:
+    """Whole-MLP fused kernel for a stacked quantized mlp subtree:
+    ``silu(x @ gate.T) * (x @ up.T) @ down.T`` in ONE pallas invocation
+    (ops/fused_mlp.py) — saves a per-layer kernel launch + the XLA
+    elementwise between the two matmuls during decode.
+
+    Returns None when ineligible (caller falls back to the per-projection
+    ``proj`` path): needs the fused+padded inference layout
+    (``gateup_proj`` leaf), stacked ``_layer`` views, no LoRA, bf16
+    activations, decode-narrow rows, TPU backend."""
+    if not _FUSED_PROJ_ENABLED[-1]:
+        return None
+    gu, dn = mlp.get("gateup_proj"), mlp.get("down_proj")
+    if not (isinstance(gu, dict) and isinstance(dn, dict)):
+        return None
+    if "_layer" not in gu or "_layer" not in dn or "lora_a" in dn:
+        return None
+    if x.dtype != jnp.bfloat16:
+        return None
+    is4 = Q4KEY in gu
+    key = Q4KEY if is4 else QKEY
+    if key not in gu or key not in dn or (Q4KEY in gu) != (Q4KEY in dn):
+        return None
+    if jax.default_backend() != "tpu":
+        return None
+    from .fused_mlp import quant_mlp_eligible, quant_mlp_stacked
+
+    D = x.shape[-1]
+    if "orig_shape" in dn:
+        i_orig, n_dn_orig = dn["orig_shape"].k, dn["orig_shape"].n
+    else:
+        i_orig = dn[key].shape[-1] * (2 if is4 else 1)
+        n_dn_orig = dn[key].shape[-2]
+    gu_n_orig = gu["orig_shape"].n if "orig_shape" in gu \
+        else gu[key].shape[-2]
+    if gu_n_orig != 2 * i_orig:
+        return None
+    rows = 1
+    for d in x.shape[:-1]:
+        rows *= d
+    if not quant_mlp_eligible(rows, gu[key].shape, dn[key].shape,
+                              bits=4 if is4 else 8, d_model=D,
+                              i_orig=i_orig):
+        return None
+    y = quant_mlp_stacked(
+        x.reshape(rows, D), gu[key], gu["scale"], dn[key], dn["scale"],
+        gu["_layer"], bits=4 if is4 else 8, i_orig=i_orig)
+    return y[:, :n_dn_orig].reshape(x.shape[:-1] + (n_dn_orig,))
+
+
 def tree_nbytes(tree) -> int:
     return sum(x.size * x.dtype.itemsize
                for x in jax.tree_util.tree_leaves(tree)
