@@ -116,46 +116,70 @@ def _pick_bn(n: int, bk: int, bm: int = 256) -> int:
     return 128 if n % 128 == 0 else 0
 
 
-def _kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref, *, n_j: int,
-            interpret: bool = False, j_axis: int = 1):
-    j = pl.program_id(j_axis)
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
+def _unpack_block(p_block, interpret: bool):
+    """Packed byte block -> (lo, hi) excess-8 nibble dot operands."""
     if interpret:
         # Portable unpack for the CPU interpreter (pltpu.bitcast reshaping
         # is TPU-only there): arithmetic in f32 on the signed byte.
-        c = p_ref[:].astype(jnp.float32)
+        c = p_block.astype(jnp.float32)
         cu = jnp.where(c < 0, c + 256.0, c)        # unsigned byte value
         hi_e = jnp.floor(cu * (1.0 / 16.0))        # excess-8 high nibble
         lo_e = cu - 16.0 * hi_e                    # excess-8 low nibble
-        lo_b = lo_e.astype(jnp.bfloat16)
-        hi_b = hi_e.astype(jnp.bfloat16)
-    else:
-        # Nibble extraction as int32 mask/shift over FOUR bytes per lane
-        # (~0.75 VPU ops/byte): both nibbles are stored excess-8 so no
-        # sign-extension select is needed; the constant -8 bias is folded
-        # into a per-row correction below, outside the matmul.
-        pi = pltpu.bitcast(p_ref[:], jnp.int32)    # (BN, BK/4) words
-        lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
-        hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
-        if _UNPACK == "bf16":
-            lo_b = lo_b.astype(jnp.bfloat16)
-            hi_b = hi_b.astype(jnp.bfloat16)
+        return lo_e.astype(jnp.bfloat16), hi_e.astype(jnp.bfloat16)
+    # Nibble extraction as int32 mask/shift over FOUR bytes per lane
+    # (~0.75 VPU ops/byte): both nibbles are stored excess-8 so no
+    # sign-extension select is needed; the constant -8 bias is folded
+    # into a per-row correction computed OUTSIDE the kernel.
+    pi = pltpu.bitcast(p_block, jnp.int32)         # (BN, BK/4) words
+    lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
+    hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
+    if _UNPACK == "bf16":
+        lo_b = lo_b.astype(jnp.bfloat16)
+        hi_b = hi_b.astype(jnp.bfloat16)
+    return lo_b, hi_b
+
+
+def excess8_part(x_lo, x_hi, p_block, interpret: bool):
+    """One grid step of the split-half excess-8 product, as a single f32
+    expression: the two nibble dots plus the per-row bias fold-out
+    (``-8 * sum_k(x_lo + x_hi)``, each half cast to f32 BEFORE adding so
+    no pair rounds back to bf16).  Kept in ONE expression — separate
+    ``acc +=`` statements cost extra scratch read-modify-writes per step.
+
+    The bias term must join the f32 accumulator (not the bf16 output):
+    the biased dot is ~8*sum(x) larger than the result, so a post-cast
+    correction would cancel catastrophically in bf16.  Measured on v5e:
+    hoisting it OUT of the kernel into XLA-side ops was ~1% slower
+    end-to-end (the extra small ops between kernels cost more than the
+    in-kernel VPU reduction, which hides under the weight DMA)."""
+    lo_b, hi_b = _unpack_block(p_block, interpret)
     dn = (((1,), (1,)), ((), ()))
-    xl = x_lo_ref[:]
-    xh = x_hi_ref[:]
-    acc_ref[:] += jax.lax.dot_general(
-        xl, lo_b, dn, preferred_element_type=jnp.float32)
-    acc_ref[:] += jax.lax.dot_general(
-        xh, hi_b, dn, preferred_element_type=jnp.float32)
-    # fold the excess-8 bias out: y -= 8 * sum_k (x_lo + x_hi); cast each
-    # half to f32 BEFORE adding so no element pair is rounded back to bf16
-    acc_ref[:] -= 8.0 * jnp.sum(xl.astype(jnp.float32)
-                                + xh.astype(jnp.float32), axis=1,
-                                keepdims=True)
+    return (jax.lax.dot_general(x_lo, lo_b, dn,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(x_hi, hi_b, dn,
+                                  preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(x_lo.astype(jnp.float32)
+                            + x_hi.astype(jnp.float32), axis=1,
+                            keepdims=True))
+
+
+def _kernel(x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref, *,
+            n_j: int, interpret: bool = False, j_axis: int = 1):
+    j = pl.program_id(j_axis)
+    part = excess8_part(x_lo_ref[:], x_hi_ref[:], p_ref[:], interpret)
+    if n_j == 1:
+        # full-K block: no accumulation across steps — write the output
+        # directly, the scratch accumulator is never touched
+        o_ref[:] = (part * s_ref[:]).astype(o_ref.dtype)
+        return
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] += part
 
     @pl.when(j == n_j - 1)
     def _():
@@ -222,7 +246,8 @@ def int4_matmul_stacked(x: jnp.ndarray, packed: jnp.ndarray,
     def kernel(idx_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, o_ref, acc_ref):
         del idx_ref
         _kernel(x_lo_ref.at[0], x_hi_ref.at[0], p_ref.at[0], s_ref.at[0],
-                o_ref.at[0], acc_ref, n_j=n_j, interpret=interpret, j_axis=2)
+                o_ref.at[0], acc_ref, n_j=n_j, interpret=interpret,
+                j_axis=2)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -260,18 +285,25 @@ def _kernel8(x_ref, q_ref, s_ref, o_ref, acc_ref, *, n_j: int,
              j_axis: int = 1, interpret: bool = False):
     j = pl.program_id(j_axis)
 
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-
     w = q_ref[:]
     if _UNPACK == "bf16" or interpret:
         # XLA (interpret mode) requires matching dot operand types; Mosaic
         # accepts the int8 operand and converts in the MXU feed (_UNPACK)
         w = w.astype(jnp.bfloat16)
-    acc_ref[:] += jax.lax.dot_general(
+    part = jax.lax.dot_general(
         x_ref[:], w, (((1,), (1,)), ((), ())),
         preferred_element_type=jnp.float32)
+    if n_j == 1:
+        o_ref[:] = (part * s_ref[:]).astype(o_ref.dtype)
+        return
+
+    @pl.when(j == 0)
+    def _():
+        acc_ref[:] = part
+
+    @pl.when(j > 0)
+    def _():
+        acc_ref[:] += part
 
     @pl.when(j == n_j - 1)
     def _():
