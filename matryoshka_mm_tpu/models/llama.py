@@ -99,6 +99,10 @@ class LlamaConfig:
     arch: str = "llama"
     sliding_window: int = 0          # 0 = disabled
     tie_word_embeddings: bool = False
+    # "int8": KV slots stored int8 with a per-(slot, kv-head) absmax scale
+    # — halves attention reads and doubles cache capacity; "" follows
+    # `dtype`.  Opt-in (load_pretrained_model(kv_cache_dtype="int8")).
+    kv_cache_dtype: str = ""
 
     @property
     def head_dim(self) -> int:
@@ -139,27 +143,47 @@ class LlamaConfig:
 
 
 class KVCache(NamedTuple):
-    """Fixed-capacity per-layer KV buffers (stacked over layers)."""
+    """Fixed-capacity per-layer KV buffers (stacked over layers).
+
+    With ``kv_cache_dtype='int8'`` the k/v buffers hold int8 values and
+    ``k_scale``/``v_scale`` the per-(layer, batch, slot, kv-head) absmax
+    dequantization scales; bf16 caches leave the scales None."""
 
     k: jnp.ndarray          # (n_layers, B, S_max, n_kv, Dh)
     v: jnp.ndarray          # (n_layers, B, S_max, n_kv, Dh)
     valid: jnp.ndarray      # (B, S_max) bool — filled & attendable slots
     positions: jnp.ndarray  # (B, S_max) int32 — absolute position per slot
     write_idx: jnp.ndarray  # () int32 — next slot to fill
+    k_scale: Optional[jnp.ndarray] = None   # (n_layers, B, S_max, n_kv) f32
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
                   dtype=None) -> KVCache:
-    dtype = dtype or jnp.dtype(cfg.dtype)
+    dtype = dtype or (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                      else jnp.dtype(cfg.dtype))
     shape = (cfg.num_hidden_layers, batch, capacity,
              cfg.num_key_value_heads, cfg.head_dim)
+    int8 = jnp.dtype(dtype) == jnp.int8
     return KVCache(
         k=jnp.zeros(shape, dtype),
         v=jnp.zeros(shape, dtype),
         valid=jnp.zeros((batch, capacity), bool),
         positions=jnp.zeros((batch, capacity), jnp.int32),
         write_idx=jnp.zeros((), jnp.int32),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
     )
+
+
+def _quantize_kv_slots(x: jnp.ndarray):
+    """(1, B, S, n_kv, Dh) float -> int8 values + (1, B, S, n_kv) f32
+    per-(slot, head) absmax scale."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 # ---------------------------------------------------------------------------
@@ -301,7 +325,7 @@ def embed_tokens(params: dict, input_ids: jnp.ndarray) -> jnp.ndarray:
 def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
                    q_positions, kv_valid, kv_positions,
                    cache_k, cache_v, write_idx, layer_idx=None,
-                   q_index_offset: int = 0):
+                   q_index_offset: int = 0, cache_ks=None, cache_vs=None):
     """One decoder layer.
 
     ``cache_k/v`` are the FULL stacked buffers ``(L, B, S_max, n_kv, Dh)``
@@ -310,11 +334,12 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     dynamic_update_slice the carry aliasing keeps copy-free) and only this
     layer's slice is read back for attention — see llama_forward."""
     if cfg.arch == "mpt":
-        return _mpt_layer_forward(
+        h, (cache_k, cache_v) = _mpt_layer_forward(
             layer_params, hidden, cfg=cfg, q_positions=q_positions,
             kv_valid=kv_valid, kv_positions=kv_positions,
             cache_k=cache_k, cache_v=cache_v, write_idx=write_idx,
             layer_idx=layer_idx)
+        return h, (cache_k, cache_v, cache_ks, cache_vs)
 
     B, S, D = hidden.shape
     H, Hkv, Dh = cfg.num_attention_heads, cfg.num_key_value_heads, cfg.head_dim
@@ -344,13 +369,22 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
         li = jnp.asarray(layer_idx, jnp.int32)
         k_slots = k.transpose(0, 2, 1, 3)[None]  # (1, B, S, Hkv, Dh)
         v_slots = v.transpose(0, 2, 1, 3)[None]
+        kv_int8 = cache_k.dtype == jnp.int8
+        if kv_int8:
+            k_slots, ks_slots = _quantize_kv_slots(k_slots)
+            v_slots, vs_slots = _quantize_kv_slots(v_slots)
+            cache_ks = jax.lax.dynamic_update_slice(
+                cache_ks, ks_slots, (li, 0, write_idx, 0))
+            cache_vs = jax.lax.dynamic_update_slice(
+                cache_vs, vs_slots, (li, 0, write_idx, 0))
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
         quantized = any(isinstance(a.get(k), dict)
                         for k in ("qkv_proj", "q_proj"))
-        if S == 1 and _flash_decode_ok(cfg.attn_impl, Dh, B, quantized):
+        if S == 1 and _flash_decode_ok(cfg.attn_impl, Dh, B,
+                                       quantized or kv_int8):
             # single-token decode: the Pallas flash-decode kernel reads
             # THIS layer's cache blocks straight out of the stacked
             # buffer (scalar-prefetched index) in the native
@@ -362,12 +396,25 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             attn_out = flash_decode_attention_stacked(
                 q[:, :, 0, :], cache_k, cache_v, li, kv_valid,
                 kv_positions, q_positions[:, 0],
-                sliding_window=window)[:, :, None, :]
+                sliding_window=window, k_scale=cache_ks,
+                v_scale=cache_vs)[:, :, None, :]
         else:
             ck = jax.lax.dynamic_index_in_dim(cache_k, li, 0,
                                               keepdims=False)
             cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0,
                                               keepdims=False)
+            if kv_int8:
+                # dequantize this layer's slice for the XLA path (prefill
+                # is compute-bound; the extra bf16 materialization is in
+                # the noise there)
+                cks = jax.lax.dynamic_index_in_dim(cache_ks, li, 0,
+                                                   keepdims=False)
+                cvs = jax.lax.dynamic_index_in_dim(cache_vs, li, 0,
+                                                   keepdims=False)
+                ck = (ck.astype(jnp.float32)
+                      * cks[..., None]).astype(hidden.dtype)
+                cv = (cv.astype(jnp.float32)
+                      * cvs[..., None]).astype(hidden.dtype)
             attn_k = ck.transpose(0, 2, 1, 3)  # (B, Hkv, S_max, Dh)
             attn_v = cv.transpose(0, 2, 1, 3)
             attn_out = attention(
@@ -396,7 +443,7 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             up = proj(x, m["up_proj"])
         mlp_out = proj(jax.nn.silu(gate) * up, m["down_proj"])
     hidden = hidden + mlp_out
-    return hidden, (cache_k, cache_v)
+    return hidden, (cache_k, cache_v, cache_ks, cache_vs)
 
 
 def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
@@ -520,27 +567,29 @@ def llama_forward(
         # re-stack the full multi-hundred-MB cache into fresh arrays every
         # step (~0.4 ms/token of pure copy at 7B decode).
         def body(carry, xs):
-            h, k_all, v_all = carry
+            h, k_all, v_all, ks_all, vs_all = carry
             if stacked_int4:
                 idx = xs
                 layer_params = index_layer_tree(params["layers"], idx)
             else:
                 idx, layer_params = xs
-            h, (k_all, v_all) = _layer_forward(
+            h, (k_all, v_all, ks_all, vs_all) = _layer_forward(
                 layer_params, h, cfg=cfg, cos=cos, sin=sin,
                 q_positions=position_ids, kv_valid=new_valid,
                 kv_positions=new_positions, cache_k=k_all, cache_v=v_all,
                 write_idx=write_idx, layer_idx=idx,
-                q_index_offset=q_index_offset)
-            return (h, k_all, v_all), None
+                q_index_offset=q_index_offset, cache_ks=ks_all,
+                cache_vs=vs_all)
+            return (h, k_all, v_all, ks_all, vs_all), None
 
         layer_ids = jnp.arange(cfg.num_hidden_layers)
         layer_xs = (layer_ids if stacked_int4
                     else (layer_ids, params["layers"]))
-        (hidden, new_k, new_v), _ = jax.lax.scan(
-            body, (hidden, cache.k, cache.v), layer_xs)
+        (hidden, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+            body, (hidden, cache.k, cache.v, cache.k_scale, cache.v_scale),
+            layer_xs)
         new_cache = KVCache(new_k, new_v, new_valid, new_positions,
-                            write_idx + S)
+                            write_idx + S, new_ks, new_vs)
 
     if cfg.arch == "mpt":
         hidden = layer_norm_nobias(hidden, params["norm"], 1e-5)

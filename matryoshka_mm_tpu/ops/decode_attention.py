@@ -51,8 +51,13 @@ def _pick_bs(S: int) -> int:
 
 
 def _kernel(q_ref, k_ref, v_ref, validf_ref, kvposf_ref, qpos_ref,
-            o_ref, m_ref, l_ref, acc_ref, *, n_j: int, scale: float,
-            group: int, window):
+            *refs, n_j: int, scale: float, group: int, window,
+            kv_int8: bool = False, interpret: bool = False):
+    if kv_int8:
+        ks_ref, vs_ref, o_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        ks_ref = vs_ref = None
+        o_ref, m_ref, l_ref, acc_ref = refs
     j = pl.program_id(1)
 
     @pl.when(j == 0)
@@ -67,9 +72,21 @@ def _kernel(q_ref, k_ref, v_ref, validf_ref, kvposf_ref, qpos_ref,
 
     q = q_ref[0].astype(jnp.float32)                       # (H, Dh)
     kf = k_ref[0].reshape(F, Dh)                           # flat kv rows
-    logits = jax.lax.dot_general(
-        q * scale, kf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (H, F)
+    if kv_int8:
+        # int8 K rows feed the MXU directly (mixed feed); the per-row
+        # dequant scale distributes onto the logits as a column vector:
+        # sum_d q*k_i8*s == (q @ k_i8^T) * s
+        if interpret:
+            kf = kf.astype(jnp.bfloat16)
+        logits = jax.lax.dot_general(
+            (q * scale).astype(jnp.bfloat16), kf,
+            (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        logits *= ks_ref[0, 0, pl.ds(j * F, F)][None, :]
+    else:
+        logits = jax.lax.dot_general(
+            q * scale, kf, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)            # (H, F)
 
     # masks — all elementwise on the flat axis (col // Hkv = slot,
     # col % Hkv = kv head), no gathers
@@ -92,9 +109,21 @@ def _kernel(q_ref, k_ref, v_ref, validf_ref, kvposf_ref, qpos_ref,
                                                     keepdims=True)
     m_ref[:, 0:1] = m_new
 
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0].reshape(F, Dh),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
+    if kv_int8:
+        # fold the per-row V scale into the probabilities, then hit the
+        # int8 V rows with a bf16 x int8 mixed-feed matmul
+        vf = v_ref[0].reshape(F, Dh)
+        if interpret:
+            vf = vf.astype(jnp.bfloat16)
+        p_in = (p * vs_ref[0, 0, pl.ds(j * F, F)][None, :]
+                ).astype(jnp.bfloat16)
+        pv = jax.lax.dot_general(
+            p_in, vf, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+    else:
+        pv = jax.lax.dot_general(
+            p.astype(v_ref.dtype), v_ref[0].reshape(F, Dh),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
     acc_ref[:] = acc_ref[:] * alpha + pv
 
     @pl.when(j == n_j - 1)
@@ -114,6 +143,8 @@ def flash_decode_attention(
     q_positions: jnp.ndarray,   # (B,) int32 absolute position of the query
     *,
     sliding_window=None,
+    k_scale=None,               # (B, S, n_kv) f32 — int8 KV cache scales
+    v_scale=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """-> (B, H, Dh) attention output in q.dtype."""
@@ -124,25 +155,36 @@ def flash_decode_attention(
         raise ValueError(f"S={S} not divisible into lane-aligned blocks")
     n_j = S // BS
     group = H // Hkv
+    kv_int8 = k.dtype == jnp.int8
 
     # n_kv-repeated flat masks: flat index s*Hkv + j maps to slot s
     valid_flat = jnp.repeat(kv_valid, Hkv, axis=1)             # (B, S*Hkv)
     kvpos_flat = jnp.repeat(kv_positions.astype(jnp.int32), Hkv, axis=1)
 
+    flat_spec = pl.BlockSpec((1, 1, S * Hkv), lambda b, j: (b, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, H, Dh), lambda b, j: (b, 0, 0)),
+        pl.BlockSpec((1, BS, Hkv, Dh), lambda b, j: (b, j, 0, 0)),
+        pl.BlockSpec((1, BS, Hkv, Dh), lambda b, j: (b, j, 0, 0)),
+        # unit middle dim: a (1, N) block on a (B, N) array violates
+        # the sublane rule when B > 1; (1, 1, N) blocks always comply
+        flat_spec,
+        flat_spec,
+        pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0)),
+    ]
+    operands = [q, k, v, valid_flat[:, None, :], kvpos_flat[:, None, :],
+                q_positions.astype(jnp.int32).reshape(B, 1, 1)]
+    if kv_int8:
+        in_specs += [flat_spec, flat_spec]
+        operands += [k_scale.reshape(B, 1, S * Hkv).astype(jnp.float32),
+                     v_scale.reshape(B, 1, S * Hkv).astype(jnp.float32)]
+
     out = pl.pallas_call(
         functools.partial(_kernel, n_j=n_j, scale=Dh ** -0.5,
-                          group=group, window=sliding_window),
+                          group=group, window=sliding_window,
+                          kv_int8=kv_int8, interpret=interpret),
         grid=(B, n_j),
-        in_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, BS, Hkv, Dh), lambda b, j: (b, j, 0, 0)),
-            pl.BlockSpec((1, BS, Hkv, Dh), lambda b, j: (b, j, 0, 0)),
-            # unit middle dim: a (1, N) block on a (B, N) array violates
-            # the sublane rule when B > 1; (1, 1, N) blocks always comply
-            pl.BlockSpec((1, 1, S * Hkv), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S * Hkv), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, j: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, Dh), lambda b, j: (b, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
         scratch_shapes=[
@@ -153,8 +195,7 @@ def flash_decode_attention(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(q, k, v, valid_flat[:, None, :], kvpos_flat[:, None, :],
-      q_positions.astype(jnp.int32).reshape(B, 1, 1))
+    )(*operands)
     return out
 
 
@@ -170,6 +211,8 @@ def flash_decode_attention_stacked(
     q_positions: jnp.ndarray,   # (B,) int32
     *,
     sliding_window=None,
+    k_scale=None,               # (L, B, S, n_kv) f32 — int8 KV scales
+    v_scale=None,
     interpret: bool = False,
 ) -> jnp.ndarray:
     """Layer-indexed variant over the stacked KV cache.
@@ -191,27 +234,48 @@ def flash_decode_attention_stacked(
     valid_flat = jnp.repeat(kv_valid, Hkv, axis=1)
     kvpos_flat = jnp.repeat(kv_positions.astype(jnp.int32), Hkv, axis=1)
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kv_int8 = k_all.dtype == jnp.int8
 
     def kernel(idx_ref, q_ref, k_ref, v_ref, validf_ref, kvposf_ref,
-               qpos_ref, o_ref, m_ref, l_ref, acc_ref):
+               qpos_ref, *refs):
         del idx_ref
+        if kv_int8:
+            ks_ref, vs_ref = refs[0].at[0], refs[1].at[0]
+            rest = (ks_ref, vs_ref) + refs[2:]
+        else:
+            rest = refs
         _kernel(q_ref, k_ref.at[0], v_ref.at[0], validf_ref, kvposf_ref,
-                qpos_ref, o_ref, m_ref, l_ref, acc_ref, n_j=n_j,
-                scale=Dh ** -0.5, group=group, window=sliding_window)
+                qpos_ref, *rest, n_j=n_j,
+                scale=Dh ** -0.5, group=group, window=sliding_window,
+                kv_int8=kv_int8, interpret=interpret)
+
+    flat_spec = pl.BlockSpec((1, 1, S * Hkv), lambda b, j, idx: (b, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, H, Dh), lambda b, j, idx: (b, 0, 0)),
+        pl.BlockSpec((1, 1, BS, Hkv, Dh),
+                     lambda b, j, idx: (idx[0], b, j, 0, 0)),
+        pl.BlockSpec((1, 1, BS, Hkv, Dh),
+                     lambda b, j, idx: (idx[0], b, j, 0, 0)),
+        flat_spec,
+        flat_spec,
+        pl.BlockSpec((1, 1, 1), lambda b, j, idx: (b, 0, 0)),
+    ]
+    operands = [q, k_all, v_all, valid_flat[:, None, :],
+                kvpos_flat[:, None, :],
+                q_positions.astype(jnp.int32).reshape(B, 1, 1)]
+    if kv_int8:
+        L = k_all.shape[0]
+        lflat = pl.BlockSpec((1, 1, 1, S * Hkv),
+                             lambda b, j, idx: (idx[0], b, 0, 0))
+        in_specs += [lflat, lflat]
+        operands += [
+            k_scale.reshape(L, B, 1, S * Hkv).astype(jnp.float32),
+            v_scale.reshape(L, B, 1, S * Hkv).astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(B, n_j),
-        in_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, BS, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, j, 0, 0)),
-            pl.BlockSpec((1, 1, BS, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, j, 0, 0)),
-            pl.BlockSpec((1, 1, S * Hkv), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, S * Hkv), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, 1), lambda b, j, idx: (b, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, H, Dh), lambda b, j, idx: (b, 0, 0)),
         scratch_shapes=[
             pltpu.VMEM((H, 128), jnp.float32),
@@ -226,6 +290,5 @@ def flash_decode_attention_stacked(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary")),
         interpret=interpret,
-    )(idx, q, k_all, v_all, valid_flat[:, None, :], kvpos_flat[:, None, :],
-      q_positions.astype(jnp.int32).reshape(B, 1, 1))
+    )(idx, *operands)
     return out

@@ -1,0 +1,110 @@
+"""Opt-in int8 KV cache: quantized write path, dequantizing XLA read
+path, and the int8 flash-decode kernel (interpret mode)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matryoshka_mm_tpu.models.llama import (LlamaConfig, embed_tokens,
+                                            init_kv_cache, init_llama_params,
+                                            llama_forward, lm_head)
+
+pytestmark = pytest.mark.quick
+
+
+def _decode_tokens(cfg, params, ids, steps=6):
+    B, T = ids.shape
+    cache = init_kv_cache(cfg, B, T + steps)
+    pos = jnp.broadcast_to(jnp.arange(T)[None], (B, T))
+    h = embed_tokens(params, ids)
+    h, cache = llama_forward(params, cfg, h, position_ids=pos, cache=cache)
+    tok = jnp.argmax(lm_head(params, h)[:, -1], axis=-1)
+    out = [tok]
+    for s in range(steps - 1):
+        h = embed_tokens(params, tok[:, None])
+        p = jnp.full((B, 1), T + s, jnp.int32)
+        h, cache = llama_forward(params, cfg, h, position_ids=p, cache=cache)
+        tok = jnp.argmax(lm_head(params, h)[:, -1], axis=-1)
+        out.append(tok)
+    return np.stack([np.asarray(t) for t in out], 1), cache
+
+
+def test_int8_kv_cache_decode_matches_f32():
+    """Greedy decode with the int8 KV cache tracks the f32-cache decode
+    (tiny config, XLA read path — per-slot absmax keeps logits close)."""
+    cfg = LlamaConfig.tiny_debug()
+    cfg8 = __import__("dataclasses").replace(cfg, kv_cache_dtype="int8")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    ids = jnp.asarray(
+        np.random.default_rng(0).integers(5, 500, (2, 12)), jnp.int32)
+    toks_f32, cache_f = _decode_tokens(cfg, params, ids)
+    toks_i8, cache_q = _decode_tokens(cfg8, params, ids)
+    assert cache_q.k.dtype == jnp.int8 and cache_q.k_scale is not None
+    assert cache_f.k_scale is None
+    # random-init logits are diffuse; demand most greedy tokens agree
+    agree = (toks_f32 == toks_i8).mean()
+    assert agree >= 0.75, (agree, toks_f32, toks_i8)
+
+
+def test_int8_kv_quantize_roundtrip():
+    from matryoshka_mm_tpu.models.llama import _quantize_kv_slots
+
+    x = jnp.asarray(np.random.default_rng(1).standard_normal(
+        (1, 2, 5, 3, 16)), jnp.float32)
+    q, s = _quantize_kv_slots(x)
+    back = q.astype(jnp.float32) * s[..., None]
+    err = float(jnp.max(jnp.abs(back - x)))
+    assert err <= float(jnp.max(jnp.abs(x))) / 127.0 + 1e-6
+
+
+def test_flash_decode_int8_interpret_matches_reference():
+    """The int8 flash-decode kernel (scales folded into logits and
+    probabilities) matches full-precision attention over the dequantized
+    cache."""
+    from matryoshka_mm_tpu.models.llama import _quantize_kv_slots
+    from matryoshka_mm_tpu.ops.decode_attention import flash_decode_attention
+
+    rng = np.random.default_rng(2)
+    B, H, Hkv, Dh, S = 2, 4, 2, 128, 64
+    q = jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.float32) * 0.3
+    k = jnp.asarray(rng.standard_normal((B, S, Hkv, Dh)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hkv, Dh)), jnp.float32)
+    kq, ks = _quantize_kv_slots(k[None])
+    vq, vs = _quantize_kv_slots(v[None])
+    kq, ks, vq, vs = kq[0], ks[0], vq[0], vs[0]
+    n_valid = 50
+    kv_valid = jnp.arange(S)[None, :] < n_valid
+    kv_valid = jnp.broadcast_to(kv_valid, (B, S))
+    kv_pos = jnp.broadcast_to(jnp.arange(S)[None, :], (B, S))
+    q_pos = jnp.full((B,), n_valid - 1, jnp.int32)
+
+    got = flash_decode_attention(
+        q.astype(jnp.bfloat16), kq, vq, kv_valid, kv_pos, q_pos,
+        k_scale=ks, v_scale=vs, interpret=True)
+
+    # reference: dequantized cache, per-head softmax with GQA expansion
+    kd = kq.astype(jnp.float32) * ks[..., None]
+    vd = vq.astype(jnp.float32) * vs[..., None]
+    group = H // Hkv
+    outs = []
+    for b in range(B):
+        rows = []
+        for h in range(H):
+            kv_h = h // group
+            logits = (q[b, h] / np.sqrt(Dh)) @ kd[b, :, kv_h].T
+            logits = jnp.where(kv_valid[b] & (kv_pos[b] <= q_pos[b]),
+                               logits, -1e30)
+            p = jax.nn.softmax(logits)
+            rows.append(p @ vd[b, :, kv_h])
+        outs.append(jnp.stack(rows))
+    ref = jnp.stack(outs)
+    err = float(jnp.max(jnp.abs(got.astype(jnp.float32) - ref)))
+    assert err < 0.05, err
+
+
+def test_bf16_kv_path_unchanged():
+    """Without the opt-in, caches stay bf16/f32 with no scale buffers."""
+    cfg = LlamaConfig.tiny_debug()
+    cache = init_kv_cache(cfg, 1, 8)
+    assert cache.k.dtype == jnp.float32 and cache.k_scale is None
