@@ -53,8 +53,7 @@ def _prefill_fn(cfg: LlavaConfig, numtoks: int, out_len: int, capacity: int):
             params, cfg, input_ids, pixel_values, numtoks=numtoks,
             attn_mask=attn_mask, out_len=out_len, padding_side="left")
         B, L, _ = spliced.embeds.shape
-        cache = init_kv_cache(cfg.llama, B, capacity,
-                              dtype=jnp.dtype(cfg.llama.dtype))
+        cache = init_kv_cache(cfg.llama, B, capacity)
         hidden, cache = llama_forward(
             params["llama"], cfg.llama, spliced.embeds,
             position_ids=spliced.position_ids, attn_valid=spliced.attn_mask,
@@ -77,8 +76,7 @@ def _prefill_anyres_fn(cfg: LlavaConfig, numtoks: int, n_tiles: int,
             params, cfg, input_ids, pixel_values, image_size,
             numtoks=numtoks, out_len=out_len, padding_side="left")
         B, L, _ = spliced.embeds.shape
-        cache = init_kv_cache(cfg.llama, B, capacity,
-                              dtype=jnp.dtype(cfg.llama.dtype))
+        cache = init_kv_cache(cfg.llama, B, capacity)
         hidden, cache = llama_forward(
             params["llama"], cfg.llama, spliced.embeds,
             position_ids=spliced.position_ids, attn_valid=spliced.attn_mask,
@@ -97,8 +95,7 @@ def _prefill_text_fn(cfg: LlavaConfig, text_len: int, capacity: int):
         B, T = input_ids.shape
         embeds = embed_tokens(params["llama"], input_ids)
         pos = jnp.maximum(jnp.cumsum(attn_mask.astype(jnp.int32), axis=1) - 1, 0)
-        cache = init_kv_cache(cfg.llama, B, capacity,
-                              dtype=jnp.dtype(cfg.llama.dtype))
+        cache = init_kv_cache(cfg.llama, B, capacity)
         hidden, cache = llama_forward(
             params["llama"], cfg.llama, embeds, position_ids=pos,
             attn_valid=attn_mask, cache=cache)
@@ -382,8 +379,7 @@ def chunked_prefill(params, cfg: LlavaConfig, embeds: jnp.ndarray,
 
     B, S, D = embeds.shape
     assert S % chunk == 0, (S, chunk)
-    cache = init_kv_cache(cfg.llama, B, capacity,
-                          dtype=jnp.dtype(cfg.llama.dtype))
+    cache = init_kv_cache(cfg.llama, B, capacity)
     hidden = None
     for i in range(S // chunk):
         sl = slice(i * chunk, (i + 1) * chunk)

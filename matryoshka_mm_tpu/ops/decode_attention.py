@@ -110,11 +110,12 @@ def _kernel(q_ref, k_ref, v_ref, validf_ref, kvposf_ref, qpos_ref,
     m_ref[:, 0:1] = m_new
 
     if kv_int8:
-        # fold the per-row V scale into the probabilities, then hit the
-        # int8 V rows with a bf16 x int8 mixed-feed matmul
-        vf = v_ref[0].reshape(F, Dh)
-        if interpret:
-            vf = vf.astype(jnp.bfloat16)
+        # fold the per-row V scale into the probabilities.  The PV matmul
+        # contracts over the int8 operand's MAJOR dim, which Mosaic's
+        # mixed int8 feed can't take directly — convert V to bf16 on the
+        # VPU first (int8 in [-127,127] is exact in bf16; the HBM read
+        # was still half-width, which is where the savings are)
+        vf = v_ref[0].reshape(F, Dh).astype(jnp.bfloat16)
         p_in = (p * vs_ref[0, 0, pl.ds(j * F, F)][None, :]
                 ).astype(jnp.bfloat16)
         pv = jax.lax.dot_general(

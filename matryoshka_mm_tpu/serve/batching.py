@@ -127,6 +127,14 @@ class ContinuousBatcher:
         self.chunk = chunk
         self.backend = backend
         dtype = jnp.dtype(cfg.llama.dtype)
+        if backend == "paged" and cfg.llama.kv_cache_dtype == "int8":
+            # the paged pools/kernels don't carry dequant scales yet; a
+            # silent astype would corrupt values, so serve paged in bf16
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, llama=_dc.replace(cfg.llama,
+                                                     kv_cache_dtype=""))
+            self.cfg = cfg
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
@@ -168,8 +176,9 @@ class ContinuousBatcher:
                                     if use_kernel is None
                                     else bool(use_kernel)))
         else:
-            self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity,
-                                      dtype=dtype)
+            # dtype=None: init_kv_cache honors cfg.llama.kv_cache_dtype
+            # (int8 pools carry scale buffers through the same pytree)
+            self.pool = init_kv_cache(cfg.llama, max_batch, self.capacity)
             self.index = None
         self.tokens = jnp.zeros((max_batch,), jnp.int32)
         self.lengths = jnp.zeros((max_batch,), jnp.int32)
@@ -584,7 +593,11 @@ class ContinuousBatcher:
             row = KVCache(k=cache.k[:, g:g + 1], v=cache.v[:, g:g + 1],
                           valid=cache.valid[g:g + 1],
                           positions=cache.positions[g:g + 1],
-                          write_idx=cache.write_idx)
+                          write_idx=cache.write_idx,
+                          k_scale=None if cache.k_scale is None
+                          else cache.k_scale[:, g:g + 1],
+                          v_scale=None if cache.v_scale is None
+                          else cache.v_scale[:, g:g + 1])
             if self.backend == "paged":
                 if not self._insert_paged(req, slot, row, lengths[g:g + 1]):
                     continue        # re-queued or failed by _insert_paged
@@ -618,6 +631,12 @@ class ContinuousBatcher:
             positions=jax.lax.dynamic_update_slice(self.pool.positions,
                                                    cache.positions, (slot, 0)),
             write_idx=self.pool.write_idx,
+            k_scale=None if self.pool.k_scale is None
+            else jax.lax.dynamic_update_slice(self.pool.k_scale,
+                                              cache.k_scale, (0, slot, 0, 0)),
+            v_scale=None if self.pool.v_scale is None
+            else jax.lax.dynamic_update_slice(self.pool.v_scale,
+                                              cache.v_scale, (0, slot, 0, 0)),
         )
 
     def _insert_paged(self, req: _Request, slot: int, cache: KVCache,
@@ -832,5 +851,4 @@ class ContinuousBatcher:
         self.active = jnp.zeros_like(self.active)
         # reset the pool for a fresh write region
         self.pool = init_kv_cache(self.cfg.llama, self.max_batch,
-                                  self.capacity,
-                                  dtype=jnp.dtype(self.cfg.llama.dtype))
+                                  self.capacity)

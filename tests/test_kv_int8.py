@@ -108,3 +108,43 @@ def test_bf16_kv_path_unchanged():
     cfg = LlamaConfig.tiny_debug()
     cache = init_kv_cache(cfg, 1, 8)
     assert cache.k.dtype == jnp.float32 and cache.k_scale is None
+
+
+def test_dense_batcher_int8_kv_pool():
+    """The dense continuous batcher carries int8 pools + scales through
+    admit -> insert -> pooled decode; the paged backend strips the opt-in
+    (no scale support there yet) instead of silently corrupting."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                          max_new_tokens=8, gen_cfg=gen_cfg, chunk=2)
+    try:
+        assert b.pool.k.dtype == jnp.int8 and b.pool.k_scale is not None
+        req = b.submit(ids, px, numtoks=4, max_new_tokens=6)
+        toks = np.concatenate(list(b.stream(req)))
+        assert toks.shape[0] == 6
+    finally:
+        b.shutdown()
+
+    pb = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                           max_new_tokens=8, gen_cfg=gen_cfg, chunk=2,
+                           backend="paged")
+    try:
+        assert pb.cfg.llama.kv_cache_dtype == ""
+        assert pb.paged.k.dtype != jnp.int8
+    finally:
+        pb.shutdown()
