@@ -39,9 +39,13 @@ def _interpret() -> bool:
 
 
 def _kernel(tables_ref, row_len_ref,           # scalar prefetch
-            q_ref, k_ref, v_ref, out_ref,
-            acc_ref, m_ref, l_ref, *, page_size: int, num_pages: int,
-            scale: float):
+            q_ref, k_ref, v_ref, *refs, page_size: int, num_pages: int,
+            scale: float, kv_int8: bool = False):
+    if kv_int8:
+        ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
+    else:
+        ks_ref = vs_ref = None
+        out_ref, acc_ref, m_ref, l_ref = refs
     b = pl.program_id(0)
     p = pl.program_id(1)
 
@@ -60,6 +64,13 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         q = q_ref[0]                           # (Hkv, G, Dh)
         k = k_ref[0]                           # (page, Hkv, Dh) — unexpanded
         v = v_ref[0]
+        if kv_int8:
+            # int8 pages: convert on the VPU right after the (half-width)
+            # HBM read — the batched dots contract over dims Mosaic's
+            # mixed int8 feed can't take, and int8 in [-127,127] is exact
+            # in bf16
+            k = k.astype(jnp.bfloat16)
+            v = v.astype(jnp.bfloat16)
 
         # s[kh, g, t] = q[kh, g] . k[t, kh] — batched over kv heads, the
         # query group rides as the left matrix rows (MXU-friendly)
@@ -67,6 +78,10 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             q, k.transpose(1, 0, 2),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # (Hkv, G, page)
+        if kv_int8:
+            # per-(slot, head) dequant scale distributes onto the logits:
+            # sum_d q*(k_i8*sk) == (q @ k_i8^T) * sk
+            s = s * ks_ref[0].transpose(1, 0)[:, None, :]   # (Hkv, 1, page)
 
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         mask = idx < seq_len
@@ -81,6 +96,9 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         pexp = jnp.where(mask, pexp, 0.0)
         l_new = l_prev * alpha + jnp.sum(pexp, axis=2, keepdims=True)
 
+        if kv_int8:
+            # fold the V dequant scale into the probabilities
+            pexp = pexp * vs_ref[0].transpose(1, 0)[:, None, :]
         # out[kh, g, d] += p[kh, g, t] v[t, kh, d]
         pv = jax.lax.dot_general(
             pexp.astype(v.dtype), v.transpose(1, 0, 2),
@@ -103,6 +121,8 @@ def paged_decode_attention(
     v_pages: jnp.ndarray,
     page_tables: jnp.ndarray,   # (B, P) int32 physical page per logical slot
     row_len: jnp.ndarray,       # (B,) tokens already stored (excl. current)
+    k_scale=None,               # (n_pages, page, Hkv) f32 — int8 KV scales
+    v_scale=None,
 ) -> jnp.ndarray:
     """Online-softmax attention over each row's pages; returns (B, H, Dh)."""
     B, H, Dh = q.shape
@@ -111,17 +131,27 @@ def paged_decode_attention(
     scale = Dh ** -0.5
     G = H // Hkv
     qg = q.reshape(B, Hkv, G, Dh)
+    kv_int8 = k_pages.dtype == jnp.int8
+
+    page_spec = pl.BlockSpec((1, page_size, Hkv, Dh),
+                             lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G, Dh), lambda b, p, tbl, rl: (b, 0, 0, 0)),
+        page_spec,
+        page_spec,
+    ]
+    operands = [qg, k_pages, v_pages]
+    if kv_int8:
+        sc_spec = pl.BlockSpec((1, page_size, Hkv),
+                               lambda b, p, tbl, rl: (tbl[b, p], 0, 0))
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, P),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, G, Dh), lambda b, p, tbl, rl: (b, 0, 0, 0)),
-            pl.BlockSpec((1, page_size, Hkv, Dh),
-                         lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
-            pl.BlockSpec((1, page_size, Hkv, Dh),
-                         lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, G, Dh),
                                lambda b, p, tbl, rl: (b, 0, 0, 0)),
         scratch_shapes=[
@@ -131,14 +161,13 @@ def paged_decode_attention(
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size, num_pages=P,
-                               scale=scale)
+                               scale=scale, kv_int8=kv_int8)
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), q.dtype),
         interpret=_interpret(),
-    )(page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
-      qg, k_pages, v_pages)
+    )(page_tables.astype(jnp.int32), row_len.astype(jnp.int32), *operands)
     return out.reshape(B, H, Dh)
 
 
@@ -149,6 +178,8 @@ def paged_decode_attention_stacked(
     layer_idx: jnp.ndarray,     # scalar i32
     page_tables: jnp.ndarray,   # (B, P) int32
     row_len: jnp.ndarray,       # (B,)
+    k_scale=None,               # (L, n_pages, page, Hkv) f32 — int8 KV
+    v_scale=None,
 ) -> jnp.ndarray:
     """Layer-indexed variant over the stacked page pools.
 
@@ -164,27 +195,44 @@ def paged_decode_attention_stacked(
     G = H // Hkv
     qg = q.reshape(B, Hkv, G, Dh)
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kv_int8 = k_all.dtype == jnp.int8
 
     def kernel(idx_ref, tables_ref, row_len_ref, q_ref, k_ref, v_ref,
-               out_ref, acc_ref, m_ref, l_ref):
+               *refs):
         del idx_ref
+        if kv_int8:
+            ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
+            extra = (ks_ref.at[0], vs_ref.at[0])
+        else:
+            out_ref, acc_ref, m_ref, l_ref = refs
+            extra = ()
         _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
-                out_ref, acc_ref, m_ref, l_ref, page_size=page_size,
-                num_pages=P, scale=scale)
+                *extra, out_ref, acc_ref, m_ref, l_ref,
+                page_size=page_size, num_pages=P, scale=scale,
+                kv_int8=kv_int8)
+
+    page_spec = pl.BlockSpec(
+        (1, 1, page_size, Hkv, Dh),
+        lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G, Dh),
+                     lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
+        page_spec,
+        page_spec,
+    ]
+    operands = [qg, k_all, v_all]
+    if kv_int8:
+        sc_spec = pl.BlockSpec(
+            (1, 1, page_size, Hkv),
+            lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0))
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
         grid=(B, P),
-        in_specs=[
-            pl.BlockSpec((1, Hkv, G, Dh),
-                         lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, Hkv, Dh),
-                         lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p],
-                                                     0, 0, 0)),
-            pl.BlockSpec((1, 1, page_size, Hkv, Dh),
-                         lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p],
-                                                     0, 0, 0)),
-        ],
+        in_specs=in_specs,
         out_specs=pl.BlockSpec((1, Hkv, G, Dh),
                                lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
         scratch_shapes=[
@@ -199,5 +247,5 @@ def paged_decode_attention_stacked(
         out_shape=jax.ShapeDtypeStruct((B, Hkv, G, Dh), q.dtype),
         interpret=_interpret(),
     )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
-      qg, k_all, v_all)
+      *operands)
     return out.reshape(B, H, Dh)

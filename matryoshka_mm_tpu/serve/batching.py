@@ -126,15 +126,6 @@ class ContinuousBatcher:
         self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
         self.chunk = chunk
         self.backend = backend
-        dtype = jnp.dtype(cfg.llama.dtype)
-        if backend == "paged" and cfg.llama.kv_cache_dtype == "int8":
-            # the paged pools/kernels don't carry dequant scales yet; a
-            # silent astype would corrupt values, so serve paged in bf16
-            import dataclasses as _dc
-
-            cfg = _dc.replace(cfg, llama=_dc.replace(cfg.llama,
-                                                     kv_cache_dtype=""))
-            self.cfg = cfg
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
@@ -149,8 +140,9 @@ class ContinuousBatcher:
             self.capacity = _round_up(self.capacity, page_size)
             self.pages_per_row = -(-self.capacity // page_size)
             n_pages = max_batch * self.pages_per_row
-            self.paged = init_paged_cache(cfg.llama, n_pages, page_size,
-                                          dtype=dtype)
+            # dtype=None: init_paged_cache honors cfg.llama.kv_cache_dtype
+            # (int8 pools carry per-slot dequant scales through the pytree)
+            self.paged = init_paged_cache(cfg.llama, n_pages, page_size)
             if prefix_cache:
                 from .prefix_cache import PrefixIndex, RefcountAllocator
 
@@ -449,6 +441,14 @@ class ContinuousBatcher:
         sel = jnp.asarray(np.asarray(hits, np.int32))
         k_sel = self.paged.k[:, sel].reshape(n_layers, n_prefix, n_kv, dh)
         v_sel = self.paged.v[:, sel].reshape(n_layers, n_prefix, n_kv, dh)
+        if self.paged.k_scale is not None:
+            # int8 pool: dequantize the gathered prefix for the dense
+            # suffix prefill (compute-bound; the bf16 blow-up is transient)
+            mdt = jnp.dtype(self.cfg.llama.dtype)
+            ks = self.paged.k_scale[:, sel].reshape(n_layers, n_prefix, n_kv)
+            vs = self.paged.v_scale[:, sel].reshape(n_layers, n_prefix, n_kv)
+            k_sel = (k_sel.astype(jnp.float32) * ks[..., None]).astype(mdt)
+            v_sel = (v_sel.astype(jnp.float32) * vs[..., None]).astype(mdt)
         ids_p = jnp.asarray(
             np.pad(suffix, (0, s_suf - t_suf)).astype(np.int32))[None]
         valid = jnp.asarray(np.arange(s_suf) < t_suf)[None]
@@ -789,7 +789,7 @@ class ContinuousBatcher:
                     continue
                 (self.paged, self.tokens, self.lengths, self.budget,
                  self.active, toks) = decode(
-                     self.params, self.paged.k, self.paged.v, self.tables,
+                     self.params, self.paged, self.tables,
                      self.lengths, self.tokens, self.budget, self.active, sub,
                      self.lora_pack, self.lora_idx)
             else:

@@ -42,16 +42,38 @@ from ..ops.attention import attention_reference
 
 
 class PagedKVCache(NamedTuple):
+    """With ``kv_cache_dtype='int8'`` the k/v pools hold int8 values and
+    ``k_scale``/``v_scale`` the per-(layer, page, slot, kv-head) absmax
+    dequant scales (models/llama.KVCache's layout, paged); bf16 pools
+    leave the scales None.  int8 halves KV HBM per token, so a pool of
+    the same byte budget holds 2x the pages — a serving-capacity knob."""
+
     k: jnp.ndarray  # (n_layers, n_pages, page_size, n_kv, Dh)
     v: jnp.ndarray
+    k_scale: Optional[jnp.ndarray] = None  # (n_layers, n_pages, page, n_kv)
+    v_scale: Optional[jnp.ndarray] = None
 
 
 def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
                      dtype=None) -> PagedKVCache:
-    dtype = dtype or jnp.dtype(cfg.dtype)
+    dtype = dtype or (jnp.int8 if cfg.kv_cache_dtype == "int8"
+                      else jnp.dtype(cfg.dtype))
     shape = (cfg.num_hidden_layers, n_pages, page_size,
              cfg.num_key_value_heads, cfg.head_dim)
-    return PagedKVCache(jnp.zeros(shape, dtype), jnp.zeros(shape, dtype))
+    int8 = jnp.dtype(dtype) == jnp.int8
+    return PagedKVCache(
+        jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
+        k_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
+        v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None)
+
+
+def _quantize_pages(x: jnp.ndarray):
+    """float (..., Dh) -> int8 values + f32 per-(..., head) absmax scale."""
+    xf = x.astype(jnp.float32)
+    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
+    scale = jnp.maximum(scale, 1e-8)
+    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
+    return q.astype(jnp.int8), scale
 
 
 class PageAllocator:
@@ -105,16 +127,31 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
     k_pages = dense.k[:, 0].reshape(n_layers, n_p, page_size, n_kv, Dh)
     v_pages = dense.v[:, 0].reshape(n_layers, n_p, page_size, n_kv, Dh)
     idx = jnp.asarray(np.asarray(row_table[:n_p], np.int32))
+    if paged.k_scale is None:
+        return PagedKVCache(
+            k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
+            v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
+        )
+    if dense.k_scale is not None:       # int8 dense -> int8 pages, as-is
+        ks = dense.k_scale[:, 0].reshape(n_layers, n_p, page_size, n_kv)
+        vs = dense.v_scale[:, 0].reshape(n_layers, n_p, page_size, n_kv)
+    else:                               # bf16 dense -> quantize into pages
+        k_pages, ks = _quantize_pages(k_pages)
+        v_pages, vs = _quantize_pages(v_pages)
     return PagedKVCache(
         k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
         v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
+        k_scale=paged.k_scale.at[:, idx].set(ks),
+        v_scale=paged.v_scale.at[:, idx].set(vs),
     )
 
 
 def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                  tokens, active, *, max_pages: int, page_size: int,
-                 use_kernel: bool, lora_pack=None, lora_idx=None):
-    """One batched paged decode step (traced); -> (k_all, v_all, logits).
+                 use_kernel: bool, lora_pack=None, lora_idx=None,
+                 ks_all=None, vs_all=None):
+    """One batched paged decode step (traced);
+    -> (k_all, v_all, ks_all, vs_all, logits).
 
     Inactive rows neither read (0-length mask) nor write: their scatter
     index is pushed out of bounds and dropped, so a retired row whose page
@@ -155,6 +192,36 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         def mm(x, w_leaf, la_xs, key):
             return proj(x, w_leaf)
 
+    kv_int8 = ks_all is not None
+
+    def write_kv(k_all, v_all, ks_all, vs_all, idx, k_new, v_new):
+        """Write the new token's (B, heads, Dh) K/V into each row's current
+        page slot; int8 pools quantize per (row, head) and store the absmax
+        scale alongside.  Inactive rows' indices are out of bounds ->
+        dropped."""
+        if kv_int8:
+            k_new, ks = _quantize_pages(k_new)
+            v_new, vs = _quantize_pages(v_new)
+            ks_all = ks_all.at[idx, w_page_id, w_off].set(ks, mode="drop")
+            vs_all = vs_all.at[idx, w_page_id, w_off].set(vs, mode="drop")
+        k_all = k_all.at[idx, w_page_id, w_off].set(
+            k_new.astype(k_all.dtype), mode="drop")
+        v_all = v_all.at[idx, w_page_id, w_off].set(
+            v_new.astype(v_all.dtype), mode="drop")
+        return k_all, v_all, ks_all, vs_all
+
+    def gather_rows(pool, s_pool, idx, heads):
+        """Gather one layer's pages for this batch's rows; int8 pools
+        dequantize right after the (half-width) gather."""
+        p = jax.lax.dynamic_index_in_dim(pool, idx, 0, keepdims=False)
+        rows = p[tables].reshape(B, S_virt, heads, Dh)
+        if kv_int8:
+            sp = jax.lax.dynamic_index_in_dim(s_pool, idx, 0, keepdims=False)
+            s_rows = sp[tables].reshape(B, S_virt, heads)
+            rows = (rows.astype(jnp.float32)
+                    * s_rows[..., None]).astype(hidden.dtype)
+        return rows
+
     def mpt_body(carry, xs):
         """MPT block (alibi, fused qkv, GELU MLP): no RoPE — the bias
         encodes position; attention runs through the gather path (the
@@ -162,7 +229,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         llava/model/language_model/llava_mpt.py."""
         from ..models.llama import alibi_slopes, layer_norm_nobias
 
-        h, k_all, v_all = carry
+        h, k_all, v_all, ks_all, vs_all = carry
         idx, lp, la_xs = xs
         a = lp["attn"]
         x = layer_norm_nobias(h, lp["norm_1"], 1e-5)
@@ -172,15 +239,10 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         k = k.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
 
-        k_all = k_all.at[idx, w_page_id, w_off].set(
-            k[:, :, 0].astype(k_all.dtype), mode="drop")
-        v_all = v_all.at[idx, w_page_id, w_off].set(
-            v[:, :, 0].astype(v_all.dtype), mode="drop")
-        k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0, keepdims=False)
-        v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0, keepdims=False)
-
-        k_rows = k_pool[tables].reshape(B, S_virt, H, Dh)
-        v_rows = v_pool[tables].reshape(B, S_virt, H, Dh)
+        k_all, v_all, ks_all, vs_all = write_kv(
+            k_all, v_all, ks_all, vs_all, idx, k[:, :, 0], v[:, :, 0])
+        k_rows = gather_rows(k_all, ks_all, idx, H)
+        v_rows = gather_rows(v_all, vs_all, idx, H)
         slopes = alibi_slopes(H)
         rel = (pos[:, None, :, None] - kv_pos[:, None, None, :]
                ).astype(jnp.float32)
@@ -197,10 +259,10 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         h = h + mm(jax.nn.gelu(mm(x, f["up_proj"], la_xs,
                                   ("ffn", "up_proj")), approximate=False),
                    f["down_proj"], la_xs, ("ffn", "down_proj"))
-        return (h, k_all, v_all), None
+        return (h, k_all, v_all, ks_all, vs_all), None
 
     def body(carry, xs):
-        h, k_all, v_all = carry
+        h, k_all, v_all, ks_all, vs_all = carry
         idx, lp, la_xs = xs
         if stacked_int4:
             lp = index_layer_tree(params["layers"], idx)
@@ -225,10 +287,8 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         # write new kv into each row's current page slot of THIS layer's
         # slice in the stacked pool (in place on the scan carry), then
         # read back only this layer's pool for attention
-        k_new = k[:, :, 0].astype(k_all.dtype)           # (B, Hkv, Dh)
-        v_new = v[:, :, 0].astype(v_all.dtype)
-        k_all = k_all.at[idx, w_page_id, w_off].set(k_new, mode="drop")
-        v_all = v_all.at[idx, w_page_id, w_off].set(v_new, mode="drop")
+        k_all, v_all, ks_all, vs_all = write_kv(
+            k_all, v_all, ks_all, vs_all, idx, k[:, :, 0], v[:, :, 0])
 
         if use_kernel:
             from ..ops.paged_attention import paged_decode_attention_stacked
@@ -239,16 +299,13 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
             # whole per-layer pool every layer
             eff_len = jnp.where(active, row_len, 0)
             attn = paged_decode_attention_stacked(
-                q[:, :, 0, :], k_all, v_all, idx, tables, eff_len)
+                q[:, :, 0, :], k_all, v_all, idx, tables, eff_len,
+                k_scale=ks_all, v_scale=vs_all)
             attn = attn.reshape(B, 1, H * Dh)
         else:
             # gather each row's pages -> (B, S_virt, n_kv, Dh)
-            k_pool = jax.lax.dynamic_index_in_dim(k_all, idx, 0,
-                                                  keepdims=False)
-            v_pool = jax.lax.dynamic_index_in_dim(v_all, idx, 0,
-                                                  keepdims=False)
-            k_rows = k_pool[tables].reshape(B, S_virt, Hkv, Dh)
-            v_rows = v_pool[tables].reshape(B, S_virt, Hkv, Dh)
+            k_rows = gather_rows(k_all, ks_all, idx, Hkv)
+            v_rows = gather_rows(v_all, vs_all, idx, Hkv)
             attn = attention_reference(
                 q, k_rows.transpose(0, 2, 1, 3),
                 v_rows.transpose(0, 2, 1, 3),
@@ -267,7 +324,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
             up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
         h = h + mm(jax.nn.silu(gate) * up, m["down_proj"],
                    la_xs, ("mlp", "down_proj"))
-        return (h, k_all, v_all), None
+        return (h, k_all, v_all, ks_all, vs_all), None
 
     # int4-packed layers scan over layer indices so the stacked packed
     # weights reach the fused kernels unsliced (see models/llama.py)
@@ -278,8 +335,9 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     # the stacked pools ride the CARRY (in-place slot writes), not xs/ys —
     # the xs/ys form re-stacked the full pool every step (models/llama.py)
     layer_xs = None if stacked_int4 else params["layers"]
-    (hidden, new_k, new_v), _ = jax.lax.scan(
-        body, (hidden, k_all, v_all), (layer_ids, layer_xs, lp_slices))
+    (hidden, new_k, new_v, new_ks, new_vs), _ = jax.lax.scan(
+        body, (hidden, k_all, v_all, ks_all, vs_all),
+        (layer_ids, layer_xs, lp_slices))
     if cfg.arch == "mpt":
         from ..models.llama import layer_norm_nobias
 
@@ -287,7 +345,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     else:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
     logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
-    return new_k, new_v, logits
+    return new_k, new_v, new_ks, new_vs, logits
 
 
 @lru_cache(maxsize=8)
@@ -302,26 +360,39 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
 
     @jax.jit
     def step(params, paged: PagedKVCache, tables, row_len, tokens, active):
-        new_k, new_v, logits = _decode_core(
+        new_k, new_v, new_ks, new_vs, logits = _decode_core(
             params, cfg, paged.k, paged.v, tables, row_len, tokens, active,
-            max_pages=max_pages, page_size=page_size, use_kernel=use_kernel)
-        return PagedKVCache(new_k, new_v), logits
+            max_pages=max_pages, page_size=page_size, use_kernel=use_kernel,
+            ks_all=paged.k_scale, vs_all=paged.v_scale)
+        return PagedKVCache(new_k, new_v, new_ks, new_vs), logits
 
     return step
 
 
 @lru_cache(maxsize=32)
-def _compact_pages_fn(n_p: int, page_size: int):
+def _compact_pages_fn(n_p: int, page_size: int, paged_int8: bool):
     @jax.jit
-    def f(k, v, pad):
-        # k/v: (n_layers, 1, S, Hkv, Dh) left-padded solo prefill caches;
+    def f(k, v, ks, vs, pad):
+        # k/v: (n_layers, 1, S, Hkv, Dh) left-padded solo prefill caches
+        # (+ (n_layers, 1, S, Hkv) scales when the dense cache is int8);
         # valid tokens live at [pad, pad+T).  Roll them to the front and
         # carve the first n_p pages.
         n_layers, _, S, Hkv, Dh = k.shape
-        kr = jnp.roll(k[:, 0], -pad, axis=1)[:, : n_p * page_size]
-        vr = jnp.roll(v[:, 0], -pad, axis=1)[:, : n_p * page_size]
-        return (kr.reshape(n_layers, n_p, page_size, Hkv, Dh),
-                vr.reshape(n_layers, n_p, page_size, Hkv, Dh))
+        T = n_p * page_size
+        kr = jnp.roll(k[:, 0], -pad, axis=1)[:, :T]
+        vr = jnp.roll(v[:, 0], -pad, axis=1)[:, :T]
+        kr = kr.reshape(n_layers, n_p, page_size, Hkv, Dh)
+        vr = vr.reshape(n_layers, n_p, page_size, Hkv, Dh)
+        if not paged_int8:
+            return kr, vr, None, None
+        if ks is not None:              # int8 dense: scales ride along
+            ksr = jnp.roll(ks[:, 0], -pad, axis=1)[:, :T]
+            vsr = jnp.roll(vs[:, 0], -pad, axis=1)[:, :T]
+            return (kr, vr, ksr.reshape(n_layers, n_p, page_size, Hkv),
+                    vsr.reshape(n_layers, n_p, page_size, Hkv))
+        kr, ksr = _quantize_pages(kr)   # bf16 dense -> quantize into pages
+        vr, vsr = _quantize_pages(vr)
+        return kr, vr, ksr, vsr
 
     return f
 
@@ -334,12 +405,18 @@ def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
     after compaction token i lands in page i // page_size at offset
     i % page_size.  Slots past T hold rolled-around pad garbage, masked
     out by ``row_len`` at decode time."""
-    k_pages, v_pages = _compact_pages_fn(n_p, page_size)(
-        dense.k, dense.v, jnp.int32(pad))
+    paged_int8 = paged.k_scale is not None
+    k_pages, v_pages, ks, vs = _compact_pages_fn(
+        n_p, page_size, paged_int8)(
+        dense.k, dense.v, dense.k_scale, dense.v_scale, jnp.int32(pad))
     idx = jnp.asarray(np.asarray(row_table[:n_p], np.int32))
     return PagedKVCache(
         k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
         v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
+        k_scale=paged.k_scale if ks is None
+        else paged.k_scale.at[:, idx].set(ks),
+        v_scale=paged.v_scale if vs is None
+        else paged.v_scale.at[:, idx].set(vs),
     )
 
 
@@ -357,28 +434,29 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
 
     # donate the page pools: the scheduler replaces self.paged with the
     # returned pools every chunk, and a decode error kills the batcher
-    @partial(jax.jit, donate_argnums=(1, 2))
-    def decode(params, k_all, v_all, tables, row_len, tokens, budget,
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, paged, tables, row_len, tokens, budget,
                active, rng, lora_pack=None, lora_idx=None):
         def step(carry, _):
-            k_all, v_all, token, row_len, budget, active, rng = carry
-            k_all, v_all, logits = _decode_core(
-                params["llama"], cfg.llama, k_all, v_all, tables, row_len,
-                token, active, max_pages=max_pages, page_size=page_size,
-                use_kernel=use_kernel, lora_pack=lora_pack,
-                lora_idx=lora_idx)
+            paged, token, row_len, budget, active, rng = carry
+            k_all, v_all, ks_all, vs_all, logits = _decode_core(
+                params["llama"], cfg.llama, paged.k, paged.v, tables,
+                row_len, token, active, max_pages=max_pages,
+                page_size=page_size, use_kernel=use_kernel,
+                lora_pack=lora_pack, lora_idx=lora_idx,
+                ks_all=paged.k_scale, vs_all=paged.v_scale)
+            paged = PagedKVCache(k_all, v_all, ks_all, vs_all)
             nxt, rng2 = _select_token(logits, gen_cfg, rng)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             row_len = row_len + active.astype(row_len.dtype)
             budget = jnp.where(active, budget - 1, budget)
             active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
-            return (k_all, v_all, nxt, row_len, budget, active, rng2), nxt
+            return (paged, nxt, row_len, budget, active, rng2), nxt
 
-        (k_all, v_all, token, row_len, budget, active, rng), toks = (
-            jax.lax.scan(step, (k_all, v_all, tokens, row_len, budget,
+        (paged, token, row_len, budget, active, rng), toks = (
+            jax.lax.scan(step, (paged, tokens, row_len, budget,
                                 active, rng), jnp.arange(steps)))
-        return (PagedKVCache(k_all, v_all), token, row_len, budget, active,
-                toks.T)
+        return paged, token, row_len, budget, active, toks.T
 
     return decode
 

@@ -228,7 +228,10 @@ def _suffix_prefill_fn(cfg, n_prefix: int, s_suf: int, capacity: int):
 
 
 @lru_cache(maxsize=64)
-def _import_range_fn(n_skip: int, n_new: int, page_size: int):
+def _import_range_fn(n_skip: int, n_new: int, page_size: int,
+                     paged_int8: bool):
+    from .paged_cache import _quantize_pages
+
     @jax.jit
     def f(k, v):  # dense (layers, 1, capacity, kv, dh) -> new pages
         lo = n_skip * page_size
@@ -236,14 +239,26 @@ def _import_range_fn(n_skip: int, n_new: int, page_size: int):
         n_layers, _, _, n_kv, dh = k.shape
         kp = k[:, 0, lo:hi].reshape(n_layers, n_new, page_size, n_kv, dh)
         vp = v[:, 0, lo:hi].reshape(n_layers, n_new, page_size, n_kv, dh)
-        return kp, vp
+        if not paged_int8:
+            return kp, vp, None, None
+        # the suffix prefill's dense cache is always bf16 (its scratch
+        # cache is built at model dtype) -> quantize into the int8 pool
+        kp, ks = _quantize_pages(kp)
+        vp, vs = _quantize_pages(vp)
+        return kp, vp, ks, vs
     return f
 
 
 def import_page_range(paged: PagedKVCache, dense, n_skip: int, n_new: int,
                       page_ids, page_size: int) -> PagedKVCache:
     """Scatter dense slots [n_skip*page, (n_skip+n_new)*page) into pages."""
-    kp, vp = _import_range_fn(n_skip, n_new, page_size)(dense.k, dense.v)
+    kp, vp, ks, vs = _import_range_fn(
+        n_skip, n_new, page_size, paged.k_scale is not None)(dense.k, dense.v)
     idx = jnp.asarray(np.asarray(page_ids[:n_new], np.int32))
-    return PagedKVCache(paged.k.at[:, idx].set(kp.astype(paged.k.dtype)),
-                        paged.v.at[:, idx].set(vp.astype(paged.v.dtype)))
+    return PagedKVCache(
+        paged.k.at[:, idx].set(kp.astype(paged.k.dtype)),
+        paged.v.at[:, idx].set(vp.astype(paged.v.dtype)),
+        k_scale=paged.k_scale if ks is None
+        else paged.k_scale.at[:, idx].set(ks),
+        v_scale=paged.v_scale if vs is None
+        else paged.v_scale.at[:, idx].set(vs))

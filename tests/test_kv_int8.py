@@ -112,8 +112,7 @@ def test_bf16_kv_path_unchanged():
 
 def test_dense_batcher_int8_kv_pool():
     """The dense continuous batcher carries int8 pools + scales through
-    admit -> insert -> pooled decode; the paged backend strips the opt-in
-    (no scale support there yet) instead of silently corrupting."""
+    admit -> insert -> pooled decode."""
     import dataclasses
 
     from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
@@ -140,11 +139,41 @@ def test_dense_batcher_int8_kv_pool():
     finally:
         b.shutdown()
 
-    pb = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
-                           max_new_tokens=8, gen_cfg=gen_cfg, chunk=2,
-                           backend="paged")
-    try:
-        assert pb.cfg.llama.kv_cache_dtype == ""
-        assert pb.paged.k.dtype != jnp.int8
-    finally:
-        pb.shutdown()
+
+def test_paged_batcher_int8_kv_pool():
+    """The paged backend honors the int8 opt-in: pools + per-slot scales,
+    and greedy decode matches the bf16 paged backend token-for-token on a
+    tiny model (int8 KV error is far below tiny-logit margins)."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+
+    outs = {}
+    for name, c in (("bf16", cfg), ("int8", cfg8)):
+        b = ContinuousBatcher(params, c, max_batch=2, prefill_len=64,
+                              max_new_tokens=8, gen_cfg=gen_cfg, chunk=2,
+                              backend="paged")
+        try:
+            if name == "int8":
+                assert b.paged.k.dtype == jnp.int8
+                assert b.paged.k_scale is not None
+                assert b.paged.k_scale.shape == b.paged.k.shape[:-1]
+            req = b.submit(ids, px, numtoks=4, max_new_tokens=6)
+            outs[name] = np.concatenate(list(b.stream(req)))
+        finally:
+            b.shutdown()
+    assert outs["int8"].shape[0] == 6
+    np.testing.assert_array_equal(outs["int8"], outs["bf16"])

@@ -99,3 +99,53 @@ def test_paged_attention_stacked_matches_plain():
             jnp.asarray(q), jnp.asarray(k_all[l]), jnp.asarray(v_all[l]),
             jnp.asarray(tables), jnp.asarray(row_len)))
         np.testing.assert_allclose(got, want, atol=2e-5)
+
+def _quant(x):
+    """per-(slot, head) absmax int8 quantization over the last dim."""
+    s = np.maximum(np.abs(x).max(axis=-1) / 127.0, 1e-8)
+    q = np.clip(np.round(x / s[..., None]), -127, 127).astype(np.int8)
+    return q, s.astype(np.float32)
+
+
+def test_paged_attention_int8_kv():
+    """int8 pages + per-(slot, head) scales match the dequantized float
+    reference.  Tolerance is bf16-bounded: the kernel folds the V scale
+    into the probabilities and casts them to bf16 for the PV dot
+    (~2^-9 relative), while the reference runs f32 end-to-end."""
+    q, k_pages, v_pages, tables, row_len = _setup(4, row_lens=(30, 50))
+    kq, ks = _quant(k_pages)
+    vq, vs = _quant(v_pages)
+    got = np.asarray(paged_decode_attention(
+        jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+        jnp.asarray(tables), jnp.asarray(row_len),
+        k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs)))
+    want = _reference(q, kq.astype(np.float32) * ks[..., None],
+                      vq.astype(np.float32) * vs[..., None],
+                      tables, row_len)
+    np.testing.assert_allclose(got, want, atol=4e-3)
+
+
+def test_paged_attention_stacked_int8_kv():
+    from matryoshka_mm_tpu.ops.paged_attention import (
+        paged_decode_attention_stacked)
+
+    L, Hkv = 2, 2
+    rng = np.random.default_rng(5)
+    q = rng.standard_normal((B, H, Dh)).astype(np.float32)
+    k_all = rng.standard_normal((L, NPAGES, PAGE, Hkv, Dh)).astype(np.float32)
+    v_all = rng.standard_normal((L, NPAGES, PAGE, Hkv, Dh)).astype(np.float32)
+    tables = np.arange(B * P).reshape(B, P).astype(np.int32)
+    row_len = np.asarray([22, 47], np.int32)
+    kq, ks = _quant(k_all)
+    vq, vs = _quant(v_all)
+    for l in range(L):
+        got = np.asarray(paged_decode_attention_stacked(
+            jnp.asarray(q), jnp.asarray(kq), jnp.asarray(vq),
+            jnp.asarray(l, jnp.int32), jnp.asarray(tables),
+            jnp.asarray(row_len), k_scale=jnp.asarray(ks),
+            v_scale=jnp.asarray(vs)))
+        want = np.asarray(paged_decode_attention(
+            jnp.asarray(q), jnp.asarray(kq[l]), jnp.asarray(vq[l]),
+            jnp.asarray(tables), jnp.asarray(row_len),
+            k_scale=jnp.asarray(ks[l]), v_scale=jnp.asarray(vs[l])))
+        np.testing.assert_allclose(got, want, atol=2e-5)

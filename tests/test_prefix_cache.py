@@ -2,6 +2,7 @@
 
 import numpy as np
 import jax
+import jax.numpy as jnp
 import pytest
 
 from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
@@ -151,5 +152,37 @@ def test_prefix_cache_flush_under_pressure(model):
         r2 = b.submit(ids_b, px_b, numtoks=4, max_new_tokens=4)
         toks = np.concatenate(list(b.stream(r2)))
         assert toks.size >= 4                # admitted after flush
+    finally:
+        b.shutdown()
+
+
+def test_prefix_cache_int8_pool(model):
+    """Prefix reuse over an int8 paged pool: the hit path dequantizes the
+    gathered prefix for the suffix prefill and re-quantizes new pages on
+    import; greedy outputs match between the hit and miss admissions
+    (both attend the same int8-quantized prefix KV)."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg, params = model
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                               eos_token_id=-1)
+    b = ContinuousBatcher(params, cfg8, max_batch=2, prefill_len=64,
+                          max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=8, prefix_cache=True)
+    try:
+        assert b.paged.k.dtype == jnp.int8 and b.paged.k_scale is not None
+        ids, px = _req(7)
+        r1 = b.submit(ids, px, numtoks=4, max_new_tokens=8)
+        toks1 = np.concatenate(list(b.stream(r1)))
+        assert b.stats["prefix_misses"] == 1
+
+        r2 = b.submit(ids, px, numtoks=4, max_new_tokens=8)
+        toks2 = np.concatenate(list(b.stream(r2)))
+        assert b.stats["prefix_hits"] == 1
+        np.testing.assert_array_equal(toks1, toks2)
     finally:
         b.shutdown()
