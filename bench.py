@@ -396,16 +396,22 @@ def main():
     # weight copies out of the steps loop — models/llama.py docstring);
     # int8 (load_8bit) remains the high-throughput deployment.
     # --------------------------------------------------------------
-    def _batched_decode(tag, B, kernel):
+    import dataclasses
+
+    cfg_kv8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+
+    def _batched_decode(tag, B, kernel, bcfg=None):
+        bcfg = bcfg or cfg
         numtoks = 144
         L = -(-(T - 1 + numtoks) // 64) * 64
         capacity = L + gen_cfg.max_new_tokens
         ids_b = jnp.tile(ids, (B, 1))
         px_b = jnp.tile(px1, (B, 1, 1, 1))
-        prefill = _prefill_fn(cfg, numtoks, L, capacity)
+        prefill = _prefill_fn(bcfg, numtoks, L, capacity)
         logits, cache, lengths, _ = prefill(params, ids_b, px_b)
         _ = np.asarray(jax.device_get(logits[0, :2]))
-        decode = _decode_chunk_fn(cfg, gen_cfg, 32)
+        decode = _decode_chunk_fn(bcfg, gen_cfg, 32)
         first = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         rates, _c = _timed_decode(decode, params, cache, first, lengths, B)
         results[tag] = round(_median(rates), 2)
@@ -423,6 +429,11 @@ def main():
     for B, tag in ((1, "int8_decode_tok_s_b1"), (4, "int8_decode_tok_s_b4"),
                    (8, "int8_decode_tok_s_b8")):
         _batched_decode(tag, B, k8)
+    # int8 KV (per-slot scales, in-kernel dequant): KV reads scale with
+    # B x context while weight reads stay constant, so the win grows with
+    # batch; int8 KV also doubles page capacity under the paged backend
+    _batched_decode("int8_kv8_decode_tok_s_b8", 8, k8 + " + int8 KV",
+                    bcfg=cfg_kv8)
 
     # --------------------------------------------------------------
     # 3a) serving: continuous batching under concurrency, int8 weights
@@ -447,6 +458,9 @@ def main():
     for B, tag in ((1, "int4_decode_tok_s_b1"), (4, "int4_decode_tok_s_b4"),
                    (8, "int4_decode_tok_s_b8")):
         _batched_decode(tag, B, k4)
+    for B, tag in ((1, "int4_kv8_decode_tok_s_b1"),
+                   (8, "int4_kv8_decode_tok_s_b8")):
+        _batched_decode(tag, B, k4 + " + int8 KV", bcfg=cfg_kv8)
     del params
 
     results["scales"] = scale_metrics
