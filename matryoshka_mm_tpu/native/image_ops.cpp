@@ -7,9 +7,16 @@
 // the pixel buffer, exposed to Python via ctypes (no pybind11 in this
 // image).
 //
-// The resampler reproduces PIL's convolution-based bicubic filter
-// (Catmull-Rom style cubic with a = -0.5, support = 2, normalized weights,
-// clamped edges) so outputs match PIL.Image.resize(..., BICUBIC) closely.
+// The resampler is BIT-EXACT with PIL's uint8 bicubic resize (and hence
+// with HF CLIPImageProcessor, which resizes through PIL): Catmull-Rom
+// cubic (a = -0.5, support = 2), per-output-pixel weights normalized in
+// double then converted to Pillow's 22-bit fixed point, horizontal pass
+// first with the intermediate CLIPPED to uint8 between passes (bicubic
+// overshoot is clamped per pass — keeping a float intermediate diverges
+// by up to ~20 levels on upscaled high-frequency content), rounding via
+// the half-offset accumulator.  tests/test_native_image_ops.py asserts
+// exact equality against PIL across sizes; tests/test_image_processing.py
+// asserts the full pipeline against transformers' CLIPImageProcessor.
 //
 // Build: g++ -O3 -march=native -shared -fPIC image_ops.cpp -o libimage_ops.so
 
@@ -30,10 +37,22 @@ inline double cubic_filter(double x) {
   return 0.0;
 }
 
+// Pillow's 8-bit fixed-point precision: 32 bits minus 8 value bits minus
+// 2 guard bits. Weights are scaled by 1 << kPrecisionBits; the rounding
+// half-offset is pre-added to the accumulator.
+constexpr int kPrecisionBits = 32 - 8 - 2;
+
+inline uint8_t clip8(int v) {
+  if (v >= (1 << kPrecisionBits << 8)) return 255;
+  if (v <= 0) return 0;
+  return static_cast<uint8_t>(v >> kPrecisionBits);
+}
+
 struct ResampleCoeffs {
-  std::vector<int> bounds;      // per output pixel: first source index
-  std::vector<int> counts;      // per output pixel: number of taps
-  std::vector<double> weights;  // taps, normalized
+  std::vector<int> bounds;       // per output pixel: first source index
+  std::vector<int> counts;       // per output pixel: number of taps
+  std::vector<double> weights;   // taps, normalized (double)
+  std::vector<int32_t> iweights; // taps in 22-bit fixed point (8bpc path)
   int ksize;
 };
 
@@ -68,49 +87,66 @@ ResampleCoeffs compute_coeffs(int in_size, int out_size) {
     rc.bounds[xx] = xmin;
     rc.counts[xx] = n;
   }
+  // Pillow's normalize_coeffs_8bpc: round-half-away-from-zero into fixed
+  // point AFTER the double normalization (converting before normalizing
+  // changes low bits).
+  rc.iweights.assign(rc.weights.size(), 0);
+  for (size_t i = 0; i < rc.weights.size(); ++i) {
+    double v = rc.weights[i] * (1 << kPrecisionBits);
+    rc.iweights[i] = static_cast<int32_t>(v < 0 ? v - 0.5 : v + 0.5);
+  }
   return rc;
 }
 
-inline uint8_t clip8(double v) {
-  return static_cast<uint8_t>(std::min(255.0, std::max(0.0, v + 0.5)));
-}
-
-// Separable resize HWC uint8 -> HWC uint8.
+// Separable resize HWC uint8 -> HWC uint8, bit-exact with PIL: fixed-point
+// weights, horizontal pass first, intermediate clipped to uint8.
 void resize_bicubic(const uint8_t* src, int in_h, int in_w, uint8_t* dst,
                     int out_h, int out_w, int channels) {
-  ResampleCoeffs cx = compute_coeffs(in_w, out_w);
-  ResampleCoeffs cy = compute_coeffs(in_h, out_h);
+  const int half = 1 << (kPrecisionBits - 1);
+  const bool need_h = out_w != in_w;
+  const bool need_v = out_h != in_h;
 
-  // horizontal pass into a double buffer (keeps precision like PIL's
-  // two-pass uint8 path is approximated by one double intermediate)
-  std::vector<double> tmp(static_cast<size_t>(in_h) * out_w * channels);
-  for (int y = 0; y < in_h; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * in_w * channels;
-    double* trow = &tmp[static_cast<size_t>(y) * out_w * channels];
-    for (int x = 0; x < out_w; ++x) {
-      const double* w = &cx.weights[static_cast<size_t>(x) * cx.ksize];
-      int x0 = cx.bounds[x], n = cx.counts[x];
-      for (int c = 0; c < channels; ++c) {
-        double acc = 0.0;
-        for (int i = 0; i < n; ++i)
-          acc += row[(x0 + i) * channels + c] * w[i];
-        trow[x * channels + c] = acc;
+  std::vector<uint8_t> tmp;
+  const uint8_t* mid = src;
+  int mid_w = in_w;
+  if (need_h) {
+    ResampleCoeffs cx = compute_coeffs(in_w, out_w);
+    tmp.resize(static_cast<size_t>(in_h) * out_w * channels);
+    for (int y = 0; y < in_h; ++y) {
+      const uint8_t* row = src + static_cast<size_t>(y) * in_w * channels;
+      uint8_t* trow = &tmp[static_cast<size_t>(y) * out_w * channels];
+      for (int x = 0; x < out_w; ++x) {
+        const int32_t* w = &cx.iweights[static_cast<size_t>(x) * cx.ksize];
+        int x0 = cx.bounds[x], n = cx.counts[x];
+        for (int c = 0; c < channels; ++c) {
+          int acc = half;
+          for (int i = 0; i < n; ++i)
+            acc += row[(x0 + i) * channels + c] * w[i];
+          trow[x * channels + c] = clip8(acc);
+        }
       }
     }
+    mid = tmp.data();
+    mid_w = out_w;
   }
-  // vertical pass
-  for (int y = 0; y < out_h; ++y) {
-    const double* w = &cy.weights[static_cast<size_t>(y) * cy.ksize];
-    int y0 = cy.bounds[y], n = cy.counts[y];
-    uint8_t* drow = dst + static_cast<size_t>(y) * out_w * channels;
-    for (int x = 0; x < out_w; ++x) {
-      for (int c = 0; c < channels; ++c) {
-        double acc = 0.0;
-        for (int i = 0; i < n; ++i)
-          acc += tmp[(static_cast<size_t>(y0 + i) * out_w + x) * channels + c] * w[i];
-        drow[x * channels + c] = clip8(acc);
+  if (need_v) {
+    ResampleCoeffs cy = compute_coeffs(in_h, out_h);
+    for (int y = 0; y < out_h; ++y) {
+      const int32_t* w = &cy.iweights[static_cast<size_t>(y) * cy.ksize];
+      int y0 = cy.bounds[y], n = cy.counts[y];
+      uint8_t* drow = dst + static_cast<size_t>(y) * out_w * channels;
+      for (int x = 0; x < out_w; ++x) {
+        for (int c = 0; c < channels; ++c) {
+          int acc = half;
+          for (int i = 0; i < n; ++i)
+            acc += mid[(static_cast<size_t>(y0 + i) * mid_w + x) * channels
+                       + c] * w[i];
+          drow[x * channels + c] = clip8(acc);
+        }
       }
     }
+  } else if (mid != dst) {
+    std::memcpy(dst, mid, static_cast<size_t>(out_h) * out_w * channels);
   }
 }
 
@@ -153,16 +189,20 @@ void clip_preprocess(const uint8_t* src, int in_h, int in_w, int target_short,
 
   int top = (new_h - crop) / 2;
   int left = (new_w - crop) / 2;
-  const float inv255 = 1.0f / 255.0f;
+  // per-channel 256-entry LUT with the same float32 op order as the
+  // Python/HF path ((v / 255 - mean) / std) so results are bit-identical
+  float lut[3][256];
+  for (int c = 0; c < 3; ++c)
+    for (int v = 0; v < 256; ++v)
+      lut[c][v] = (static_cast<float>(v) / 255.0f - mean[c]) / std_[c];
   for (int c = 0; c < 3; ++c) {
-    const float m = mean[c], sd = std_[c];
     float* oc = out + static_cast<size_t>(c) * crop * crop;
     for (int y = 0; y < crop; ++y) {
       int sy = std::min(std::max(top + y, 0), new_h - 1);
       const uint8_t* row = &resized[(static_cast<size_t>(sy) * new_w) * 3];
       for (int x = 0; x < crop; ++x) {
         int sx = std::min(std::max(left + x, 0), new_w - 1);
-        oc[y * crop + x] = (row[sx * 3 + c] * inv255 - m) / sd;
+        oc[y * crop + x] = lut[c][row[sx * 3 + c]];
       }
     }
   }

@@ -85,3 +85,27 @@ def test_normalize_images_jnp_matches_processor():
     imgs = [Image.fromarray(raw[i]) for i in range(2)]
     want = proc.preprocess(imgs)["pixel_values"]
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_preprocess_bitexact_vs_hf_clip_processor():
+    """Pixel-bit-exact parity with transformers' CLIPImageProcessor (the
+    reference's preprocessing, llava/model/builder.py vision tower setup):
+    identical resize bits (the native C++ resampler replicates Pillow's
+    8bpc fixed-point pipeline), identical crop and float32 normalize.
+    This is the front half of BASELINE.md's temperature-0 answer-match
+    north star — any preprocessing drift would cascade into the tower."""
+    hf_mod = pytest.importorskip("transformers")
+    hf = hf_mod.CLIPImageProcessor(
+        do_resize=True, size={"shortest_edge": 336}, resample=3,
+        do_center_crop=True, crop_size={"height": 336, "width": 336},
+        do_rescale=True, do_normalize=True,
+        image_mean=[0.48145466, 0.4578275, 0.40821073],
+        image_std=[0.26862954, 0.26130258, 0.27577711])
+    ours = ClipImageProcessor()
+    rng = np.random.default_rng(0)
+    for w, h in [(640, 480), (336, 336), (123, 457), (1024, 768), (50, 50)]:
+        arr = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        img = Image.fromarray(arr)
+        a = hf(img, return_tensors="np")["pixel_values"][0]
+        b = ours.preprocess(img)["pixel_values"][0]
+        np.testing.assert_array_equal(a, b, err_msg=f"size {(w, h)}")

@@ -39,13 +39,14 @@ def test_resize_matches_pil():
 
     rng = np.random.default_rng(0)
     rgb = rng.integers(0, 256, (97, 133, 3), np.uint8)
-    got = resize_bicubic_native(rgb, 48, 64)
-    want = np.asarray(Image.fromarray(rgb).resize((64, 48), Image.BICUBIC))
-    # PIL quantizes the intermediate horizontal pass to uint8; our two-pass
-    # keeps doubles, so a few pixels land a few levels apart
-    diff = np.abs(got.astype(int) - want.astype(int))
-    assert diff.mean() < 0.5
-    assert (diff > 1).mean() < 0.01
+    # BIT-EXACT with PIL: the native resampler replicates Pillow's 8bpc
+    # fixed-point two-pass algorithm, including the uint8 intermediate
+    # clipping between passes (up- and down-scales, both axes)
+    for oh, ow in [(48, 64), (200, 260), (336, 461), (97, 133)]:
+        got = resize_bicubic_native(rgb, oh, ow)
+        want = np.asarray(Image.fromarray(rgb).resize((ow, oh),
+                                                      Image.BICUBIC))
+        np.testing.assert_array_equal(got, want)
 
 
 def test_clip_preprocess_matches_pil_pipeline():
@@ -56,11 +57,8 @@ def test_clip_preprocess_matches_pil_pipeline():
     got = clip_preprocess_native(rgb, 336, 336, mean, std)
     want = _pil_reference(rgb, 336, 336, mean, std)
     assert got.shape == want.shape == (3, 336, 336)
-    # worst-case random-noise input: PIL's uint8 intermediate vs our double
-    # intermediate differ by a few levels on sharp-edge pixels only
-    d = np.abs(got - want)
-    assert d.mean() < 0.01
-    assert np.quantile(d, 0.99) < 0.03
+    # bit-exact: same resample bits, same float32 normalize op order
+    np.testing.assert_array_equal(got, want)
 
 
 def test_processor_uses_native_and_agrees():
@@ -73,7 +71,7 @@ def test_processor_uses_native_and_agrees():
     proc = ClipImageProcessor()
     out = proc.preprocess(Image.fromarray(rgb))["pixel_values"]
     want = _pil_reference(rgb, 336, 336, proc.image_mean, proc.image_std)
-    assert np.abs(out[0] - want).mean() < 0.01
+    np.testing.assert_array_equal(out[0], want)
 
 
 def test_native_faster_than_pil():
