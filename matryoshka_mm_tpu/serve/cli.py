@@ -37,7 +37,8 @@ def main(args):
     model_name = get_model_name_from_path(args.model_path)
     tokenizer, model, image_processor, context_len = load_pretrained_model(
         args.model_path, args.model_base, model_name, args.load_8bit,
-        args.load_4bit, device=args.device)
+        args.load_4bit, device=args.device,
+        kv_cache_dtype=args.kv_cache_dtype)
 
     if "llama-2" in model_name.lower():
         conv_mode = "llava_llama_2"
@@ -161,6 +162,10 @@ if __name__ == "__main__":
     parser.add_argument("--max-new-tokens", type=int, default=512)
     parser.add_argument("--load-8bit", action="store_true")
     parser.add_argument("--load-4bit", action="store_true")
+    parser.add_argument("--kv-cache-dtype", type=str, default="",
+                        choices=["", "int8"],
+                        help="int8: KV cache stored int8 with per-slot "
+                             "scales (half the KV HBM per token)")
     parser.add_argument("--debug", action="store_true")
     parser.add_argument("--matryoshka_vis_token_scale", type=int, default=None)
     parser.add_argument("--speculative", action="store_true",

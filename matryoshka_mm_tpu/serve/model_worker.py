@@ -53,7 +53,7 @@ class ModelWorker:
                  use_flash_attn=True, limit_model_concurrency=5,
                  continuous_batching=False, max_batch=4, kv_backend="dense",
                  prefix_cache=False, warmup=False, pool_prefill_len=None,
-                 pool_max_new=1024, lora_adapters=None):
+                 pool_max_new=1024, lora_adapters=None, kv_cache_dtype=""):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -76,6 +76,7 @@ class ModelWorker:
          self.context_len) = load_pretrained_model(
             model_path, model_base, self.model_name, load_8bit, load_4bit,
             device=device, use_flash_attn=use_flash_attn,
+            kv_cache_dtype=kv_cache_dtype,
             # multi-LoRA targets per-projection leaves: keep the
             # unfused quantized layout when adapters are configured
             quant_fuse=not lora_adapters)
@@ -416,6 +417,11 @@ def main():
                         choices=["dense", "paged"],
                         help="continuous-batching KV layout: fixed pool or "
                              "paged (per-row page tables, Pallas kernel on TPU)")
+    parser.add_argument("--kv-cache-dtype", type=str, default="",
+                        choices=["", "int8"],
+                        help="int8: KV slots stored int8 with per-slot "
+                             "scales — half the KV HBM per token (2x pages "
+                             "per byte budget under --kv-backend paged)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
@@ -430,7 +436,8 @@ def main():
                          prefix_cache=args.prefix_cache, warmup=args.warmup,
                          pool_prefill_len=args.pool_prefill_len,
                          pool_max_new=args.pool_max_new,
-                         lora_adapters=args.lora_adapters)
+                         lora_adapters=args.lora_adapters,
+                         kv_cache_dtype=args.kv_cache_dtype)
 
     from aiohttp import web
 
