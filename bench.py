@@ -161,7 +161,7 @@ def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None):
     return {"config": label, "error": errors}
 
 
-def _serving_bench(params, cfg):
+def _serving_bench(params, cfg, speculative_k: int = 0):
     """Continuous-batching serving throughput under concurrency
     (reference worker default: 5 concurrent generations,
     llava/serve/model_worker.py:268).  Drives the ContinuousBatcher
@@ -177,6 +177,7 @@ def _serving_bench(params, cfg):
     batcher = ContinuousBatcher(
         params, cfg, max_batch=8, prefill_len=256, max_new_tokens=96,
         chunk=8, backend="paged", prefix_cache=True,
+        speculative_k=speculative_k,
         gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=8,
                                  eos_token_id=-1))
     try:
@@ -218,7 +219,7 @@ def _serving_bench(params, cfg):
         ok = [r for r in results if r is not None]
         ttfts = [r["ttft_s"] for r in ok]
         total_tok = sum(r["n_tok"] for r in ok)
-        return {
+        out = {
             "requests": n_requests, "concurrency": concurrency,
             "ok": len(ok), "max_new_tokens": max_new,
             "wall_s": round(wall, 2),
@@ -229,6 +230,18 @@ def _serving_bench(params, cfg):
             "note": "paged KV + prefix cache + int8 fused decode, batcher-"
                     "level (HTTP transport excluded)",
         }
+        if speculative_k:
+            st = batcher.spec_stats
+            acc = (st["tokens_emitted"] / st["verify_steps"]
+                   if st["verify_steps"] else 0.0)
+            out["speculative_k"] = speculative_k
+            out["tokens_per_verify"] = round(acc, 2)
+            out["note"] = (
+                "prompt-lookup speculative batching (greedy). CAVEAT: "
+                "random-init weights loop, so draft acceptance here is an "
+                "upper bound — real-text acceptance tracks output "
+                "repetitiveness (copy-heavy VQA answers accept well)")
+        return out
     finally:
         batcher.shutdown()
 
@@ -442,6 +455,11 @@ def main():
         results["serving"] = _serving_bench(params, cfg)
     except Exception as e:  # noqa: BLE001
         results["serving"] = {"error": str(e)[:200]}
+    try:
+        results["serving_speculative"] = _serving_bench(params, cfg,
+                                                        speculative_k=4)
+    except Exception as e:  # noqa: BLE001
+        results["serving_speculative"] = {"error": str(e)[:200]}
     del params
 
     # --------------------------------------------------------------

@@ -117,7 +117,8 @@ class ContinuousBatcher:
                  gen_cfg: Optional[GenerationConfig] = None,
                  chunk: int = 8, backend: str = "dense",
                  page_size: int = 64, use_kernel: Optional[bool] = None,
-                 prefix_cache: bool = False, adapters: Optional[dict] = None):
+                 prefix_cache: bool = False, adapters: Optional[dict] = None,
+                 speculative_k: int = 0, spec_ngram: int = 3):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -126,6 +127,23 @@ class ContinuousBatcher:
         self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
         self.chunk = chunk
         self.backend = backend
+        self.spec_k = int(speculative_k)
+        self.spec_ngram = int(spec_ngram)
+        if self.spec_k > 0:
+            # batched prompt-lookup speculative decoding: host proposes k
+            # drafts per row from each request's prompt+generated history,
+            # one Sq=k+1 paged verify accepts the greedy-consistent prefix
+            if backend != "paged":
+                raise ValueError("speculative_k requires the paged backend")
+            if self.gen_cfg.do_sample or self.gen_cfg.temperature > 0:
+                raise ValueError(
+                    "speculative decoding is greedy-only: draft acceptance "
+                    "compares against argmax (set temperature=0/do_sample="
+                    "False, the reference eval protocol)")
+        self.spec_stats = {"verify_steps": 0, "tokens_emitted": 0}
+        # page headroom per decode dispatch: a vanilla chunk advances a row
+        # by `chunk` slots, a speculative verify writes k+1 slots up front
+        self._headroom = max(self.chunk, self.spec_k + 1) + 1
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
@@ -408,7 +426,7 @@ class ContinuousBatcher:
             self.stats["prefix_misses"] += 1
             return None
 
-        if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+        if not self.alloc.allocate_row(slot, T, headroom=self._headroom,
                                        shared=hits):
             # flushing the cached set may free exactly the pages `hits`
             # points at (their index entries are dropped with them), so the
@@ -421,7 +439,7 @@ class ContinuousBatcher:
             if H == 0 or H * self.page_size < text_resume:
                 self.stats["prefix_misses"] += 1
                 return None
-            if not self.alloc.allocate_row(slot, T, headroom=self.chunk + 1,
+            if not self.alloc.allocate_row(slot, T, headroom=self._headroom,
                                            shared=hits):
                 return None                       # pool pressure: full path
         n_prefix = H * self.page_size
@@ -644,10 +662,10 @@ class ContinuousBatcher:
         from .paged_cache import import_prefill
 
         T = int(np.asarray(lengths)[0])
-        ok = self.alloc.allocate_row(slot, T, headroom=self.chunk + 1)
+        ok = self.alloc.allocate_row(slot, T, headroom=self._headroom)
         if not ok and self.index is not None and self.alloc.cached:
             self.index.drop_pages(self.alloc.flush_cached())
-            ok = self.alloc.allocate_row(slot, T, headroom=self.chunk + 1)
+            ok = self.alloc.allocate_row(slot, T, headroom=self._headroom)
         if not ok:
             need = -(-(T + self.chunk + 1) // self.page_size)
             if need > self.pages_per_row:      # can never fit: fail it
@@ -674,6 +692,24 @@ class ContinuousBatcher:
                     self.alloc.pin(pages)
         return True
 
+    def _propose_drafts(self):
+        """Prompt-lookup drafts for every pool row (host-side): continue the
+        most recent earlier occurrence of each row's trailing n-gram over
+        prompt+generated — the same proposer as the solo on-device loop
+        (generate._ngram_propose), run on host where the per-request
+        histories already live.  Rows without a request draft zeros; their
+        verify lanes are masked anyway."""
+        from ..generate import _ngram_propose
+
+        drafts = np.zeros((self.max_batch, self.spec_k), np.int32)
+        for slot, req in enumerate(self.slots):
+            if req is None:
+                continue
+            ids = np.asarray(req.input_ids).reshape(-1).tolist()
+            ids += req.generated
+            drafts[slot] = _ngram_propose(ids, self.spec_k, self.spec_ngram)
+        return jnp.asarray(drafts)
+
     def _ensure_pages(self):
         """Grow each active row to cover the next chunk; rows that cannot be
         extended (pool exhausted) are finished early — per-row, not pool-wide."""
@@ -681,7 +717,7 @@ class ContinuousBatcher:
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need = int(lengths[slot]) + self.chunk + 1
+            need = int(lengths[slot]) + self._headroom
             ok = True
             while self.alloc.capacity(slot) < need:
                 if not self.alloc.extend_row(slot):
@@ -723,7 +759,13 @@ class ContinuousBatcher:
                         break
 
     def _loop_inner(self):
-        if self.backend == "paged":
+        if self.spec_k > 0:
+            from .paged_cache import _paged_spec_verify_fn
+
+            decode = _paged_spec_verify_fn(
+                self.cfg, self.gen_cfg, self.spec_k, self.pages_per_row,
+                self.page_size)
+        elif self.backend == "paged":
             from .paged_cache import _paged_pool_decode_fn
 
             decode = _paged_pool_decode_fn(
@@ -783,7 +825,19 @@ class ContinuousBatcher:
                 continue
 
             rng, sub = jax.random.split(rng)
-            if self.backend == "paged":
+            if self.spec_k > 0:
+                self._ensure_pages()
+                if not bool(np.asarray(self.active).any()):
+                    continue
+                (self.paged, self.tokens, self.lengths, self.budget,
+                 self.active, toks, n_emit) = decode(
+                     self.params, self.paged, self.tables, self.lengths,
+                     self.tokens, self._propose_drafts(), self.budget,
+                     self.active, self.lora_pack, self.lora_idx)
+                emitted = int(np.asarray(n_emit).sum())
+                self.spec_stats["verify_steps"] += 1
+                self.spec_stats["tokens_emitted"] += emitted
+            elif self.backend == "paged":
                 self._ensure_pages()
                 if not bool(np.asarray(self.active).any()):
                     continue

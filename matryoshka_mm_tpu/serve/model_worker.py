@@ -53,7 +53,8 @@ class ModelWorker:
                  use_flash_attn=True, limit_model_concurrency=5,
                  continuous_batching=False, max_batch=4, kv_backend="dense",
                  prefix_cache=False, warmup=False, pool_prefill_len=None,
-                 pool_max_new=1024, lora_adapters=None, kv_cache_dtype=""):
+                 pool_max_new=1024, lora_adapters=None, kv_cache_dtype="",
+                 speculative_k=0):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -104,11 +105,20 @@ class ModelWorker:
                     restored, _ = load_checkpoint(path)
                     adapters[name] = restored["lora"]
                 logger.info(f"loaded LoRA adapters: {sorted(adapters)}")
+            gen_cfg = None
+            if speculative_k:
+                from ..generate import GenerationConfig
+
+                # speculative serving is greedy-only (temperature 0 — the
+                # reference eval protocol); sampled requests should use a
+                # non-speculative worker
+                gen_cfg = GenerationConfig(temperature=0.0, do_sample=False)
             self.batcher = ContinuousBatcher(
                 self.model.params, self.model.cfg, max_batch=max_batch,
                 prefill_len=pool_prefill_len,
                 max_new_tokens=pool_max_new, backend=kv_backend,
-                prefix_cache=prefix_cache, adapters=adapters)
+                prefix_cache=prefix_cache, adapters=adapters,
+                gen_cfg=gen_cfg, speculative_k=speculative_k)
             if warmup:
                 dt = self.batcher.warmup(with_image=self.is_multimodal)
                 logger.info(f"warmup compile took {dt:.1f}s")
@@ -417,6 +427,10 @@ def main():
                         choices=["dense", "paged"],
                         help="continuous-batching KV layout: fixed pool or "
                              "paged (per-row page tables, Pallas kernel on TPU)")
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="continuous batching: verify k prompt-lookup "
+                             "draft tokens per step (greedy-only; paged "
+                             "backend); 0 disables")
     parser.add_argument("--kv-cache-dtype", type=str, default="",
                         choices=["", "int8"],
                         help="int8: KV slots stored int8 with per-slot "
@@ -437,7 +451,8 @@ def main():
                          pool_prefill_len=args.pool_prefill_len,
                          pool_max_new=args.pool_max_new,
                          lora_adapters=args.lora_adapters,
-                         kv_cache_dtype=args.kv_cache_dtype)
+                         kv_cache_dtype=args.kv_cache_dtype,
+                         speculative_k=args.speculative_k)
 
     from aiohttp import web
 

@@ -158,25 +158,36 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     table was recycled can never clobber a live row's pages.
 
     ``lora_pack``/``lora_idx`` enable multi-LoRA serving: each row applies
-    its own low-rank delta on every projection (serve/multi_lora.py)."""
-    B = tokens.shape[0]
+    its own low-rank delta on every projection (serve/multi_lora.py).
+
+    ``tokens`` may be (B,) — one decode token per row — or (B, S) for a
+    speculative verify step: all S tokens' K/V land in the row's pages at
+    slots [row_len, row_len + S) and every position's logits come back;
+    causality inside the block rides the position-based attention mask.
+    Rejected drafts need no rewind — ``row_len`` only advances over the
+    accepted prefix, so stale slots beyond it are masked and overwritten
+    by the next write."""
+    tokens = tokens if tokens.ndim == 2 else tokens[:, None]
+    B, S = tokens.shape
     H, Hkv, Dh = (cfg.num_attention_heads, cfg.num_key_value_heads,
                   cfg.head_dim)
     n_pages = k_all.shape[1]
     S_virt = max_pages * page_size
+    use_kernel = use_kernel and S == 1   # the Pallas kernel is 1-token
 
-    hidden = embed_tokens(params, tokens[:, None])        # (B, 1, D)
-    pos = row_len[:, None]
+    hidden = embed_tokens(params, tokens)                 # (B, S, D)
+    pos = row_len[:, None] + jnp.arange(S)[None]          # (B, S)
     cos, sin = rope_cos_sin(pos, cfg.head_dim, cfg.rope_theta)
 
-    # per-row write location; inactive rows go out of bounds -> dropped
-    w_page = jnp.minimum(row_len // page_size, max_pages - 1)
-    w_off = row_len % page_size
-    w_page_id = jnp.take_along_axis(tables, w_page[:, None], axis=1)[:, 0]
-    w_page_id = jnp.where(active, w_page_id, n_pages)
+    # per-(row, position) write location; inactive rows go out of
+    # bounds -> dropped
+    w_page = jnp.minimum(pos // page_size, max_pages - 1)
+    w_off = pos % page_size
+    w_page_id = jnp.take_along_axis(tables, w_page, axis=1)   # (B, S)
+    w_page_id = jnp.where(active[:, None], w_page_id, n_pages)
 
     kv_pos = (jnp.arange(S_virt)[None, :]).astype(jnp.int32)
-    kv_valid = (kv_pos < (row_len + 1)[:, None]) & active[:, None]
+    kv_valid = (kv_pos < (row_len + S)[:, None]) & active[:, None]
 
     if lora_pack is not None:
         from .multi_lora import lora_delta, pack_layer_slices
@@ -195,10 +206,10 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     kv_int8 = ks_all is not None
 
     def write_kv(k_all, v_all, ks_all, vs_all, idx, k_new, v_new):
-        """Write the new token's (B, heads, Dh) K/V into each row's current
-        page slot; int8 pools quantize per (row, head) and store the absmax
-        scale alongside.  Inactive rows' indices are out of bounds ->
-        dropped."""
+        """Write the new tokens' (B, S, heads, Dh) K/V into each row's
+        page slots; int8 pools quantize per (row, slot, head) and store the
+        absmax scale alongside.  Inactive rows' indices are out of
+        bounds -> dropped."""
         if kv_int8:
             k_new, ks = _quantize_pages(k_new)
             v_new, vs = _quantize_pages(v_new)
@@ -235,12 +246,12 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         x = layer_norm_nobias(h, lp["norm_1"], 1e-5)
         qkv = mm(x, a["Wqkv"], la_xs, ("attn", "Wqkv"))
         q, k, v = jnp.split(qkv, 3, axis=-1)
-        q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-        k = k.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
+        q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, H, Dh)
+        v = v.reshape(B, S, H, Dh)
 
         k_all, v_all, ks_all, vs_all = write_kv(
-            k_all, v_all, ks_all, vs_all, idx, k[:, :, 0], v[:, :, 0])
+            k_all, v_all, ks_all, vs_all, idx, k, v)
         k_rows = gather_rows(k_all, ks_all, idx, H)
         v_rows = gather_rows(v_all, vs_all, idx, H)
         slopes = alibi_slopes(H)
@@ -251,7 +262,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
             q, k_rows.transpose(0, 2, 1, 3), v_rows.transpose(0, 2, 1, 3),
             causal=True, q_positions=pos, kv_positions=kv_pos,
             kv_valid=kv_valid, bias=bias)
-        attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+        attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         h = h + mm(attn, a["out_proj"], la_xs, ("attn", "out_proj"))
 
         x = layer_norm_nobias(h, lp["norm_2"], 1e-5)
@@ -278,17 +289,18 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
             q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
             k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
             v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
-        q = q.reshape(B, 1, H, Dh).transpose(0, 2, 1, 3)
-        k = k.reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
-        v = v.reshape(B, 1, Hkv, Dh).transpose(0, 2, 1, 3)
+        q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
+        k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
+        v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
         q = apply_rope(q, cos, sin)
         k = apply_rope(k, cos, sin)
 
-        # write new kv into each row's current page slot of THIS layer's
+        # write new kv into each row's page slots of THIS layer's
         # slice in the stacked pool (in place on the scan carry), then
         # read back only this layer's pool for attention
         k_all, v_all, ks_all, vs_all = write_kv(
-            k_all, v_all, ks_all, vs_all, idx, k[:, :, 0], v[:, :, 0])
+            k_all, v_all, ks_all, vs_all, idx,
+            k.transpose(0, 2, 1, 3), v.transpose(0, 2, 1, 3))
 
         if use_kernel:
             from ..ops.paged_attention import paged_decode_attention_stacked
@@ -311,7 +323,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 v_rows.transpose(0, 2, 1, 3),
                 causal=True, q_positions=pos, kv_positions=kv_pos,
                 kv_valid=kv_valid)
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, 1, H * Dh)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         h = h + mm(attn, a["o_proj"], la_xs, ("self_attn", "o_proj"))
 
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -344,7 +356,7 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         hidden = layer_norm_nobias(hidden, params["norm"], 1e-5)
     else:
         hidden = rms_norm(hidden, params["norm"], cfg.rms_norm_eps)
-    logits = lm_head(params, hidden[:, 0:1, :])[:, 0]
+    logits = lm_head(params, hidden)             # (B, S, V)
     return new_k, new_v, new_ks, new_vs, logits
 
 
@@ -364,7 +376,7 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
             params, cfg, paged.k, paged.v, tables, row_len, tokens, active,
             max_pages=max_pages, page_size=page_size, use_kernel=use_kernel,
             ks_all=paged.k_scale, vs_all=paged.v_scale)
-        return PagedKVCache(new_k, new_v, new_ks, new_vs), logits
+        return PagedKVCache(new_k, new_v, new_ks, new_vs), logits[:, 0]
 
     return step
 
@@ -446,7 +458,7 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
                 lora_pack=lora_pack, lora_idx=lora_idx,
                 ks_all=paged.k_scale, vs_all=paged.v_scale)
             paged = PagedKVCache(k_all, v_all, ks_all, vs_all)
-            nxt, rng2 = _select_token(logits, gen_cfg, rng)
+            nxt, rng2 = _select_token(logits[:, 0], gen_cfg, rng)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             row_len = row_len + active.astype(row_len.dtype)
             budget = jnp.where(active, budget - 1, budget)
@@ -459,6 +471,64 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
         return paged, token, row_len, budget, active, toks.T
 
     return decode
+
+
+@lru_cache(maxsize=8)
+def _paged_spec_verify_fn(cfg, gen_cfg, k: int, max_pages: int,
+                          page_size: int):
+    """Batched speculative verify step over the paged pool (greedy only).
+
+    One Sq=k+1 forward per dispatch scores every row's k host-proposed
+    draft tokens (prompt-lookup, generate._ngram_propose) at the cost of
+    roughly one decode step's weight reads; each row accepts its
+    greedy-consistent draft prefix plus the model's own next token, so a
+    step emits 1..k+1 tokens per row.  The draft block's K/V are written
+    into the row's pages up front; rejected tails need no rewind — a row's
+    ``row_len`` only advances over accepted tokens, so stale slots are
+    masked at read time and overwritten by the next block (unlike the
+    dense cache's explicit valid-bit rewind, generate._rewind_fn).
+
+    Reference point: the solo on-device prompt-lookup loop
+    (generate._pld_loop_fn); this is its continuous-batching counterpart.
+    eos/budget semantics match the vanilla pool decode: the eos token
+    itself is emitted, everything after it in the block is dropped, and
+    a row deactivates on eos or exhausted budget."""
+    eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def verify(params, paged, tables, row_len, tokens, drafts, budget,
+               active, lora_pack=None, lora_idx=None):
+        B = tokens.shape[0]
+        block = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B,k+1)
+        k_all, v_all, ks_all, vs_all, logits = _decode_core(
+            params["llama"], cfg.llama, paged.k, paged.v, tables, row_len,
+            block, active, max_pages=max_pages, page_size=page_size,
+            use_kernel=False, lora_pack=lora_pack, lora_idx=lora_idx,
+            ks_all=paged.k_scale, vs_all=paged.v_scale)
+        paged = PagedKVCache(k_all, v_all, ks_all, vs_all)
+        greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)
+
+        match = drafts == greedy[:, :k]
+        n_acc = jnp.where(match.all(axis=1), k,
+                          jnp.argmax(~match, axis=1)).astype(jnp.int32)
+        j = jnp.arange(k + 1)[None]
+        is_eos = greedy == eos
+        eos_before = jnp.cumsum(is_eos, axis=1) - is_eos.astype(jnp.int32)
+        keep = ((j <= n_acc[:, None]) & (eos_before == 0)
+                & (j < budget[:, None]) & active[:, None])
+        n_emit = keep.sum(axis=1).astype(jnp.int32)
+        out = jnp.where(keep, greedy, pad)
+
+        row_len = row_len + n_emit
+        budget = budget - n_emit
+        active = (active & ~(keep & is_eos).any(axis=1) & (budget > 0)
+                  & (n_emit > 0))
+        nxt = jnp.take_along_axis(
+            greedy, jnp.clip(n_emit - 1, 0, k)[:, None], axis=1)[:, 0]
+        nxt = jnp.where(active, nxt, pad)
+        return paged, nxt, row_len, budget, active, out, n_emit
+
+    return verify
 
 
 def paged_decode_step(params, cfg: LlamaConfig, paged: PagedKVCache,

@@ -1,0 +1,105 @@
+"""Batched speculative decoding (paged pool): exactness vs vanilla.
+
+The continuous batcher's speculative mode (host prompt-lookup proposals +
+one Sq=k+1 paged verify per dispatch) must emit token-for-token what the
+vanilla batched greedy decode emits — acceptance only ever keeps drafts
+the full model would have produced anyway.
+"""
+
+import dataclasses
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+from matryoshka_mm_tpu.generate import GenerationConfig
+from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = LlavaConfig.tiny_debug()
+    return cfg, init_llava_params(jax.random.PRNGKey(0), cfg)
+
+
+def _run(params, cfg, requests, *, spec_k=0, eos=-1, max_new=12, **kw):
+    gen_cfg = GenerationConfig(max_new_tokens=max_new, decode_chunk=2,
+                               eos_token_id=eos)
+    b = ContinuousBatcher(params, cfg, max_batch=4, prefill_len=64,
+                          max_new_tokens=32, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=8,
+                          speculative_k=spec_k, **kw)
+    try:
+        handles = [b.submit(ids, px, numtoks=numtoks, max_new_tokens=max_new)
+                   for ids, px, numtoks in requests]
+        outs = [np.concatenate(list(b.stream(h))) for h in handles]
+        stats = dict(b.spec_stats)
+    finally:
+        b.shutdown()
+    return outs, stats
+
+
+def _requests(n=3, with_image=True):
+    rng = np.random.default_rng(0)
+    reqs = []
+    for i in range(n):
+        ids = rng.integers(5, 100, (1, 10 + 3 * i)).astype(np.int32)
+        px = None
+        numtoks = None
+        if with_image and i % 2 == 0:
+            ids[0, 2] = IMAGE_TOKEN_INDEX
+            px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+            numtoks = 4
+        reqs.append((ids, px, numtoks))
+    return reqs
+
+
+def test_spec_matches_vanilla_batched(model):
+    cfg, params = model
+    reqs = _requests()
+    want, _ = _run(params, cfg, reqs, spec_k=0)
+    got, stats = _run(params, cfg, reqs, spec_k=4)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+    # random-weight tiny models loop, so prompt-lookup must accept >1
+    # token/verify on average — proves the accept path actually engages
+    assert stats["tokens_emitted"] > stats["verify_steps"]
+
+
+def test_spec_eos_truncation(model):
+    """eos emitted mid-draft-block truncates exactly like vanilla."""
+    cfg, params = model
+    reqs = _requests(n=1, with_image=False)
+    base, _ = _run(params, cfg, reqs, spec_k=0, max_new=12)
+    eos = int(base[0][5])                 # force eos on a mid-stream token
+    want, _ = _run(params, cfg, reqs, spec_k=0, eos=eos, max_new=12)
+    got, _ = _run(params, cfg, reqs, spec_k=4, eos=eos, max_new=12)
+    np.testing.assert_array_equal(got[0], want[0])
+    assert eos in got[0] and len(got[0]) < 12
+
+
+def test_spec_with_int8_kv_and_prefix_cache(model):
+    """Speculation composes with the int8 paged pool and prefix caching."""
+    cfg, params = model
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    reqs = _requests(n=2)
+    want, _ = _run(params, cfg8, reqs, spec_k=0, prefix_cache=True)
+    got, _ = _run(params, cfg8, reqs, spec_k=3, prefix_cache=True)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
+
+
+def test_spec_requires_greedy_and_paged(model):
+    cfg, params = model
+    with pytest.raises(ValueError, match="paged"):
+        ContinuousBatcher(params, cfg, gen_cfg=GenerationConfig(),
+                          backend="dense", speculative_k=4)
+    with pytest.raises(ValueError, match="greedy"):
+        ContinuousBatcher(params, cfg,
+                          gen_cfg=GenerationConfig(do_sample=True,
+                                                   temperature=0.7),
+                          backend="paged", speculative_k=4)
