@@ -186,6 +186,9 @@ def main():
     parser.add_argument("--no-register", action="store_true")
     parser.add_argument("--max-batch", type=int, default=8)
     parser.add_argument("--load-8bit", action="store_true")
+    parser.add_argument("--speculative-k", type=int, default=0,
+                        help="verify k prompt-lookup drafts per decode "
+                             "step (greedy-only)")
     parser.add_argument("--lora-adapters", type=str, default=None,
                         help="name=ckpt,... adapters served on the base")
     parser.add_argument("--runtime-url", default=None,
@@ -212,7 +215,8 @@ def main():
             args.model_name, load_8bit=args.load_8bit,
             continuous_batching=True, max_batch=args.max_batch,
             kv_backend="paged", prefix_cache=True,
-            lora_adapters=args.lora_adapters)
+            lora_adapters=args.lora_adapters,
+            speculative_k=args.speculative_k)
         app = build_sglang_app(worker)
 
     web.run_app(app, host=args.host, port=args.port, print=None)
