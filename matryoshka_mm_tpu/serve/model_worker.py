@@ -173,6 +173,8 @@ class ModelWorker:
                 "pending": self.batcher.pending.qsize(),
                 "backend": self.batcher.backend,
                 "healthy": self.batcher.error is None,
+                **({"speculative": dict(self.batcher.spec_stats)}
+                   if self.batcher.spec_k else {}),
                 **(self.batcher.stats
                    if getattr(self.batcher, "index", None) is not None else {}),
             }
