@@ -154,8 +154,12 @@ class ContinuousBatcher:
 
             self.page_size = page_size
             # prefill caches must cover a whole number of pages (import
-            # carves n_p full pages out of the compacted cache)
-            self.capacity = _round_up(self.capacity, page_size)
+            # carves n_p full pages out of the compacted cache).  Rows get
+            # one dispatch's headroom of extra page room on top of
+            # L + max_new so _ensure_pages never kills a row that still
+            # has budget (a speculative verify advances up to k+1 slots)
+            self.capacity = _round_up(self.capacity + self._headroom,
+                                      page_size)
             self.pages_per_row = -(-self.capacity // page_size)
             n_pages = max_batch * self.pages_per_row
             # dtype=None: init_paged_cache honors cfg.llama.kv_cache_dtype
@@ -667,7 +671,7 @@ class ContinuousBatcher:
             self.index.drop_pages(self.alloc.flush_cached())
             ok = self.alloc.allocate_row(slot, T, headroom=self._headroom)
         if not ok:
-            need = -(-(T + self.chunk + 1) // self.page_size)
+            need = -(-(T + self._headroom) // self.page_size)
             if need > self.pages_per_row:      # can never fit: fail it
                 req.out_queue.put(None)
             else:                              # out of pages now: retry later

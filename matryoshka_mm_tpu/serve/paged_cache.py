@@ -31,6 +31,7 @@ import jax.numpy as jnp
 from ..models.llama import (
     KVCache,
     LlamaConfig,
+    _quantize_kv_slots,
     apply_rope,
     embed_tokens,
     lm_head,
@@ -67,13 +68,23 @@ def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
         v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None)
 
 
-def _quantize_pages(x: jnp.ndarray):
-    """float (..., Dh) -> int8 values + f32 per-(..., head) absmax scale."""
-    xf = x.astype(jnp.float32)
-    scale = jnp.max(jnp.abs(xf), axis=-1) / 127.0
-    scale = jnp.maximum(scale, 1e-8)
-    q = jnp.clip(jnp.round(xf / scale[..., None]), -127, 127)
-    return q.astype(jnp.int8), scale
+# float (..., Dh) -> int8 values + f32 per-(..., head) absmax scale.
+# One quantization scheme for the dense cache and the paged pools — the
+# dense/paged int8 KV paths must never drift apart.
+_quantize_pages = _quantize_kv_slots
+
+
+def _check_dense_dtype(paged: PagedKVCache, dense) -> None:
+    """A float page pool cannot absorb an int8 dense cache: astype on the
+    quantization codes would silently drop the per-slot scales (garbage
+    attention values).  The batcher derives both from one config so this
+    never fires there; it guards direct library callers."""
+    if paged.k_scale is None and getattr(dense, "k_scale", None) is not None:
+        raise ValueError(
+            "cannot import an int8 dense KV cache into a float page pool: "
+            "the per-slot dequant scales would be dropped; build the pool "
+            "with kv_cache_dtype='int8' (init_paged_cache default) or "
+            "dequantize the dense cache first")
 
 
 class PageAllocator:
@@ -122,6 +133,7 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
     dense.k: (n_layers, 1, S, n_kv, Dh) with S a multiple of page_size;
     row_table: (P,) page indices for ceil(S/page_size) pages (numpy).
     """
+    _check_dense_dtype(paged, dense)
     n_layers, _, S, n_kv, Dh = dense.k.shape
     n_p = S // page_size
     k_pages = dense.k[:, 0].reshape(n_layers, n_p, page_size, n_kv, Dh)
@@ -417,6 +429,7 @@ def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
     after compaction token i lands in page i // page_size at offset
     i % page_size.  Slots past T hold rolled-around pad garbage, masked
     out by ``row_len`` at decode time."""
+    _check_dense_dtype(paged, dense)
     paged_int8 = paged.k_scale is not None
     k_pages, v_pages, ks, vs = _compact_pages_fn(
         n_p, page_size, paged_int8)(
