@@ -181,7 +181,9 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
         gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=8,
                                  eos_token_id=-1))
     try:
-        batcher.warmup(with_image=True, numtoks=144)
+        # precompile the batched group-prefill traces too: the first burst
+        # otherwise pays a multi-second jit compile that lands in TTFT p95
+        batcher.warmup(with_image=True, numtoks=144, batch_sizes=(2, 4))
 
         rng = np.random.default_rng(0)
         reqs = []

@@ -40,9 +40,12 @@ def collect(ckpt_dir: str, upload_dir: str) -> list:
                                         recursive=True)):
                 rel = os.path.relpath(src, ckpt_dir)
                 # experiment name: the path with separators flattened,
-                # minus the leading eval/<task> segments
+                # minus the leading eval/<task> segments.  Only the exact
+                # task directory is dropped — prefix-matching would
+                # collapse mmbench_cn / mmbench_dev_* split dirs into the
+                # same name and silently overwrite submissions.
                 parts = [p for p in rel.split(os.sep)
-                         if p not in ("eval",) and not p.startswith(task)]
+                         if p not in ("eval", task)]
                 name = "_".join(parts) if parts else os.path.basename(src)
                 task_dir = os.path.join(upload_dir, task)
                 os.makedirs(task_dir, exist_ok=True)

@@ -34,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
 
 def run(args, post_fn=None):
     if args.api_key:
-        os.environ.setdefault("OPENAI_API_KEY", args.api_key)
+        # an explicit --api_key must beat a stale exported env var
+        os.environ["OPENAI_API_KEY"] = args.api_key
     pipeline = Gpt4vPipeline(
         args.path_qa_pair_csv, args.path_video, args.path_result,
         model_version=args.model_version,

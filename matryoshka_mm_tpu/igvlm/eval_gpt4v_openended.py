@@ -30,7 +30,8 @@ def build_parser() -> argparse.ArgumentParser:
 def run(args, eval_type: EvaluationType = EvaluationType.DEFAULT,
         judge=None, post_fn=None):
     if args.api_key:
-        os.environ.setdefault("OPENAI_API_KEY", args.api_key)
+        # an explicit --api_key must beat a stale exported env var
+        os.environ["OPENAI_API_KEY"] = args.api_key
     os.makedirs(args.path_result, exist_ok=True)
     pipeline = Gpt4vPipeline(
         args.path_qa_pair_csv, args.path_video,

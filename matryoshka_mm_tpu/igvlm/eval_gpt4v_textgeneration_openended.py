@@ -29,7 +29,8 @@ def _predict(args, path_qa, tag, post_fn=None):
 
 def run(args, judge=None, post_fn=None):
     if args.api_key:
-        os.environ.setdefault("OPENAI_API_KEY", args.api_key)
+        # an explicit --api_key must beat a stale exported env var
+        os.environ["OPENAI_API_KEY"] = args.api_key
     if args.eval_type == "consistency":
         if not args.path_qa_pair_csv2:
             raise SystemExit("consistency (CO) needs --path_qa_pair_csv2 "

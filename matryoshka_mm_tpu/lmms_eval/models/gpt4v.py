@@ -22,6 +22,11 @@ from ..api.model import lmms
 from ..api.registry import register_model
 
 
+class ConfigError(RuntimeError):
+    """Non-retryable setup problem (missing key, 4xx auth) — surfaced
+    immediately instead of burning the retry/backoff loop."""
+
+
 def _image_to_data_url(image) -> str:
     buf = io.BytesIO()
     image.save(buf, format="PNG")
@@ -49,7 +54,7 @@ class GPT4V(lmms):
     def _default_post(self, payload: dict) -> dict:
         api_key = os.environ.get("OPENAI_API_KEY")
         if not api_key:
-            raise RuntimeError(
+            raise ConfigError(
                 "OPENAI_API_KEY not set; the gpt4v adapter needs an "
                 "OpenAI-compatible endpoint (set OPENAI_BASE_URL for "
                 "gateways)")
@@ -59,6 +64,9 @@ class GPT4V(lmms):
         r = requests.post(f"{base}/chat/completions",
                           headers={"Authorization": f"Bearer {api_key}"},
                           json=payload, timeout=self.timeout)
+        if 400 <= r.status_code < 500 and r.status_code != 429:
+            raise ConfigError(f"gpt4v endpoint rejected the request "
+                              f"({r.status_code}): {r.text[:200]}")
         r.raise_for_status()
         return r.json()
 
@@ -80,6 +88,8 @@ class GPT4V(lmms):
             try:
                 resp = self._post(payload)
                 return resp["choices"][0]["message"]["content"].strip()
+            except ConfigError:
+                raise               # misconfiguration: retrying can't help
             except Exception as e:  # noqa: BLE001
                 err = e
                 time.sleep(min(2.0 * (attempt + 1), 10.0))

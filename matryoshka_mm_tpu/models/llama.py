@@ -35,7 +35,7 @@ from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
 
 
 def _flash_decode_ok(impl: str, head_dim: int, batch: int,
-                     quantized: bool) -> bool:
+                     quantized: bool, capacity: int = 0) -> bool:
     """Route Sq==1 cached attention through ops/decode_attention.py on TPU
     ('auto'); impl='reference'/'flash' keep the XLA path for parity runs.
 
@@ -47,7 +47,17 @@ def _flash_decode_ok(impl: str, head_dim: int, batch: int,
       custom call (profiled: copy-done 3.3 ms/token = 32 x 84 MB at HBM
       speed), erasing the kernel's gain (53 -> 38 tok/s).  The B>=2 and
       quantized-weight graphs alias cleanly and keep the win (b4 +3%,
-      int8/int4 b8 +16/+21%), so bf16 b1 stays on the XLA pair."""
+      int8/int4 b8 +16/+21%), so bf16 b1 stays on the XLA pair.
+
+    ``capacity`` guards the kernel's KV-axis blocking: an odd cache length
+    (e.g. max_new_tokens=100 on a 64-aligned prompt region) has no
+    lane-aligned block divisor, which would raise at trace time inside
+    the kernel — fall back to the XLA path instead of crashing decode."""
+    if capacity:
+        from ..ops.decode_attention import _pick_bs
+
+        if _pick_bs(capacity) == 0:
+            return False
     return (impl == "auto" and head_dim % 128 == 0
             and (batch >= 2 or quantized)
             and jax.default_backend() == "tpu")
@@ -334,11 +344,11 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     dynamic_update_slice the carry aliasing keeps copy-free) and only this
     layer's slice is read back for attention — see llama_forward."""
     if cfg.arch == "mpt":
-        h, (cache_k, cache_v) = _mpt_layer_forward(
+        h, (cache_k, cache_v, cache_ks, cache_vs) = _mpt_layer_forward(
             layer_params, hidden, cfg=cfg, q_positions=q_positions,
             kv_valid=kv_valid, kv_positions=kv_positions,
             cache_k=cache_k, cache_v=cache_v, write_idx=write_idx,
-            layer_idx=layer_idx)
+            layer_idx=layer_idx, cache_ks=cache_ks, cache_vs=cache_vs)
         return h, (cache_k, cache_v, cache_ks, cache_vs)
 
     B, S, D = hidden.shape
@@ -381,10 +391,17 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
             cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
+        from ..ops.quant import tree_has_quantized
+
+        # recursing-quantized, not isinstance-dict: a bf16 LoRA wrapper is
+        # also a dict leaf, and bf16 b1 must stay on the XLA pair (see
+        # gate doc); a LoRA-wrapped *quantized* base still routes flash
         quantized = any(isinstance(a.get(k), dict)
+                        and tree_has_quantized(a[k])
                         for k in ("qkv_proj", "q_proj"))
         if S == 1 and _flash_decode_ok(cfg.attn_impl, Dh, B,
-                                       quantized or kv_int8):
+                                       quantized or kv_int8,
+                                       capacity=cache_k.shape[2]):
             # single-token decode: the Pallas flash-decode kernel reads
             # THIS layer's cache blocks straight out of the stacked
             # buffer (scalar-prefetched index) in the native
@@ -448,9 +465,12 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
 
 def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
                        q_positions, kv_valid, kv_positions,
-                       cache_k, cache_v, write_idx, layer_idx=None):
+                       cache_k, cache_v, write_idx, layer_idx=None,
+                       cache_ks=None, cache_vs=None):
     """MPT block: bias-free LN, fused qkv, alibi attention, GELU MLP
-    (reference model family: llava/model/language_model/llava_mpt.py)."""
+    (reference model family: llava/model/language_model/llava_mpt.py).
+    int8 KV caches quantize/dequantize per slot exactly like the llama
+    path — a raw astype would truncate bf16 values to int8 silently."""
     B, S, D = hidden.shape
     H, Dh = cfg.num_attention_heads, cfg.head_dim
     a = layer_params["attn"]
@@ -466,16 +486,33 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
 
     if cache_k is not None:
         li = jnp.asarray(layer_idx, jnp.int32)
+        k_slots = k.transpose(0, 2, 1, 3)[None]      # (1, B, S, H, Dh)
+        v_slots = v.transpose(0, 2, 1, 3)[None]
+        kv_int8 = cache_k.dtype == jnp.int8
+        if kv_int8:
+            k_slots, ks_slots = _quantize_kv_slots(k_slots)
+            v_slots, vs_slots = _quantize_kv_slots(v_slots)
+            cache_ks = jax.lax.dynamic_update_slice(
+                cache_ks, ks_slots, (li, 0, write_idx, 0))
+            cache_vs = jax.lax.dynamic_update_slice(
+                cache_vs, vs_slots, (li, 0, write_idx, 0))
         cache_k = jax.lax.dynamic_update_slice(
-            cache_k, k.transpose(0, 2, 1, 3)[None].astype(cache_k.dtype),
-            (li, 0, write_idx, 0, 0))
+            cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
-            cache_v, v.transpose(0, 2, 1, 3)[None].astype(cache_v.dtype),
-            (li, 0, write_idx, 0, 0))
-        attn_k = jax.lax.dynamic_index_in_dim(
-            cache_k, li, 0, keepdims=False).transpose(0, 2, 1, 3)
-        attn_v = jax.lax.dynamic_index_in_dim(
-            cache_v, li, 0, keepdims=False).transpose(0, 2, 1, 3)
+            cache_v, v_slots.astype(cache_v.dtype), (li, 0, write_idx, 0, 0))
+        ck = jax.lax.dynamic_index_in_dim(cache_k, li, 0, keepdims=False)
+        cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0, keepdims=False)
+        if kv_int8:
+            cks = jax.lax.dynamic_index_in_dim(cache_ks, li, 0,
+                                               keepdims=False)
+            cvs = jax.lax.dynamic_index_in_dim(cache_vs, li, 0,
+                                               keepdims=False)
+            ck = (ck.astype(jnp.float32)
+                  * cks[..., None]).astype(hidden.dtype)
+            cv = (cv.astype(jnp.float32)
+                  * cvs[..., None]).astype(hidden.dtype)
+        attn_k = ck.transpose(0, 2, 1, 3)
+        attn_v = cv.transpose(0, 2, 1, 3)
         kvp = kv_positions
     else:
         attn_k, attn_v = k, v
@@ -495,7 +532,7 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
     f = layer_params["ffn"]
     hidden = hidden + proj(jax.nn.gelu(proj(x, f["up_proj"]),
                                        approximate=False), f["down_proj"])
-    return hidden, (cache_k, cache_v)
+    return hidden, (cache_k, cache_v, cache_ks, cache_vs)
 
 
 def llama_forward(

@@ -93,8 +93,10 @@ def make_stacked(BK, BN, BM, fuse_dots=False, ext_corr=False):
           scale.reshape(L, 1, N).astype(jnp.float32))
         y = out[0, :M]
         if ext_corr:
+            # every x column feeds exactly one nibble dot (lo covers
+            # [0, K/2), hi covers [K/2, K)), so the bias is -8*sum(x) once
             corr = -8.0 * jnp.sum(x[:M].astype(jnp.float32), axis=1,
-                                  keepdims=True) * 2.0
+                                  keepdims=True)
             y = (y.astype(jnp.float32)
                  + corr * scale.reshape(1, N)).astype(jnp.bfloat16)
         return y

@@ -177,3 +177,38 @@ def test_paged_batcher_int8_kv_pool():
             b.shutdown()
     assert outs["int8"].shape[0] == 6
     np.testing.assert_array_equal(outs["int8"], outs["bf16"])
+
+
+def test_mpt_int8_kv_matches_bf16():
+    """MPT (alibi, fused qkv) int8 KV quantizes per slot like llama —
+    a raw astype would truncate bf16 K/V to 0/±1 silently."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.models.llama import (LlamaConfig, init_kv_cache,
+                                                init_llama_params,
+                                                llama_forward)
+
+    cfg = dataclasses.replace(LlamaConfig.tiny_debug(), arch="mpt",
+                              num_key_value_heads=4)
+    cfg8 = dataclasses.replace(cfg, kv_cache_dtype="int8")
+    params = init_llama_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((1, 6, cfg.hidden_size)),
+                    jnp.float32)
+    pos = jnp.arange(6)[None]
+    valid = jnp.ones((1, 6), bool)
+
+    outs = {}
+    for name, c in (("bf16", cfg), ("int8", cfg8)):
+        cache = init_kv_cache(c, 1, 16)
+        if name == "int8":
+            assert cache.k.dtype == jnp.int8 and cache.k_scale is not None
+        h, cache = llama_forward(params, c, x, position_ids=pos,
+                                 attn_valid=valid, cache=cache)
+        outs[name] = np.asarray(h, np.float32)
+        if name == "int8":
+            # the cache now holds real quantized values, not astype noise
+            mx = int(np.abs(np.asarray(cache.k[:, :, :6])).max())
+            assert mx > 8, f"int8 codes look like raw astype: max={mx}"
+    err = np.abs(outs["int8"] - outs["bf16"]).max()
+    assert err < 0.05, err
