@@ -103,3 +103,19 @@ def test_spec_requires_greedy_and_paged(model):
                           gen_cfg=GenerationConfig(do_sample=True,
                                                    temperature=0.7),
                           backend="paged", speculative_k=4)
+
+
+def test_spec_with_quantized_weights(model):
+    """Speculation over an int8-quantized base (the production fast
+    path: fused dequant kernels see (B*(k+1), D) verify rows) matches the
+    vanilla quantized batched decode token-for-token."""
+    from matryoshka_mm_tpu.ops.quant import quantize_llama_params
+
+    cfg, params = model
+    qparams = dict(params)
+    qparams["llama"] = quantize_llama_params(params["llama"], min_size=1024)
+    reqs = _requests(n=2)
+    want, _ = _run(qparams, cfg, reqs, spec_k=0)
+    got, _ = _run(qparams, cfg, reqs, spec_k=4)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
