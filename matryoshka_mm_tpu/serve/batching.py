@@ -76,6 +76,10 @@ class _Request:
     # tokens streamed so far; lets a pool reset re-admit the request with
     # prompt+generated instead of silently truncating the stream
     generated: List[int] = field(default_factory=list)
+    # regex the output must full-match (serve/constrained.py); admits solo
+    constraint: Optional[str] = None
+    # (trans_local, offset, start_local) installed at admission
+    fsm: Optional[tuple] = None
 
 
 @lru_cache(maxsize=8)
@@ -118,7 +122,8 @@ class ContinuousBatcher:
                  chunk: int = 8, backend: str = "dense",
                  page_size: int = 64, use_kernel: Optional[bool] = None,
                  prefix_cache: bool = False, adapters: Optional[dict] = None,
-                 speculative_k: int = 0, spec_ngram: int = 3):
+                 speculative_k: int = 0, spec_ngram: int = 3,
+                 fsm_vocab: Optional[list] = None, max_fsm_states: int = 64):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -144,6 +149,33 @@ class ContinuousBatcher:
         # page headroom per decode dispatch: a vanilla chunk advances a row
         # by `chunk` slots, a speculative verify writes k+1 slots up front
         self._headroom = max(self.chunk, self.spec_k + 1) + 1
+
+        # constrained decoding (serve/constrained.py): per-slot DFA spans
+        # in one dense (2 + max_batch*quota, V) table pool; row 0 is the
+        # dead state (eos only), row 1 the unconstrained free state
+        self.fsm_vocab = fsm_vocab
+        self.fsm_quota = int(max_fsm_states)
+        self._fsm_cache: Dict[str, tuple] = {}
+        if fsm_vocab is not None:
+            if backend != "paged":
+                raise ValueError("constrained decoding (fsm_vocab) requires "
+                                 "the paged backend")
+            if self.spec_k:
+                raise ValueError("constrained decoding and speculative_k "
+                                 "cannot combine: the verify step does not "
+                                 "mask draft logits")
+            V = len(fsm_vocab)
+            n_rows = 2 + max_batch * self.fsm_quota
+            allow = np.zeros((n_rows, V), bool)
+            allow[0, self.gen_cfg.eos_token_id] = True   # dead: eos only
+            allow[1, :] = True                            # free: anything
+            trans = np.zeros((n_rows, V), np.int32)
+            trans[1, :] = 1
+            self._fsm_allow_np = allow
+            self._fsm_trans_np = trans
+            self.fsm_allow = jnp.asarray(allow)
+            self.fsm_trans = jnp.asarray(trans)
+            self.fsm_state = jnp.ones((max_batch,), jnp.int32)
         if backend == "paged":
             from .paged_cache import PageAllocator, init_paged_cache
 
@@ -272,10 +304,23 @@ class ContinuousBatcher:
                numtoks: Optional[int] = None,
                max_new_tokens: int = 128,
                lora_id: Optional[str] = None,
-               image_size: Optional[tuple] = None) -> _Request:
+               image_size: Optional[tuple] = None,
+               constraint_regex: Optional[str] = None) -> _Request:
         if lora_id is not None and lora_id not in self.lora_names:
             raise KeyError(f"unknown LoRA adapter {lora_id!r}; loaded: "
                            f"{sorted(k for k in self.lora_names if k)}")
+        if constraint_regex is not None:
+            if self.fsm_vocab is None:
+                raise ValueError(
+                    "constrained decoding needs the batcher constructed "
+                    "with fsm_vocab= (the decoded piece per token id, e.g. "
+                    "constrained.vocab_from_tokenizer(tokenizer))")
+            tables = self._fsm_tables(constraint_regex)   # raises on bad
+            n_live = tables[0].shape[0] - 1
+            if n_live > self.fsm_quota:
+                raise ValueError(
+                    f"constraint DFA needs {n_live} states > per-request "
+                    f"quota {self.fsm_quota}; raise max_fsm_states")
         if pixel_values is not None:
             from ..constants import IMAGE_TOKEN_INDEX
 
@@ -303,7 +348,8 @@ class ContinuousBatcher:
                        None if pixel_values is None
                        else np.asarray(pixel_values, np.float32),
                        numtoks, max_new_tokens, lora_id,
-                       image_size=tuple(image_size) if image_size else None)
+                       image_size=tuple(image_size) if image_size else None,
+                       constraint=constraint_regex)
         # the lock spans the error check and the enqueue so the crash
         # handler (which drains pending under the same lock) can never
         # miss a request submitted concurrently with scheduler death
@@ -505,6 +551,14 @@ class ContinuousBatcher:
         req.out_queue.put(np.asarray(first))
         req.emitted += 1
         req.generated.append(first_tok)
+        if self.fsm_vocab is not None:
+            if req.fsm is not None:           # constrained: advance the DFA
+                trans_l, offset, start = req.fsm
+                nxt = int(trans_l[start, first_tok])
+                state = 0 if nxt == 0 else offset + nxt - 1
+            else:
+                state = 1                     # unconstrained: free row
+            self.fsm_state = self.fsm_state.at[slot].set(state)
         if first_tok == self.gen_cfg.eos_token_id or req.max_new_tokens <= 1:
             req.out_queue.put(None)
             if self.backend == "paged":
@@ -536,8 +590,36 @@ class ContinuousBatcher:
             mask[g, self.L - flat.shape[0]:] = True
         return jnp.asarray(ids), jnp.asarray(mask)
 
+    def _fsm_tables(self, pattern: str):
+        """Compile (and memoize) a constraint's local token tables."""
+        if pattern not in self._fsm_cache:
+            from .constrained import build_token_tables, compile_regex
+
+            dfa = compile_regex(pattern)
+            allow, trans = build_token_tables(
+                dfa, self.fsm_vocab, self.gen_cfg.eos_token_id,
+                special_ids=[self.gen_cfg.pad_token_id])
+            self._fsm_cache[pattern] = (allow, trans, dfa.start)
+        return self._fsm_cache[pattern]
+
+    def _install_fsm(self, req: _Request, slot: int, logits):
+        """Place the request's DFA span into the slot's table-pool region
+        and mask the prefill logits with the start state's allow row.
+        Local state s>0 maps to pool row offset+s-1; 0 stays the dead row."""
+        allow_l, trans_l, start = self._fsm_tables(req.constraint)
+        n = allow_l.shape[0]
+        offset = 2 + slot * self.fsm_quota
+        remap = np.where(trans_l[1:n] == 0, 0, offset + trans_l[1:n] - 1)
+        self._fsm_allow_np[offset:offset + n - 1] = allow_l[1:n]
+        self._fsm_trans_np[offset:offset + n - 1] = remap
+        self.fsm_allow = jnp.asarray(self._fsm_allow_np)
+        self.fsm_trans = jnp.asarray(self._fsm_trans_np)
+        req.fsm = (trans_l, offset, start)
+        return jnp.where(jnp.asarray(allow_l[start])[None], logits, -1e30)
+
     def _admit(self, req: _Request, slot: int, try_prefix: bool = True) -> bool:
-        if try_prefix and self.backend == "paged" and self.index is not None:
+        if (try_prefix and self.backend == "paged" and self.index is not None
+                and req.constraint is None):
             handled = self._try_admit_prefix(req, slot)
             if handled is not None:
                 return handled
@@ -570,6 +652,8 @@ class ContinuousBatcher:
                 self.cfg, self.L, self.capacity)(self._params_for(req),
                                                  ids_p, mask)
 
+        if req.constraint is not None:
+            logits = self._install_fsm(req, slot, logits)
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
 
         if self.backend == "paged":
@@ -633,7 +717,10 @@ class ContinuousBatcher:
     @staticmethod
     def _group_key(req: _Request):
         """Batched-prefill compatibility key, or None when the request must
-        admit solo (anyres tile stacks trace per tile count/size)."""
+        admit solo (anyres tile stacks trace per tile count/size;
+        constrained requests need per-request first-token masking)."""
+        if req.constraint is not None:
+            return None
         if req.pixel_values is None:
             return ("text", req.lora_id)
         if req.pixel_values.ndim == 4 and req.pixel_values.shape[0] == 1 \
@@ -774,7 +861,8 @@ class ContinuousBatcher:
 
             decode = _paged_pool_decode_fn(
                 self.cfg, self.gen_cfg, self.chunk, self.pages_per_row,
-                self.page_size, self.use_kernel)
+                self.page_size, self.use_kernel,
+                fsm=self.fsm_vocab is not None)
         else:
             decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
         rng = jax.random.PRNGKey(0)
@@ -845,11 +933,19 @@ class ContinuousBatcher:
                 self._ensure_pages()
                 if not bool(np.asarray(self.active).any()):
                     continue
-                (self.paged, self.tokens, self.lengths, self.budget,
-                 self.active, toks) = decode(
-                     self.params, self.paged, self.tables,
-                     self.lengths, self.tokens, self.budget, self.active, sub,
-                     self.lora_pack, self.lora_idx)
+                if self.fsm_vocab is not None:
+                    (self.paged, self.tokens, self.lengths, self.budget,
+                     self.active, toks, self.fsm_state) = decode(
+                         self.params, self.paged, self.tables,
+                         self.lengths, self.tokens, self.budget,
+                         self.active, sub, self.lora_pack, self.lora_idx,
+                         self.fsm_allow, self.fsm_trans, self.fsm_state)
+                else:
+                    (self.paged, self.tokens, self.lengths, self.budget,
+                     self.active, toks, _) = decode(
+                         self.params, self.paged, self.tables,
+                         self.lengths, self.tokens, self.budget,
+                         self.active, sub, self.lora_pack, self.lora_idx)
             else:
                 # NOTE: write_idx advances pool-wide each chunk; capacity
                 # bounds total decoded tokens across the pool's lifetime

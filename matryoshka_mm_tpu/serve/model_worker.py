@@ -113,12 +113,23 @@ class ModelWorker:
                 # reference eval protocol); sampled requests should use a
                 # non-speculative worker
                 gen_cfg = GenerationConfig(temperature=0.0, do_sample=False)
+            fsm_vocab = None
+            if kv_backend == "paged" and not speculative_k:
+                # enables regex-constrained requests ("regex" in params /
+                # SGLang sampling_params) at zero cost until first use
+                from .constrained import vocab_from_tokenizer
+
+                try:
+                    fsm_vocab = vocab_from_tokenizer(self.tokenizer)
+                except Exception:   # exotic tokenizer: constraints off
+                    fsm_vocab = None
             self.batcher = ContinuousBatcher(
                 self.model.params, self.model.cfg, max_batch=max_batch,
                 prefill_len=pool_prefill_len,
                 max_new_tokens=pool_max_new, backend=kv_backend,
                 prefix_cache=prefix_cache, adapters=adapters,
-                gen_cfg=gen_cfg, speculative_k=speculative_k)
+                gen_cfg=gen_cfg, speculative_k=speculative_k,
+                fsm_vocab=fsm_vocab)
             if warmup:
                 dt = self.batcher.warmup(with_image=self.is_multimodal)
                 logger.info(f"warmup compile took {dt:.1f}s")
@@ -275,6 +286,13 @@ class ModelWorker:
         if lora_id and not use_batcher:
             raise ValueError("LoRA requests require the continuous-batching "
                              "greedy v0 path")
+        regex = params.get("regex")
+        if regex and not (use_batcher
+                          and getattr(self.batcher, "fsm_vocab", None)):
+            raise ValueError("regex-constrained requests require the "
+                             "continuous-batching worker (paged backend; "
+                             "the batcher is constructed with the "
+                             "tokenizer vocab automatically)")
         if use_batcher:
             from .batching import BatchError
 
@@ -282,7 +300,8 @@ class ModelWorker:
                 input_ids,
                 None if px_arr is None else np.asarray(px_arr, np.float32),
                 numtoks=numtoks, max_new_tokens=max_new_tokens,
-                lora_id=lora_id, image_size=img_size)
+                lora_id=lora_id, image_size=img_size,
+                constraint_regex=regex)
             acc = []
             try:
                 for chunk_toks in self.batcher.stream(req):

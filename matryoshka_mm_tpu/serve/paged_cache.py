@@ -447,23 +447,30 @@ def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
 
 @lru_cache(maxsize=8)
 def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
-                          page_size: int, use_kernel: bool):
+                          page_size: int, use_kernel: bool,
+                          fsm: bool = False):
     """Chunked batched decode over a paged pool with sampling/eos/budget —
     the paged counterpart of batching._pool_decode_fn.  ``cfg`` is a
     LlavaConfig (params carry the "llama" subtree).
 
     The caller must guarantee every active row has page capacity for
     row_len + steps tokens before invoking (the scheduler extends rows
-    between chunks); rows that finish mid-chunk simply stop writing."""
+    between chunks); rows that finish mid-chunk simply stop writing.
+
+    ``fsm`` enables constrained decoding (serve/constrained.py): each
+    row carries a DFA state; the state's allow row masks the logits
+    before selection and the dense transition table advances it — the
+    whole automaton lives inside the scan, no host round-trips."""
     from ..generate import _select_token
 
     # donate the page pools: the scheduler replaces self.paged with the
     # returned pools every chunk, and a decode error kills the batcher
     @partial(jax.jit, donate_argnums=(1,))
     def decode(params, paged, tables, row_len, tokens, budget,
-               active, rng, lora_pack=None, lora_idx=None):
+               active, rng, lora_pack=None, lora_idx=None,
+               fsm_allow=None, fsm_trans=None, fsm_state=None):
         def step(carry, _):
-            paged, token, row_len, budget, active, rng = carry
+            paged, token, row_len, budget, active, rng, fstate = carry
             k_all, v_all, ks_all, vs_all, logits = _decode_core(
                 params["llama"], cfg.llama, paged.k, paged.v, tables,
                 row_len, token, active, max_pages=max_pages,
@@ -471,17 +478,25 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
                 lora_pack=lora_pack, lora_idx=lora_idx,
                 ks_all=paged.k_scale, vs_all=paged.v_scale)
             paged = PagedKVCache(k_all, v_all, ks_all, vs_all)
-            nxt, rng2 = _select_token(logits[:, 0], gen_cfg, rng)
+            logit0 = logits[:, 0]
+            if fsm:
+                logit0 = jnp.where(fsm_allow[fstate], logit0, -1e30)
+            nxt, rng2 = _select_token(logit0, gen_cfg, rng)
+            if fsm:
+                fstate = jnp.where(active, fsm_trans[fstate, nxt], fstate)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             row_len = row_len + active.astype(row_len.dtype)
             budget = jnp.where(active, budget - 1, budget)
             active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
-            return (paged, nxt, row_len, budget, active, rng2), nxt
+            return (paged, nxt, row_len, budget, active, rng2, fstate), nxt
 
-        (paged, token, row_len, budget, active, rng), toks = (
+        if not fsm:
+            fsm_state = jnp.zeros_like(tokens)
+        (paged, token, row_len, budget, active, rng, fsm_state), toks = (
             jax.lax.scan(step, (paged, tokens, row_len, budget,
-                                active, rng), jnp.arange(steps)))
-        return paged, token, row_len, budget, active, toks.T
+                                active, rng, fsm_state),
+                         jnp.arange(steps)))
+        return paged, token, row_len, budget, active, toks.T, fsm_state
 
     return decode
 

@@ -46,6 +46,8 @@ def _params_from_sglang(body: dict) -> dict:
         "stop": sp.get("stop"),
         "matryoshka_vis_token_scale": body.get("matryoshka_vis_token_scale"),
         "lora": body.get("lora") or (body.get("sampling_params") or {}).get("lora"),
+        # SGLang-native constrained decoding: output must full-match
+        "regex": sp.get("regex"),
     }
 
 
