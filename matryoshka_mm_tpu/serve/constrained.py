@@ -419,3 +419,65 @@ def vocab_from_tokenizer(tokenizer) -> List[str]:
     toks = tokenizer.convert_ids_to_tokens(list(range(size)))
     return [t.replace("▁", " ") if isinstance(t, str) else ""
             for t in toks]
+
+
+# ---------------------------------------------------------------------------
+# JSON mode: schema -> regex
+# ---------------------------------------------------------------------------
+
+_JSON_STRING = r'"[^"\\]{0,256}"'
+# JSON forbids leading zeros: -?(0|[1-9][0-9]*), bounded for regularity
+_JSON_INT = r"-?(0|[1-9]\d{0,14})"
+_JSON_NUMBER = _JSON_INT + r"(\.\d{1,10})?"
+_JSON_BOOL = r"(true|false)"
+_WS = r" ?"
+
+
+def regex_for_json_schema(schema: dict, max_items: int = 8) -> str:
+    """A (bounded) regex accepting JSON documents matching ``schema``.
+
+    Supports the practical subset: ``type`` object/array/string/number/
+    integer/boolean, ``properties`` (all required, in declaration order —
+    fixed key order is what makes the language regular), ``enum`` of
+    scalars, and ``items`` for arrays (1..max_items elements).  JSON is
+    not a regular language; the point is the common LLM-extraction shape:
+    a flat-ish object with known keys.  Nested objects/arrays work to any
+    fixed depth since each level inlines its sub-regex."""
+    t = schema.get("type")
+    if "enum" in schema:
+        import json as _json
+
+        opts = "|".join(re_escape(_json.dumps(v)) for v in schema["enum"])
+        return f"({opts})"
+    if t == "string":
+        return _JSON_STRING
+    if t == "number":
+        return _JSON_NUMBER
+    if t == "integer":
+        return _JSON_INT
+    if t == "boolean":
+        return _JSON_BOOL
+    if t == "array":
+        item = regex_for_json_schema(schema.get("items", {"type": "string"}),
+                                     max_items)
+        reps = max(max_items - 1, 0)
+        return (rf"\[{_WS}{item}({_WS},{_WS}{item}){{0,{reps}}}{_WS}\]"
+                if max_items > 0 else r"\[ ?\]")
+    if t == "object" or "properties" in schema:
+        props = schema.get("properties", {})
+        parts = []
+        for key, sub in props.items():
+            val = regex_for_json_schema(sub, max_items)
+            parts.append(f'"{re_escape(key)}"{_WS}:{_WS}{val}')
+        body = f"{_WS},{_WS}".join(parts)
+        return r"\{" + _WS + body + _WS + r"\}"
+    raise ValueError(f"unsupported schema node: {schema!r}")
+
+
+_REGEX_META = set("\\^$.|?*+()[]{}\"")
+
+
+def re_escape(s: str) -> str:
+    """Escape regex metacharacters for the local dialect."""
+    return "".join("\\" + c if c in _REGEX_META and c != '"' else c
+                   for c in s)

@@ -222,3 +222,66 @@ def test_batcher_constraint_validation():
     with pytest.raises(ValueError, match="paged"):
         ContinuousBatcher(params, cfg, gen_cfg=gen_cfg, backend="dense",
                           fsm_vocab=_toy_vocab(cfg.llama.vocab_size))
+
+
+def test_json_schema_regex():
+    """regex_for_json_schema: generated docs parse as JSON and match the
+    schema shape; invalid docs are rejected."""
+    import json
+
+    from matryoshka_mm_tpu.serve.constrained import regex_for_json_schema
+
+    schema = {"type": "object", "properties": {
+        "answer": {"enum": ["yes", "no"]},
+        "confidence": {"type": "number"},
+        "tags": {"type": "array", "items": {"type": "string"}},
+    }}
+    pattern = regex_for_json_schema(schema, max_items=3)
+    dfa = compile_regex(pattern)
+    good = [
+        '{"answer": "yes", "confidence": 0.93, "tags": ["a", "b"]}',
+        '{"answer": "no", "confidence": -1, "tags": ["x"]}',
+    ]
+    bad = [
+        '{"answer": "maybe", "confidence": 1, "tags": ["a"]}',
+        '{"confidence": 1, "answer": "yes", "tags": ["a"]}',   # key order
+        '{"answer": "yes", "confidence": 1, "tags": []}',      # min 1 item
+        '{"answer": "yes", "confidence": 1}',                  # missing key
+    ]
+    for s in good:
+        assert dfa.fullmatch(s), s
+        parsed = json.loads(s)
+        assert parsed["answer"] in ("yes", "no")
+    for s in bad:
+        assert not dfa.fullmatch(s), s
+
+
+def test_json_mode_end_to_end_scan():
+    """Greedy over random logits under the JSON-schema tables always
+    yields parseable JSON of the right shape."""
+    import json
+
+    from matryoshka_mm_tpu.serve.constrained import (build_token_tables,
+                                                     regex_for_json_schema)
+
+    schema = {"type": "object", "properties": {"ok": {"type": "boolean"},
+                                               "n": {"type": "integer"}}}
+    pattern = regex_for_json_schema(schema)
+    dfa = compile_regex(pattern)
+    vocab = ["<pad>", "</s>", "{", "}", '"', "ok", "n", ":", ",", " ",
+             "true", "false", "0", "1", "2", "-", '"ok"', '"n":', "3"]
+    allow, trans = build_token_tables(dfa, vocab, 1, special_ids=[0])
+    rng = np.random.default_rng(7)
+    for _ in range(5):
+        state, text = dfa.start, ""
+        for _step in range(120):
+            logits = rng.standard_normal(len(vocab))
+            logits = np.where(allow[state], logits, -1e30)
+            tok = int(np.argmax(logits))
+            if tok == 1:
+                break
+            text += vocab[tok]
+            state = trans[state, tok]
+        parsed = json.loads(text)
+        assert set(parsed) == {"ok", "n"}
+        assert isinstance(parsed["ok"], bool) and isinstance(parsed["n"], int)
