@@ -287,6 +287,10 @@ class ModelWorker:
             raise ValueError("LoRA requests require the continuous-batching "
                              "greedy v0 path")
         regex = params.get("regex")
+        if not regex and params.get("json_schema"):
+            from .constrained import regex_for_json_schema
+
+            regex = regex_for_json_schema(params["json_schema"])
         if regex and not (use_batcher
                           and getattr(self.batcher, "fsm_vocab", None)):
             raise ValueError("regex-constrained requests require the "

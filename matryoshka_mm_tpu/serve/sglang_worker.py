@@ -48,6 +48,7 @@ def _params_from_sglang(body: dict) -> dict:
         "lora": body.get("lora") or (body.get("sampling_params") or {}).get("lora"),
         # SGLang-native constrained decoding: output must full-match
         "regex": sp.get("regex"),
+        "json_schema": sp.get("json_schema"),
     }
 
 
