@@ -189,6 +189,17 @@ class DebugTokenizer:
     def batch_decode(self, batch, skip_special_tokens=True):
         return [self.decode(x, skip_special_tokens) for x in batch]
 
+    def convert_ids_to_tokens(self, ids):
+        """Piece per id, HF-style (enables constrained decoding on the
+        debug model): a small cyclic piece set so regex/JSON constraints
+        are satisfiable offline."""
+        pieces = ["yes", "no", "A", "B", "C", "D", "true", "false",
+                  "0", "1", "2", "3", ".", ",", " ", '"', "{", "}", ":",
+                  "x"]
+        return ["<pad>" if i == 0 else "<s>" if i == 1 else "</s>"
+                if i == 2 else "<unk>" if i == 3
+                else pieces[(i - 4) % len(pieces)] for i in ids]
+
 
 def load_pretrained_model(
     model_path: str,
