@@ -285,3 +285,38 @@ def test_json_mode_end_to_end_scan():
         parsed = json.loads(text)
         assert set(parsed) == {"ok", "n"}
         assert isinstance(parsed["ok"], bool) and isinstance(parsed["n"], int)
+
+
+def test_batcher_constrained_sampling():
+    """Temperature sampling under the mask still full-matches (masked
+    logits are -1e30, so forbidden tokens have probability zero)."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    vocab = _toy_vocab(cfg.llama.vocab_size)
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                               eos_token_id=2, pad_token_id=0,
+                               do_sample=True, temperature=0.9)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 100, (1, 6)).astype(np.int32)
+    b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                          max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=8, fsm_vocab=vocab)
+    try:
+        pattern = r"(A|B|C|D){1,3}"
+        for _ in range(3):
+            r = b.submit(ids, None, max_new_tokens=8,
+                         constraint_regex=pattern)
+            toks = np.concatenate(list(b.stream(r)))
+            text = ""
+            for t in toks:
+                if t == 2:
+                    break
+                text += vocab[t]
+            assert re.fullmatch(pattern, text), (toks, text)
+    finally:
+        b.shutdown()
