@@ -32,6 +32,19 @@ def mesh8():
     return Mesh(devices, axis_names=("data", "model"))
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Drop compiled executables after each test module.
+
+    The suite jit-compiles ~350 programs; with all of them live, XLA-CPU
+    deterministically segfaults inside backend_compile while building the
+    (largest) donated remat train step near the end of the run.  Each
+    module's functions are lru-cached within the module, so clearing at
+    module boundaries costs only the rare cross-module recompile."""
+    yield
+    jax.clear_caches()
+
+
 # ---------------------------------------------------------------------------
 # Quick subset: `pytest -m quick` (<5 min) for iteration; the full suite
 # (~18 min, compile-heavy jit/scan/pallas tests) stays the CI gate.
