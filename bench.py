@@ -169,10 +169,16 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
     the aiohttp transport (~ms/request) is excluded.  Reports req/s,
     aggregate decode tok/s, and per-request TTFT p50/p95 measured from
     submit to first streamed token."""
+    import dataclasses
+
     from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
     from matryoshka_mm_tpu.generate import GenerationConfig
     from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
 
+    # int8 KV pools: KV reads scale with B x context (weights are shared),
+    # and 2x pages per byte budget is the capacity story under load
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
     n_requests, concurrency, max_new = 18, 6, 64
     batcher = ContinuousBatcher(
         params, cfg, max_batch=8, prefill_len=256, max_new_tokens=96,
@@ -229,8 +235,8 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
             "throughput_tok_s": round(total_tok / wall, 1),
             "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 3),
             "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 3),
-            "note": "paged KV + prefix cache + int8 fused decode, batcher-"
-                    "level (HTTP transport excluded)",
+            "note": "paged int8-KV pool + prefix cache + int8 fused "
+                    "decode, batcher-level (HTTP transport excluded)",
         }
         if speculative_k:
             st = batcher.spec_stats

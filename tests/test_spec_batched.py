@@ -119,3 +119,29 @@ def test_spec_with_quantized_weights(model):
     got, _ = _run(qparams, cfg, reqs, spec_k=4)
     for w, g in zip(want, got):
         np.testing.assert_array_equal(g, w)
+
+
+def test_spec_with_anyres_request(model):
+    """Anyres multi-tile requests (solo prefill trace) decode under
+    speculation exactly like vanilla."""
+    cfg, params = model
+    rng = np.random.default_rng(1)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9, 8, 7]], np.int32)
+    tiles = rng.standard_normal((3, 3, 56, 56)).astype(np.float32)
+    reqs = [(ids, tiles, 4)]
+    gen_cfg = GenerationConfig(max_new_tokens=10, decode_chunk=2,
+                               eos_token_id=-1)
+
+    def run(k):
+        b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=128,
+                              max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                              backend="paged", page_size=8,
+                              speculative_k=k)
+        try:
+            h = b.submit(ids, tiles, numtoks=4, max_new_tokens=10,
+                         image_size=(100, 80))
+            return np.concatenate(list(b.stream(h)))
+        finally:
+            b.shutdown()
+
+    np.testing.assert_array_equal(run(4), run(0))
