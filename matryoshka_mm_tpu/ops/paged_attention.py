@@ -40,7 +40,10 @@ def _interpret() -> bool:
 
 def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             q_ref, k_ref, v_ref, *refs, page_size: int, num_pages: int,
-            scale: float, kv_int8: bool = False):
+            scale: float, kv_int8: bool = False, s_block: int = 1):
+    """``s_block > 1``: the G axis carries G*S query rows (row r = g*S + s,
+    query position row_len + r%S) — the speculative verify's intra-block
+    causality rides the same online-softmax loop as single-token decode."""
     if kv_int8:
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
     else:
@@ -55,13 +58,13 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    seq_len = row_len_ref[b] + 1               # includes the current token
+    seq_len = row_len_ref[b] + s_block         # includes the new block
     # pages beyond the row's length contribute nothing
     run = p * page_size < seq_len
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]                           # (Hkv, G, Dh)
+        q = q_ref[0]                           # (Hkv, G*S, Dh)
         k = k_ref[0]                           # (page, Hkv, Dh) — unexpanded
         v = v_ref[0]
         if kv_int8:
@@ -77,14 +80,21 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         s = jax.lax.dot_general(
             q, k.transpose(1, 0, 2),
             (((2,), (2,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32) * scale   # (Hkv, G, page)
+            preferred_element_type=jnp.float32) * scale   # (Hkv, G*S, page)
         if kv_int8:
             # per-(slot, head) dequant scale distributes onto the logits:
             # sum_d q*(k_i8*sk) == (q @ k_i8^T) * sk
             s = s * ks_ref[0].transpose(1, 0)[:, None, :]   # (Hkv, 1, page)
 
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
-        mask = idx < seq_len
+        if s_block == 1:
+            mask = idx < seq_len
+        else:
+            # query r attends kv slots <= its own position row_len + r%S
+            qpos = (row_len_ref[b]
+                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    % s_block)
+            mask = idx <= qpos
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :, 0:1]
@@ -249,3 +259,86 @@ def paged_decode_attention_stacked(
     )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
       *operands)
     return out.reshape(B, H, Dh)
+
+
+def paged_verify_attention_stacked(
+    q: jnp.ndarray,             # (B, H, S, Dh) draft-block queries
+    k_all: jnp.ndarray,         # (L, n_pages, page, Hkv, Dh) stacked pools
+    v_all: jnp.ndarray,
+    layer_idx: jnp.ndarray,     # scalar i32
+    page_tables: jnp.ndarray,   # (B, P) int32
+    row_len: jnp.ndarray,       # (B,) tokens before the block
+    k_scale=None,               # (L, n_pages, page, Hkv) f32 — int8 KV
+    v_scale=None,
+) -> jnp.ndarray:
+    """Speculative-verify attention over pages: S query rows per request
+    (the draft block, already written into the row's pages at slots
+    [row_len, row_len+S)) with intra-block causality, reading pages in
+    place.  Replaces the gather fallback that materializes every row's
+    full KV view per layer (~2x(B*S_virt*Hkv*Dh) transient HBM per layer
+    at serving shapes).  Returns (B, H, S, Dh).
+
+    The S axis folds into the per-kv-head query rows (G*S), so the same
+    online-softmax kernel body serves decode (S=1) and verify."""
+    B, H, S, Dh = q.shape
+    _, n_pages, page_size, Hkv, _ = k_all.shape
+    P = page_tables.shape[1]
+    scale = Dh ** -0.5
+    G = H // Hkv
+    # (B, H, S, Dh) -> (B, Hkv, G*S, Dh): row r = g*S + s
+    qg = q.reshape(B, Hkv, G, S, Dh).reshape(B, Hkv, G * S, Dh)
+    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
+    kv_int8 = k_all.dtype == jnp.int8
+
+    def kernel(idx_ref, tables_ref, row_len_ref, q_ref, k_ref, v_ref,
+               *refs):
+        del idx_ref
+        if kv_int8:
+            ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
+            extra = (ks_ref.at[0], vs_ref.at[0])
+        else:
+            out_ref, acc_ref, m_ref, l_ref = refs
+            extra = ()
+        _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
+                *extra, out_ref, acc_ref, m_ref, l_ref,
+                page_size=page_size, num_pages=P, scale=scale,
+                kv_int8=kv_int8, s_block=S)
+
+    page_spec = pl.BlockSpec(
+        (1, 1, page_size, Hkv, Dh),
+        lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0, 0))
+    in_specs = [
+        pl.BlockSpec((1, Hkv, G * S, Dh),
+                     lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
+        page_spec,
+        page_spec,
+    ]
+    operands = [qg, k_all, v_all]
+    if kv_int8:
+        sc_spec = pl.BlockSpec(
+            (1, 1, page_size, Hkv),
+            lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0))
+        in_specs += [sc_spec, sc_spec]
+        operands += [k_scale.astype(jnp.float32),
+                     v_scale.astype(jnp.float32)]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(B, P),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((1, Hkv, G * S, Dh),
+                               lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
+        scratch_shapes=[
+            pltpu.VMEM((Hkv, G * S, Dh), jnp.float32),
+            pltpu.VMEM((Hkv, G * S, 128), jnp.float32),
+            pltpu.VMEM((Hkv, G * S, 128), jnp.float32),
+        ],
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, G * S, Dh), q.dtype),
+        interpret=_interpret(),
+    )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
+      *operands)
+    return out.reshape(B, Hkv, G, S, Dh).reshape(B, H, S, Dh)

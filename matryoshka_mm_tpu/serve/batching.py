@@ -851,11 +851,19 @@ class ContinuousBatcher:
 
     def _loop_inner(self):
         if self.spec_k > 0:
+            import os
+
             from .paged_cache import _paged_spec_verify_fn
 
+            # the S-block verify kernel is implemented and interpret-
+            # tested but not yet validated against Mosaic on hardware
+            # (scripts/tpu_kernel_check.py covers it); opt in with
+            # M3_SPEC_KERNEL=1 — the gather fallback is the safe default
+            spec_kernel = (self.use_kernel
+                           and os.environ.get("M3_SPEC_KERNEL") == "1")
             decode = _paged_spec_verify_fn(
                 self.cfg, self.gen_cfg, self.spec_k, self.pages_per_row,
-                self.page_size)
+                self.page_size, use_kernel=spec_kernel)
         elif self.backend == "paged":
             from .paged_cache import _paged_pool_decode_fn
 

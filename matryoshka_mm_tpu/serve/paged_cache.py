@@ -185,7 +185,11 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                   cfg.head_dim)
     n_pages = k_all.shape[1]
     S_virt = max_pages * page_size
-    use_kernel = use_kernel and S == 1   # the Pallas kernel is 1-token
+    # S>1 (speculative verify) routes through the S-block variant of the
+    # paged kernel when the caller enabled kernels; S==1 keeps the
+    # single-token kernel
+    use_verify_kernel = use_kernel and S > 1 and cfg.arch != "mpt"
+    use_kernel = use_kernel and S == 1
 
     hidden = embed_tokens(params, tokens)                 # (B, S, D)
     pos = row_len[:, None] + jnp.arange(S)[None]          # (B, S)
@@ -326,6 +330,14 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 q[:, :, 0, :], k_all, v_all, idx, tables, eff_len,
                 k_scale=ks_all, v_scale=vs_all)
             attn = attn.reshape(B, 1, H * Dh)
+        elif use_verify_kernel:
+            from ..ops.paged_attention import paged_verify_attention_stacked
+
+            eff_len = jnp.where(active, row_len, 0)
+            attn = paged_verify_attention_stacked(
+                q, k_all, v_all, idx, tables, eff_len,
+                k_scale=ks_all, v_scale=vs_all)      # (B, H, S, Dh)
+            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         else:
             # gather each row's pages -> (B, S_virt, n_kv, Dh)
             k_rows = gather_rows(k_all, ks_all, idx, Hkv)
@@ -503,7 +515,7 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
 
 @lru_cache(maxsize=8)
 def _paged_spec_verify_fn(cfg, gen_cfg, k: int, max_pages: int,
-                          page_size: int):
+                          page_size: int, use_kernel: bool = False):
     """Batched speculative verify step over the paged pool (greedy only).
 
     One Sq=k+1 forward per dispatch scores every row's k host-proposed
@@ -531,7 +543,7 @@ def _paged_spec_verify_fn(cfg, gen_cfg, k: int, max_pages: int,
         k_all, v_all, ks_all, vs_all, logits = _decode_core(
             params["llama"], cfg.llama, paged.k, paged.v, tables, row_len,
             block, active, max_pages=max_pages, page_size=page_size,
-            use_kernel=False, lora_pack=lora_pack, lora_idx=lora_idx,
+            use_kernel=use_kernel, lora_pack=lora_pack, lora_idx=lora_idx,
             ks_all=paged.k_scale, vs_all=paged.v_scale)
         paged = PagedKVCache(k_all, v_all, ks_all, vs_all)
         greedy = jnp.argmax(logits, axis=-1).astype(jnp.int32)  # (B, k+1)

@@ -154,6 +154,47 @@ def check_flash_int8():
     del _quantize_kv_slots
 
 
+def check_verify_kernel():
+    """S-block verify kernel vs gather: greedy tokens must agree.  Once
+    this passes ON HARDWARE, M3_SPEC_KERNEL=1 can become the default."""
+    import dataclasses
+    import os
+
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, hidden_size=256,
+                                       num_attention_heads=2,
+                                       num_key_value_heads=2,
+                                       intermediate_size=448))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=12, decode_chunk=2,
+                               eos_token_id=-1)
+    outs = {}
+    for name, env in (("gather", "0"), ("kernel", "1")):
+        os.environ["M3_SPEC_KERNEL"] = env
+        b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                              max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                              backend="paged", page_size=8,
+                              speculative_k=4, use_kernel=True)
+        try:
+            r = b.submit(ids, px, numtoks=4, max_new_tokens=12)
+            outs[name] = np.concatenate(list(b.stream(r)))
+        finally:
+            b.shutdown()
+    os.environ.pop("M3_SPEC_KERNEL", None)
+    same = (outs["gather"] == outs["kernel"]).all()
+    print(f"spec verify kernel vs gather: match={same}")
+    assert same
+
+
 if __name__ == "__main__":
     dev = jax.devices()[0]
     print("device:", dev, dev.platform)
@@ -163,4 +204,5 @@ if __name__ == "__main__":
     check_paged_int8()
     check_spec_verify()
     check_flash_int8()
+    check_verify_kernel()
     print("ALL TPU KERNEL CHECKS PASSED")
