@@ -30,6 +30,7 @@ from __future__ import annotations
 import queue
 import threading
 import time
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from functools import lru_cache, partial
 from typing import Dict, List, Optional
@@ -155,7 +156,7 @@ class ContinuousBatcher:
         # dead state (eos only), row 1 the unconstrained free state
         self.fsm_vocab = fsm_vocab
         self.fsm_quota = int(max_fsm_states)
-        self._fsm_cache: Dict[str, tuple] = {}
+        self._fsm_cache: "OrderedDict[str, tuple]" = OrderedDict()
         if fsm_vocab is not None:
             if backend != "paged":
                 raise ValueError("constrained decoding (fsm_vocab) requires "
@@ -164,6 +165,18 @@ class ContinuousBatcher:
                 raise ValueError("constrained decoding and speculative_k "
                                  "cannot combine: the verify step does not "
                                  "mask draft logits")
+            # the allow mask must broadcast against the model's logits:
+            # pad short vocabs (lm_head wider than the tokenizer, e.g.
+            # padded embeddings) with never-matchable sentinels; a vocab
+            # WIDER than the logits means the wrong tokenizer — reject
+            V_model = cfg.llama.vocab_size
+            if len(fsm_vocab) > V_model:
+                raise ValueError(
+                    f"fsm_vocab has {len(fsm_vocab)} entries but the model "
+                    f"emits {V_model} logits — wrong tokenizer?")
+            self._fsm_pad_ids = list(range(len(fsm_vocab), V_model))
+            fsm_vocab = self.fsm_vocab = (
+                list(fsm_vocab) + [""] * len(self._fsm_pad_ids))
             V = len(fsm_vocab)
             n_rows = 2 + max_batch * self.fsm_quota
             allow = np.zeros((n_rows, V), bool)
@@ -171,8 +184,6 @@ class ContinuousBatcher:
             allow[1, :] = True                            # free: anything
             trans = np.zeros((n_rows, V), np.int32)
             trans[1, :] = 1
-            self._fsm_allow_np = allow
-            self._fsm_trans_np = trans
             self.fsm_allow = jnp.asarray(allow)
             self.fsm_trans = jnp.asarray(trans)
             self.fsm_state = jnp.ones((max_batch,), jnp.int32)
@@ -461,6 +472,12 @@ class ContinuousBatcher:
         from .prefix_cache import (_suffix_prefill_fn, chain_hashes,
                                    import_page_range)
 
+        if req.constraint is not None:
+            # the hit path selects the first token before FSM installation
+            # could mask it — constrained requests take the full-prefill
+            # path (guarded HERE, not just in _admit: the scheduler loop
+            # also calls this directly for burst admissions)
+            return None
         key_seq, text_resume = self._key_seq(req)
         if key_seq is None:
             return None
@@ -591,29 +608,38 @@ class ContinuousBatcher:
         return jnp.asarray(ids), jnp.asarray(mask)
 
     def _fsm_tables(self, pattern: str):
-        """Compile (and memoize) a constraint's local token tables."""
+        """Compile a constraint's local token tables; bounded LRU memo
+        (each entry holds ~(quota, V) bool+int32 arrays — an unbounded
+        cache leaks under per-request schemas embedding request data)."""
         if pattern not in self._fsm_cache:
             from .constrained import build_token_tables, compile_regex
 
             dfa = compile_regex(pattern)
             allow, trans = build_token_tables(
                 dfa, self.fsm_vocab, self.gen_cfg.eos_token_id,
-                special_ids=[self.gen_cfg.pad_token_id])
+                special_ids=[self.gen_cfg.pad_token_id,
+                             *getattr(self, "_fsm_pad_ids", [])])
             self._fsm_cache[pattern] = (allow, trans, dfa.start)
+            while len(self._fsm_cache) > 32:
+                self._fsm_cache.popitem(last=False)
+        self._fsm_cache.move_to_end(pattern)
         return self._fsm_cache[pattern]
 
     def _install_fsm(self, req: _Request, slot: int, logits):
         """Place the request's DFA span into the slot's table-pool region
         and mask the prefill logits with the start state's allow row.
-        Local state s>0 maps to pool row offset+s-1; 0 stays the dead row."""
+        Local state s>0 maps to pool row offset+s-1; 0 stays the dead row.
+        The device pools update only the slot's span in place — a full
+        re-upload costs ~80MB host->device per admission at 7B vocab."""
         allow_l, trans_l, start = self._fsm_tables(req.constraint)
         n = allow_l.shape[0]
         offset = 2 + slot * self.fsm_quota
-        remap = np.where(trans_l[1:n] == 0, 0, offset + trans_l[1:n] - 1)
-        self._fsm_allow_np[offset:offset + n - 1] = allow_l[1:n]
-        self._fsm_trans_np[offset:offset + n - 1] = remap
-        self.fsm_allow = jnp.asarray(self._fsm_allow_np)
-        self.fsm_trans = jnp.asarray(self._fsm_trans_np)
+        remap = np.where(trans_l[1:n] == 0, 0,
+                         offset + trans_l[1:n] - 1).astype(np.int32)
+        self.fsm_allow = jax.lax.dynamic_update_slice(
+            self.fsm_allow, jnp.asarray(allow_l[1:n]), (offset, 0))
+        self.fsm_trans = jax.lax.dynamic_update_slice(
+            self.fsm_trans, jnp.asarray(remap), (offset, 0))
         req.fsm = (trans_l, offset, start)
         return jnp.where(jnp.asarray(allow_l[start])[None], logits, -1e30)
 

@@ -29,7 +29,6 @@ pattern (``full-match`` semantics).
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import Dict, FrozenSet, List, Optional, Sequence, Tuple
 
 import numpy as np
@@ -230,6 +229,12 @@ class _Parser:
             return frozenset("\n")
         if c == "t":
             return frozenset("\t")
+        if c == "r":
+            return frozenset("\r")
+        if c == "f":
+            return frozenset("\f")
+        if c == "v":
+            return frozenset("\v")
         return frozenset(c)                       # literal escape
 
     def _parse_class(self) -> FrozenSet[str]:
@@ -393,39 +398,35 @@ def build_token_tables(dfa: CharDFA, vocab: Sequence[str], eos_id: int,
     return allow, trans
 
 
-@lru_cache(maxsize=64)
-def cached_token_tables(pattern: str, vocab_key, eos_id: int):
-    """lru wrapper keyed on (pattern, vocab identity).  ``vocab_key`` must
-    be a hashable stand-in for the vocab (e.g. ``id(tokenizer)`` plus its
-    size) supplied with the actual vocab via :func:`register_vocab`."""
-    vocab, special = _VOCABS[vocab_key]
-    dfa = compile_regex(pattern)
-    return build_token_tables(dfa, vocab, eos_id, special)
-
-
-_VOCABS: Dict[object, Tuple[Sequence[str], Sequence[int]]] = {}
-
-
-def register_vocab(key, vocab: Sequence[str],
-                   special_ids: Sequence[int] = ()) -> None:
-    _VOCABS[key] = (list(vocab), list(special_ids))
+def _piece_to_text(t) -> str:
+    """Tokenizer piece -> the text emitting it appends: sentencepiece
+    '▁' and BPE 'Ġ/Ċ/ĉ' markers become space/newline/tab, byte-fallback
+    pieces '<0xNN>' become their character."""
+    if not isinstance(t, str):
+        return ""
+    if len(t) == 6 and t.startswith("<0x") and t.endswith(">"):
+        try:
+            return chr(int(t[3:5], 16))
+        except ValueError:
+            return t
+    return (t.replace("▁", " ").replace("Ġ", " ")
+            .replace("Ċ", "\n").replace("ĉ", "\t"))
 
 
 def vocab_from_tokenizer(tokenizer) -> List[str]:
-    """Decoded piece per id — what emitting that id appends to the text.
-    Uses convert_ids_to_tokens + sentencepiece markers when available."""
+    """Decoded piece per id — what emitting that id appends to the text."""
     size = int(getattr(tokenizer, "vocab_size", None)
                or len(tokenizer.get_vocab()))
     toks = tokenizer.convert_ids_to_tokens(list(range(size)))
-    return [t.replace("▁", " ") if isinstance(t, str) else ""
-            for t in toks]
+    return [_piece_to_text(t) for t in toks]
 
 
 # ---------------------------------------------------------------------------
 # JSON mode: schema -> regex
 # ---------------------------------------------------------------------------
 
-_JSON_STRING = r'"[^"\\]{0,256}"'
+# JSON forbids raw control characters inside strings
+_JSON_STRING = r'"[^"\\\t\n\r]{0,256}"'
 # JSON forbids leading zeros: -?(0|[1-9][0-9]*), bounded for regularity
 _JSON_INT = r"-?(0|[1-9]\d{0,14})"
 _JSON_NUMBER = _JSON_INT + r"(\.\d{1,10})?"

@@ -94,11 +94,14 @@ def make_stacked(BK, BN, BM, fuse_dots=False, ext_corr=False):
         y = out[0, :M]
         if ext_corr:
             # every x column feeds exactly one nibble dot (lo covers
-            # [0, K/2), hi covers [K/2, K)), so the bias is -8*sum(x) once
+            # [0, K/2), hi covers [K/2, K)), so the bias is -8*sum(x) once,
+            # scaled by THIS layer's per-channel scale
             corr = -8.0 * jnp.sum(x[:M].astype(jnp.float32), axis=1,
                                   keepdims=True)
+            layer_scale = scale.reshape(L, N)[jnp.asarray(layer_idx,
+                                                          jnp.int32)]
             y = (y.astype(jnp.float32)
-                 + corr * scale.reshape(1, N)).astype(jnp.bfloat16)
+                 + corr * layer_scale[None, :]).astype(jnp.bfloat16)
         return y
 
     return mm

@@ -320,3 +320,45 @@ def test_batcher_constrained_sampling():
             assert re.fullmatch(pattern, text), (toks, text)
     finally:
         b.shutdown()
+
+
+def test_constraint_with_prefix_cache_hit():
+    """A constrained request whose prompt prefix is already cached must
+    still be constrained (the prefix-hit fast path selects the first
+    token before FSM install, so such requests take the full prefill)."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    vocab = _toy_vocab(cfg.llama.vocab_size)
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                               eos_token_id=2, pad_token_id=0)
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, 100, (1, 21)).astype(np.int32)
+    ids[0, 2] = IMAGE_TOKEN_INDEX
+    px = np.random.default_rng(1).standard_normal(
+        (1, 3, 56, 56)).astype(np.float32)
+    b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                          max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=8, prefix_cache=True,
+                          fsm_vocab=vocab)
+    try:
+        # seed the prefix cache with an unconstrained run of the SAME prompt
+        r0 = b.submit(ids, px, numtoks=4, max_new_tokens=8)
+        _ = np.concatenate(list(b.stream(r0)))
+        # identical prompt WITH a constraint: must not take the hit path
+        pattern = r"(A|B)(C|D)"
+        r1 = b.submit(ids, px, numtoks=4, max_new_tokens=8,
+                      constraint_regex=pattern)
+        t1 = np.concatenate(list(b.stream(r1)))
+        text = ""
+        for t in t1:
+            if t == 2:
+                break
+            text += vocab[t]
+        assert re.fullmatch(pattern, text), (t1, text)
+    finally:
+        b.shutdown()
