@@ -133,11 +133,21 @@ def _cfg_from_hf_config(d: dict) -> LlavaConfig:
         rope_theta=d.get("rope_theta", 10000.0),
         dtype="bfloat16",
     )
-    vision = ClipVisionConfig.vit_l_14_336(
-        select_layer=d.get("mm_vision_select_layer", -2),
-        select_feature=d.get("mm_vision_select_feature", "patch"),
-        dtype="bfloat16",
-    )
+    if "vision_tower_config" in d:
+        # non-standard tower dims (custom or test checkpoints); standard
+        # liuhaotian configs carry only the tower NAME, always ViT-L/336
+        vision = ClipVisionConfig(
+            **d["vision_tower_config"],
+            select_layer=d.get("mm_vision_select_layer", -2),
+            select_feature=d.get("mm_vision_select_feature", "patch"),
+            dtype="bfloat16",
+        )
+    else:
+        vision = ClipVisionConfig.vit_l_14_336(
+            select_layer=d.get("mm_vision_select_layer", -2),
+            select_feature=d.get("mm_vision_select_feature", "patch"),
+            dtype="bfloat16",
+        )
     preset = M3Preset.from_dict(d.get("config"))
     return LlavaConfig(
         llama=llama,

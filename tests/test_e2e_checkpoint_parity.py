@@ -1,0 +1,171 @@
+"""End-to-end converted-checkpoint parity vs a torch reference pipeline.
+
+The component parity tests (CLIP vs HF, llama vs HF, bit-exact pooling,
+splice) each cover one stage; this test composes ALL of them through the
+real user path — a liuhaotian-layout torch checkpoint on disk, loaded via
+``load_pretrained_model`` (conversion included) — and checks greedy
+next-token agreement against an in-test torch port of the reference
+pipeline (tower -> select_layer/patch -> mm_projector ->
+adaptive_avg_pool2d matryoshka pooling -> splice -> LM), i.e. the
+offline analog of BASELINE.md's "temperature-0 answer match" north star
+(the real-weight version runs via scripts/check_fidelity.py when
+M3_CHECKPOINT is set).
+
+Reference semantics ported here: llava/model/llava_arch.py
+encode_images (hidden_states[select_layer][:, 1:]), project_v4 pooling
+order (projector BEFORE pooling for projector_loc=after_vision_tower),
+and prepare_inputs_labels_for_multimodal's single-image splice.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+torch = pytest.importorskip("torch")
+import transformers  # noqa: E402
+
+from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX  # noqa: E402
+from matryoshka_mm_tpu.models.builder import load_pretrained_model  # noqa: E402
+from matryoshka_mm_tpu.models.llava import (  # noqa: E402
+    forward_spliced,
+    prepare_multimodal,
+)
+
+H_LM, V, H_VIS = 32, 128, 48
+IMG, PATCH = 56, 14                       # 4x4 patch grid -> scales 1/4/16
+
+
+@pytest.fixture(scope="module")
+def checkpoint(tmp_path_factory):
+    path = tmp_path_factory.mktemp("ckpt")
+    torch.manual_seed(0)
+    lm_cfg = transformers.LlamaConfig(
+        vocab_size=V, hidden_size=H_LM, intermediate_size=64,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=4,
+        rms_norm_eps=1e-5, rope_theta=10000.0)
+    lm = transformers.LlamaForCausalLM(lm_cfg).eval()
+    vis_cfg = transformers.CLIPVisionConfig(
+        hidden_size=H_VIS, intermediate_size=96, num_hidden_layers=3,
+        num_attention_heads=4, image_size=IMG, patch_size=PATCH,
+        layer_norm_eps=1e-5)
+    vis = transformers.CLIPVisionModel(vis_cfg).eval()
+
+    sd = dict(lm.state_dict())
+    for k, v in vis.state_dict().items():
+        sd[f"model.vision_tower.vision_tower.{k}"] = v
+    g = torch.Generator().manual_seed(1)
+    proj = {
+        "model.mm_projector.0.weight": torch.randn(H_LM, H_VIS, generator=g) * 0.1,
+        "model.mm_projector.0.bias": torch.randn(H_LM, generator=g) * 0.1,
+        "model.mm_projector.2.weight": torch.randn(H_LM, H_LM, generator=g) * 0.1,
+        "model.mm_projector.2.bias": torch.randn(H_LM, generator=g) * 0.1,
+    }
+    sd.update(proj)
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+    with open(os.path.join(path, "config.json"), "w") as f:
+        json.dump({
+            "vocab_size": V, "hidden_size": H_LM, "intermediate_size": 64,
+            "num_hidden_layers": 2, "num_attention_heads": 4,
+            "num_key_value_heads": 4, "rms_norm_eps": 1e-5,
+            "mm_projector_type": "mlp2x_gelu", "mm_hidden_size": H_VIS,
+            "mm_vision_select_layer": -2, "mm_vision_select_feature": "patch",
+            "image_aspect_ratio": "pad",
+            "vision_tower_config": {
+                "hidden_size": H_VIS, "intermediate_size": 96,
+                "num_hidden_layers": 3, "num_attention_heads": 4,
+                "image_size": IMG, "patch_size": PATCH,
+            },
+            "config": {"use_alternative": True, "projection_type": "v4",
+                       "matryoshka_vis_token_scale": "ver=v0_numtoks=[1,4,16]",
+                       "moe": None, "projector_loc": "after_vision_tower",
+                       "lm_loss_type": "micro"},
+        }, f)
+    return str(path), lm, vis, proj
+
+
+def _torch_image_features(vis, proj, px, numtoks):
+    """Reference pipeline: tower -> hidden_states[-2][:, 1:] -> projector
+    -> adaptive_avg_pool2d to sqrt(numtoks)^2 tokens (llava_arch.py
+    project_v4, projector before pooling)."""
+    with torch.no_grad():
+        out = vis(px, output_hidden_states=True)
+        feats = out.hidden_states[-2][:, 1:]                 # (1, P, H_VIS)
+        w0 = proj["model.mm_projector.0.weight"]
+        b0 = proj["model.mm_projector.0.bias"]
+        w2 = proj["model.mm_projector.2.weight"]
+        b2 = proj["model.mm_projector.2.bias"]
+        feats = torch.nn.functional.gelu(feats @ w0.T + b0) @ w2.T + b2
+        side = int(round(feats.shape[1] ** 0.5))
+        r = int(round(numtoks ** 0.5))
+        grid = feats.reshape(1, side, side, -1).permute(0, 3, 1, 2)
+        pooled = torch.nn.functional.adaptive_avg_pool2d(grid, (r, r))
+        return pooled.permute(0, 2, 3, 1).reshape(1, numtoks, -1)
+
+
+def _torch_logits(lm, embeds):
+    with torch.no_grad():
+        out = lm(inputs_embeds=embeds)
+    return out.logits
+
+
+@pytest.mark.parametrize("numtoks", [1, 4, 16])
+def test_converted_checkpoint_forced_greedy_parity(checkpoint, numtoks):
+    path, lm, vis, proj = checkpoint
+    tok, model, _proc, _ctx = load_pretrained_model(path, None, "llava-e2e")
+    assert model.cfg.tokscale_list == [1, 4, 16]
+
+    rng = np.random.default_rng(0)
+    ids = rng.integers(5, V - 5, (1, 9)).astype(np.int32)
+    ids[0, 3] = IMAGE_TOKEN_INDEX
+    px = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32) * 0.5
+
+    # ---- torch reference: splice image features into the embeddings ----
+    img_feats = _torch_image_features(vis, proj, torch.from_numpy(px),
+                                      numtoks)
+    emb = lm.get_input_embeddings()
+    pre = emb(torch.from_numpy(ids[:, :3].astype(np.int64)))
+    post = emb(torch.from_numpy(ids[:, 4:].astype(np.int64)))
+    embeds = torch.cat([pre, img_feats, post], dim=1)
+
+    # ---- ours: the converted checkpoint through the public pipeline ----
+    spliced, _ = prepare_multimodal(model.params, model.cfg,
+                                    jnp.asarray(ids), jnp.asarray(px),
+                                    numtoks=numtoks)
+    n_real = int(np.asarray(spliced.attn_mask).sum())
+    assert n_real == embeds.shape[1]
+
+    # forced greedy: at every step both sides extend with the TORCH argmax
+    # so per-step agreement is independent of earlier flips
+    agree, steps = 0, 6
+    for _ in range(steps):
+        t_logits = _torch_logits(lm, embeds)[0, embeds.shape[1] - 1]
+        j_logits = np.asarray(
+            forward_spliced(model.params, model.cfg, spliced),
+            np.float32)[0, n_real - 1]
+        t_tok = int(t_logits.argmax())
+        j_tok = int(j_logits.argmax())
+        # bf16 conversion bounds the logit error; the composed pipelines
+        # must agree within it
+        np.testing.assert_allclose(
+            j_logits, t_logits.numpy(), atol=0.08,
+            err_msg=f"numtoks={numtoks}")
+        agree += int(t_tok == j_tok)
+        nxt = torch.tensor([[t_tok]])
+        embeds = torch.cat([embeds, emb(nxt)], dim=1)
+        new_emb = np.asarray(spliced.embeds)
+        tok_emb = np.asarray(model.params["llama"]["embed_tokens"],
+                             np.float32)[t_tok]
+        new_emb = np.concatenate(
+            [new_emb[:, :n_real],
+             tok_emb[None, None].astype(new_emb.dtype)], axis=1)
+        n_real += 1
+        spliced = spliced._replace(
+            embeds=jnp.asarray(new_emb),
+            position_ids=jnp.arange(n_real)[None],
+            attn_mask=jnp.ones((1, n_real), bool))
+    # greedy tokens: allow at most one bf16-margin flip over the run
+    assert agree >= steps - 1, f"numtoks={numtoks}: {agree}/{steps}"
