@@ -59,7 +59,7 @@ _QUICK_MODULES = {
     "test_igvlm", "test_data_pipeline", "test_serve_units",
     "test_pooling", "test_splice", "test_quant", "test_serving",
     "test_native_image_ops", "test_prefix_cache", "test_losses",
-    "test_paged_attention", "test_spec_batched",
+    "test_paged_attention", "test_spec_batched", "test_constrained",
 }
 
 

@@ -99,11 +99,12 @@ def _torch_image_features(vis, proj, px, numtoks):
         w2 = proj["model.mm_projector.2.weight"]
         b2 = proj["model.mm_projector.2.bias"]
         feats = torch.nn.functional.gelu(feats @ w0.T + b0) @ w2.T + b2
-        side = int(round(feats.shape[1] ** 0.5))
+        B, P, D = feats.shape
+        side = int(round(P ** 0.5))
         r = int(round(numtoks ** 0.5))
-        grid = feats.reshape(1, side, side, -1).permute(0, 3, 1, 2)
+        grid = feats.reshape(B, side, side, D).permute(0, 3, 1, 2)
         pooled = torch.nn.functional.adaptive_avg_pool2d(grid, (r, r))
-        return pooled.permute(0, 2, 3, 1).reshape(1, numtoks, -1)
+        return pooled.permute(0, 2, 3, 1).reshape(B, numtoks, D)
 
 
 def _torch_logits(lm, embeds):
@@ -169,3 +170,68 @@ def test_converted_checkpoint_forced_greedy_parity(checkpoint, numtoks):
             attn_mask=jnp.ones((1, n_real), bool))
     # greedy tokens: allow at most one bf16-margin flip over the run
     assert agree >= steps - 1, f"numtoks={numtoks}: {agree}/{steps}"
+
+
+def test_converted_checkpoint_anyres_merge_parity(checkpoint, tmp_path):
+    """Anyres spatial_unpad merge through the converted checkpoint matches
+    a torch port of the reference merge (llava_arch.py:552-589: grid
+    reassembly, unpad_image crop, per-row image_newline, base prepend)."""
+    import shutil
+
+    from matryoshka_mm_tpu.models.llava import encode_anyres_features
+
+    src, lm, vis, proj = checkpoint
+    path = tmp_path / "anyres"
+    shutil.copytree(src, path)
+    # extend the checkpoint: anyres config + an image_newline weight
+    g = torch.Generator().manual_seed(7)
+    newline = torch.randn(H_LM, generator=g) * 0.1
+    sd = torch.load(os.path.join(path, "pytorch_model.bin"),
+                    weights_only=True)
+    sd["model.image_newline"] = newline
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+    cfg_d = json.load(open(os.path.join(path, "config.json")))
+    cfg_d["image_aspect_ratio"] = "anyres"
+    cfg_d["mm_patch_merge_type"] = "spatial_unpad"
+    cfg_d["image_grid_pinpoints"] = [[112, 56], [56, 112], [112, 112]]
+    json.dump(cfg_d, open(os.path.join(path, "config.json"), "w"))
+
+    tok, model, _proc, _ctx = load_pretrained_model(str(path), None,
+                                                    "llava-e2e-anyres")
+    rng = np.random.default_rng(3)
+    # 2x1 tile grid (112x56 pinpoint wins for a wide image) + base tile
+    image_size = (100, 40)                   # (w, h): wide -> rows cropped
+    tiles = rng.standard_normal((3, 3, IMG, IMG)).astype(np.float32) * 0.5
+    numtoks = 16
+
+    got = np.asarray(encode_anyres_features(
+        model.params, model.cfg, jnp.asarray(tiles), image_size, numtoks),
+        np.float32)
+
+    # ---- torch reference port ----
+    feats = _torch_image_features(vis, proj, torch.from_numpy(tiles),
+                                  numtoks)                 # (3, 16, D)
+    base, grid_tiles = feats[0], feats[1:]
+    h = w = 4
+    num_w, num_h = 2, 1                       # 112x56 pinpoint, 56px tiles
+    D = base.shape[-1]
+    grid = grid_tiles.reshape(num_h, num_w, h, w, D) \
+        .permute(4, 0, 2, 1, 3).reshape(D, num_h * h, num_w * w)
+    # unpad (reference mm_utils.unpad_image): wide image -> crop rows
+    ow, oh = image_size
+    cur_h, cur_w = grid.shape[1], grid.shape[2]
+    if ow / oh > cur_w / cur_h:
+        new_h = int(oh * (cur_w / ow))
+        pad = (cur_h - new_h) // 2
+        grid = grid[:, pad: cur_h - pad, :]
+    else:
+        new_w = int(ow * (cur_h / oh))
+        pad = (cur_w - new_w) // 2
+        grid = grid[:, :, pad: cur_w - pad]
+    nl = newline[:, None, None].expand(D, grid.shape[1], 1)
+    grid = torch.cat([grid, nl], dim=2)
+    tile_feats = grid.reshape(D, -1).T
+    want = torch.cat([base, tile_feats], dim=0).numpy()
+
+    assert got.shape == want.shape, (got.shape, want.shape)
+    np.testing.assert_allclose(got, want, atol=0.03)   # bf16 pipeline
