@@ -19,8 +19,8 @@ The regex dialect is the practical core: literals, ``.``, classes
 and literal escapes), grouping ``()``, alternation ``|``, and the
 quantifiers ``* + ? {m} {m,} {m,n}``.  Compilation is the textbook
 Thompson NFA -> subset-construction DFA; tables are built by simulating
-every (state, token-string) pair once and memoizing on the token's first
-character class, then cached per (pattern, vocab identity).
+every (state, token-string) pair once (the batcher memoizes compiled
+tables per pattern in a bounded LRU).
 
 EOS policy: the eos token is allowed exactly in accepting states, so a
 constrained generation can only terminate on a string matching the
