@@ -25,6 +25,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from .constants import IMAGE_TOKEN_INDEX
 from .kvconfig import parse_kv_from_string, parse_list
 from .models.llama import KVCache, embed_tokens, init_kv_cache, llama_forward, lm_head
 from .models.llava import LlavaConfig, prepare_multimodal
@@ -61,6 +62,31 @@ def _prefill_fn(cfg: LlavaConfig, numtoks: int, out_len: int, capacity: int):
         logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
         lengths = jnp.minimum(spliced.lengths, L)
         return logits, cache, lengths, gating_prob
+
+    return prefill
+
+
+@lru_cache(maxsize=32)
+def _prefill_multi_fn(cfg: LlavaConfig, numtoks: int, n_images: int,
+                      out_len: int, capacity: int):
+    """Multi-image prefill (B=1): image i's features land at sentinel i
+    (see models/llava.prepare_multimodal_multi)."""
+    from .models.llava import prepare_multimodal_multi
+
+    @jax.jit
+    def prefill(params, input_ids, pixel_values):
+        spliced, _ = prepare_multimodal_multi(
+            params, cfg, input_ids, pixel_values, numtoks=numtoks,
+            out_len=out_len, padding_side="left")
+        B, L, _ = spliced.embeds.shape
+        cache = init_kv_cache(cfg.llama, B, capacity)
+        hidden, cache = llama_forward(
+            params["llama"], cfg.llama, spliced.embeds,
+            position_ids=spliced.position_ids, attn_valid=spliced.attn_mask,
+            cache=cache)
+        logits = lm_head(params["llama"], hidden[:, -1:, :])[:, 0]
+        lengths = jnp.minimum(spliced.lengths, L)
+        return logits, cache, lengths
 
     return prefill
 
@@ -299,6 +325,24 @@ def generate(
                             stopping_criteria)
 
     pixel_values = jnp.asarray(pixel_values)
+
+    # multi-image (B=1): an (M, 3, H, W) stack whose M matches the M image
+    # sentinels in the prompt — each image splices at its own sentinel
+    # (reference: llava_arch.py ragged loop over images)
+    n_sent = int(np.asarray(
+        (input_ids == IMAGE_TOKEN_INDEX).sum()))
+    if (not combine and pixel_values.ndim == 4 and B == 1
+            and pixel_values.shape[0] > 1
+            and pixel_values.shape[0] == n_sent):
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        M = int(pixel_values.shape[0])
+        L = _round_up(T - M + M * n, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths = _prefill_multi_fn(cfg, n, M, L, capacity)(
+            params, input_ids, pixel_values)
+        first, rng = _select_token(logits, gen_cfg, rng)
+        return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
+                            stopping_criteria)
 
     if not combine:
         n = numtoks if numtoks is not None else cfg.vision.num_patches
@@ -703,6 +747,16 @@ def stream_generate(
             logits, cache, lengths = _prefill_anyres_fn(
                 cfg, n, int(tiles.shape[0]), size, L, capacity)(
                 params, input_ids, tiles)
+        elif (pixel_values.ndim == 4 and B == 1
+              and pixel_values.shape[0] > 1
+              and int(np.asarray((input_ids == IMAGE_TOKEN_INDEX).sum()))
+              == pixel_values.shape[0]):
+            # multi-image prompt: image i splices at sentinel i
+            M = int(pixel_values.shape[0])
+            L = _round_up(T - M + M * n, 64)
+            capacity = L + gen_cfg.max_new_tokens
+            logits, cache, lengths = _prefill_multi_fn(
+                cfg, n, M, L, capacity)(params, input_ids, pixel_values)
         else:
             L = _round_up(T - 1 + n, 64)
             capacity = L + gen_cfg.max_new_tokens

@@ -237,6 +237,33 @@ def prepare_multimodal(
     return spliced, proj["gating_prob"]
 
 
+def prepare_multimodal_multi(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: jnp.ndarray,              # (1, T) with M image sentinels
+    pixel_values: jnp.ndarray,           # (M, 3, H, W) distinct images
+    *,
+    numtoks: int,
+    out_len: Optional[int] = None,
+    padding_side: Optional[str] = None,
+) -> Tuple[SplicedBatch, jnp.ndarray]:
+    """Multi-image preparation for ONE sample: the i-th image's pooled
+    features land at the i-th ``IMAGE_TOKEN_INDEX`` sentinel (the
+    reference's ragged loop consumes images in sentinel order,
+    llava_arch.py:560-700; here the M feature blocks ride the splice's
+    per-sample image-slot axis)."""
+    M = pixel_values.shape[0]
+    proj = project(params, cfg, pixel_values, numtoks)   # M as batch
+    feats = proj["image_features"][None]                 # (1, M, N, D)
+    text = embed_tokens(params["llama"], input_ids)
+    T = input_ids.shape[1]
+    L = out_len if out_len is not None else T - M + M * numtoks
+    spliced = splice_multimodal(
+        input_ids, text, feats, out_len=L,
+        padding_side=padding_side or cfg.tokenizer_padding_side)
+    return spliced, proj["gating_prob"]
+
+
 def unpad_image_features(grid: jnp.ndarray, original_size, current_hw) -> jnp.ndarray:
     """Crop a (D, H, W) feature grid back to the image's aspect ratio
     (reference: llava_arch.py:307-335 ``unpad_image``).  Static shapes: the

@@ -221,3 +221,40 @@ def test_v2_combine_matches_reference_loop(params, cfg, spec, combine):
                    gen_cfg=GenerationConfig(max_new_tokens=steps,
                                             eos_token_id=-1))
     np.testing.assert_array_equal(np.asarray(got[0]), want)
+
+
+def test_multi_image_greedy_matches_naive(params, cfg):
+    """Multi-image prompts (M distinct images, M sentinels): generate()
+    matches a recompute-from-scratch loop over manually multi-spliced
+    embeddings — image i's features at sentinel i, in order (reference:
+    llava_arch.py's ragged loop consumes images in sentinel order)."""
+    from matryoshka_mm_tpu.models.llava import prepare_multimodal_multi
+
+    rng = np.random.default_rng(0)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9,
+                     IMAGE_TOKEN_INDEX, 7, 11]], np.int32)
+    px = rng.standard_normal((2, 3, 56, 56)).astype(np.float32)
+    numtoks, steps = 4, 6
+    gen_cfg = GenerationConfig(max_new_tokens=steps, eos_token_id=-1)
+    got = generate(params, cfg, ids, px,
+                   matryoshka_vis_token_scale=f"ver=v0_numtoks={numtoks}",
+                   gen_cfg=gen_cfg)[0]
+
+    cur_ids = ids.copy()
+    want = []
+    for _ in range(steps):
+        spliced, _ = prepare_multimodal_multi(
+            params, cfg, jnp.asarray(cur_ids), jnp.asarray(px),
+            numtoks=numtoks)
+        logits = forward_spliced(params, cfg, spliced)
+        last = int(np.asarray(spliced.lengths)[0]) - 1
+        nxt = int(np.asarray(logits[0, last]).argmax())
+        want.append(nxt)
+        cur_ids = np.concatenate([cur_ids, [[nxt]]], axis=1)
+    np.testing.assert_array_equal(got[:steps], want)
+
+    # order sensitivity: swapping the two images must change the result
+    got_swap = generate(params, cfg, ids, px[::-1].copy(),
+                        matryoshka_vis_token_scale=f"ver=v0_numtoks={numtoks}",
+                        gen_cfg=gen_cfg)[0]
+    assert not np.array_equal(got[:steps], got_swap[:steps])
