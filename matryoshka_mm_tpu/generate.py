@@ -358,6 +358,9 @@ def generate(
                             stopping_criteria)
 
     # ---- v2 combine-logits: K parallel scale streams ----
+    if pixel_values.ndim == 4 and B == 1 and pixel_values.shape[0] > 1:
+        raise ValueError("ver=v2 combine-logits supports one image per "
+                         "sample (multi-image prompts use ver=v0)")
     tokscales = [int(x) for x in parse_list(kvs["numtoks"])]
     K = len(tokscales)
     L = _round_up(T - 1 + max(tokscales), 64)

@@ -302,6 +302,14 @@ def build_app(controller_url: str, conv_mode: str = "vicuna_v1",
             "images": images,
             "matryoshka_vis_token_scale": f"ver=v0_numtoks={scale2tokens[scale]}",
         }
+        # optional structured-output controls (serve/constrained.py):
+        # honored by continuous-batching paged workers, greedy only
+        if data.get("regex"):
+            pload["regex"] = data["regex"]
+            pload["temperature"] = 0.0
+        elif data.get("json_schema"):
+            pload["json_schema"] = data["json_schema"]
+            pload["temperature"] = 0.0
         final_text, final_code = "", 0
         try:
             r = requests.post(worker_addr + "/worker_generate_stream",
