@@ -170,3 +170,19 @@ def test_spec_verify_kernel_path(monkeypatch):
     for w, g in zip(want, got):
         np.testing.assert_array_equal(g, w)
     assert stats["tokens_emitted"] > stats["verify_steps"]
+
+
+def test_spec_with_gqa_decoder():
+    """Speculation over a GQA decoder (Hkv < H, mistral-style grouping in
+    the (B, S) verify core) matches vanilla."""
+    import dataclasses
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, num_key_value_heads=2))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    reqs = _requests(n=2)
+    want, _ = _run(params, cfg, reqs, spec_k=0)
+    got, _ = _run(params, cfg, reqs, spec_k=4)
+    for w, g in zip(want, got):
+        np.testing.assert_array_equal(g, w)
