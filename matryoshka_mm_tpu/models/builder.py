@@ -158,7 +158,20 @@ def _cfg_from_hf_config(d: dict) -> LlavaConfig:
         image_aspect_ratio=d.get("image_aspect_ratio", "square"),
         image_grid_pinpoints=d.get("image_grid_pinpoints"),
         tokenizer_model_max_length=d.get("tokenizer_model_max_length", 2048),
+        # the reference derives the router's feature taps from the moe
+        # kv-string's ft= key (llava_arch.py:250), not a config field
+        router_feature_types=_router_features(preset),
     )
+
+
+def _router_features(preset) -> tuple:
+    moe = getattr(preset, "moe", None)
+    if not moe:
+        return ()
+    from ..kvconfig import parse_kv_from_string
+
+    ft = parse_kv_from_string(moe).get("ft")
+    return tuple(str(ft).split(",")) if ft else ()
 
 
 class DebugTokenizer:

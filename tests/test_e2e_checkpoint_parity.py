@@ -235,3 +235,50 @@ def test_converted_checkpoint_anyres_merge_parity(checkpoint, tmp_path):
 
     assert got.shape == want.shape, (got.shape, want.shape)
     np.testing.assert_allclose(got, want, atol=0.03)   # bf16 pipeline
+
+
+def test_converted_checkpoint_router_parity(checkpoint, tmp_path):
+    """M3-MoE router through the converted checkpoint: gating probs match
+    the torch port (tanh MLP + softmax over the select-layer cls feature,
+    llava_arch.py:127-135, 499-518) and gateprobargmax picks the same
+    scale."""
+    import shutil
+
+    from matryoshka_mm_tpu.generate import gating_probs
+
+    src, lm, vis, proj = checkpoint
+    path = tmp_path / "moe"
+    shutil.copytree(src, path)
+    g = torch.Generator().manual_seed(11)
+    r_fc1_w = torch.randn(24, H_VIS, generator=g) * 0.2
+    r_fc1_b = torch.randn(24, generator=g) * 0.2
+    r_fc2_w = torch.randn(3, 24, generator=g) * 0.2
+    r_fc2_b = torch.randn(3, generator=g) * 0.2
+    sd = torch.load(os.path.join(path, "pytorch_model.bin"),
+                    weights_only=True)
+    sd["model.router.fc1.weight"] = r_fc1_w
+    sd["model.router.fc1.bias"] = r_fc1_b
+    sd["model.router.fc2.weight"] = r_fc2_w
+    sd["model.router.fc2.bias"] = r_fc2_b
+    torch.save(sd, os.path.join(path, "pytorch_model.bin"))
+    cfg_d = json.load(open(os.path.join(path, "config.json")))
+    cfg_d["config"]["moe"] = \
+        "t=dense_ft=cls_obj=weightedlm_loadb=switch_alpha=0.01"
+    json.dump(cfg_d, open(os.path.join(path, "config.json"), "w"))
+
+    tok, model, _proc, _ctx = load_pretrained_model(str(path), None,
+                                                    "llava-e2e-moe")
+    assert model.cfg.is_m3_moe
+    rng = np.random.default_rng(5)
+    px = rng.standard_normal((1, 3, IMG, IMG)).astype(np.float32) * 0.5
+
+    got = np.asarray(gating_probs(model.params, model.cfg,
+                                  jnp.asarray(px)), np.float32)
+
+    with torch.no_grad():
+        cls = vis(torch.from_numpy(px),
+                  output_hidden_states=True).hidden_states[-2][:, 0]
+        h = torch.tanh(cls @ r_fc1_w.T + r_fc1_b)
+        want = torch.softmax(h @ r_fc2_w.T + r_fc2_b, dim=-1).numpy()
+    np.testing.assert_allclose(got, want, atol=0.02)
+    assert int(got[0].argmax()) == int(want[0].argmax())
