@@ -31,7 +31,9 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
-                         fused_quant_mlp, index_layer_tree, tree_has_int4)
+                         fused_quant_layer_tail, fused_quant_mlp,
+                         fused_quant_norm_qkv, index_layer_tree,
+                         tree_has_int4)
 
 
 def _flash_decode_ok(impl: str, head_dim: int, batch: int,
@@ -356,16 +358,24 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     a = layer_params["self_attn"]
     window = cfg.sliding_window or None
 
-    x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
-    if "qkv_proj" in a:
-        # int4 fused layout (ops/quant.py _fuse_layer_projections): one
-        # kernel launch for q+k+v instead of three
-        qkv = proj(x, a["qkv_proj"])
+    # norm+qkv single-kernel decode path (folds the input RMSNorm into
+    # the qkv weight stream); None outside the fused inference layout
+    qkv = fused_quant_norm_qkv(hidden, layer_params["input_layernorm"],
+                               a.get("qkv_proj"), cfg.rms_norm_eps)
+    if qkv is not None:
         q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
     else:
-        q = proj(x, a["q_proj"])
-        k = proj(x, a["k_proj"])
-        v = proj(x, a["v_proj"])
+        x = rms_norm(hidden, layer_params["input_layernorm"],
+                     cfg.rms_norm_eps)
+        if "qkv_proj" in a:
+            # int4 fused layout (ops/quant.py _fuse_layer_projections):
+            # one kernel launch for q+k+v instead of three
+            qkv = proj(x, a["qkv_proj"])
+            q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
+        else:
+            q = proj(x, a["q_proj"])
+            k = proj(x, a["k_proj"])
+            v = proj(x, a["v_proj"])
     q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
@@ -446,10 +456,16 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             sliding_window=window, impl=cfg.attn_impl)
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+    m = layer_params["mlp"]
+    tail = fused_quant_layer_tail(
+        hidden, attn_out, a.get("o_proj"),
+        layer_params["post_attention_layernorm"], m, cfg.rms_norm_eps)
+    if tail is not None:
+        # one-kernel layer tail (o_proj + residual + norm + MLP + residual)
+        return tail, (cache_k, cache_v, cache_ks, cache_vs)
     hidden = hidden + proj(attn_out, a["o_proj"])
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
-    m = layer_params["mlp"]
     mlp_out = fused_quant_mlp(x, m)   # whole-MLP single-kernel decode path
     if mlp_out is None:
         if "gateup_proj" in m:

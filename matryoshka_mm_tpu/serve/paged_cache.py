@@ -40,6 +40,7 @@ from ..models.llama import (
     rope_cos_sin,
 )
 from ..ops.attention import attention_reference
+from ..ops.quant import fused_quant_layer_tail, fused_quant_norm_qkv
 
 
 class PagedKVCache(NamedTuple):
@@ -296,15 +297,24 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         if cfg.arch == "mpt":
             return mpt_body(carry, (idx, lp, la_xs))
         a = lp["self_attn"]
-        x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-        if "qkv_proj" in a:
-            # fused int4 layout (ops/quant.py): one kernel for q+k+v
-            qkv = mm(x, a["qkv_proj"], la_xs, None)
+        # norm+qkv single-kernel decode path (ops/fused_mlp.py); side-band
+        # multi-LoRA (lora_pack) must keep the unfused mm() so the deltas
+        # apply — the leaf-level guards can't see la_xs
+        qkv = None if lora_pack is not None else fused_quant_norm_qkv(
+            h, lp["input_layernorm"], a.get("qkv_proj"), cfg.rms_norm_eps)
+        if qkv is not None:
             q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
         else:
-            q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
-            k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
-            v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
+            x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+            if "qkv_proj" in a:
+                # fused int4 layout (ops/quant.py): one kernel for q+k+v
+                qkv = mm(x, a["qkv_proj"], la_xs, None)
+                q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh],
+                                    axis=-1)
+            else:
+                q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
+                k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
+                v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
         q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
@@ -348,10 +358,17 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 causal=True, q_positions=pos, kv_positions=kv_pos,
                 kv_valid=kv_valid)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
+        m = lp["mlp"]
+        # one-kernel layer tail (o_proj + residual + norm + MLP +
+        # residual); same multi-LoRA exclusion as the qkv fusion above
+        tail = None if lora_pack is not None else fused_quant_layer_tail(
+            h, attn, a.get("o_proj"), lp["post_attention_layernorm"], m,
+            cfg.rms_norm_eps)
+        if tail is not None:
+            return (tail, k_all, v_all, ks_all, vs_all), None
         h = h + mm(attn, a["o_proj"], la_xs, ("self_attn", "o_proj"))
 
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        m = lp["mlp"]
         if "gateup_proj" in m:
             gate, up = jnp.split(mm(x, m["gateup_proj"], la_xs, None),
                                  2, axis=-1)
