@@ -252,6 +252,111 @@ def mmbench_aggregate(results: List[dict]) -> dict:
 # fans each doc into seed_<data_type> and seed_all metric keys).
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# HallusionBench — aAcc / qAcc / fAcc (reference:
+# lmms-eval/lmms_eval/tasks/hallusion_bench/evaluate_hb.py
+# hb_aggregation_result_intern, the offline parse variant: answer = yes iff
+# "yes" appears in the prediction; qAcc groups by (category, subcategory,
+# set_id, question_id) and fAcc by (..., figure_id), a group counting only
+# when EVERY member is correct.  The reference's default path swaps the
+# yes-parse for a GPT correctness judge — API-gated, not wired here.)
+# ---------------------------------------------------------------------------
+
+def hallusion_process_results(doc: dict, result: str) -> dict:
+    ans = "1" if "yes" in str(result).lower() else "0"
+    gt = str(doc.get("gt_answer", "")).strip()
+    base = (str(doc.get("category", "")), str(doc.get("subcategory", "")),
+            str(doc.get("set_id", "")))
+    return {"hallusion_acc": {
+        "correct": float(ans == gt),
+        "q_key": "_".join(base + (str(doc.get("question_id", "")),)),
+        "f_key": "_".join(base + (str(doc.get("figure_id", "")),)),
+    }}
+
+
+def hallusion_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    q_groups, f_groups = defaultdict(list), defaultdict(list)
+    for r in results:
+        q_groups[r["q_key"]].append(r["correct"])
+        f_groups[r["f_key"]].append(r["correct"])
+
+    def _all_correct_rate(groups):
+        return (sum(min(vs) for vs in groups.values()) / len(groups)
+                if groups else 0.0)
+
+    return {
+        "aAcc": round(sum(r["correct"] for r in results)
+                      / max(len(results), 1), 4),
+        "qAcc": round(_all_correct_rate(q_groups), 4),
+        "fAcc": round(_all_correct_rate(f_groups), 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# MMMU — accuracy per subject plus per-discipline and overall rollups
+# (reference: lmms-eval/lmms_eval/tasks/mmmu/utils.py mmmu_process_results /
+# mmmu_aggregate_results; the subject comes out of the doc id
+# "validation_<Subject>_<n>", and DOMAIN_CAT2SUB_CAT groups subjects into
+# the six disciplines — that table is MMMU's published taxonomy).
+# ---------------------------------------------------------------------------
+
+_MMMU_DOMAINS = {
+    "Art and Design": ("Art", "Art_Theory", "Design", "Music"),
+    "Business": ("Accounting", "Economics", "Finance", "Manage",
+                 "Marketing"),
+    "Science": ("Biology", "Chemistry", "Geography", "Math", "Physics"),
+    "Health and Medicine": ("Basic_Medical_Science", "Clinical_Medicine",
+                            "Diagnostics_and_Laboratory_Medicine",
+                            "Pharmacy", "Public_Health"),
+    "Humanities and Social Science": ("History", "Literature", "Sociology",
+                                      "Psychology"),
+    "Tech and Engineering": ("Agriculture", "Architecture_and_Engineering",
+                             "Computer_Science", "Electronics",
+                             "Energy_and_Power", "Materials",
+                             "Mechanical_Engineering"),
+}
+_MMMU_SUBJECT2DOMAIN = {s: d for d, subs in _MMMU_DOMAINS.items()
+                        for s in subs}
+
+
+def _mmmu_subject(doc_id: str) -> str:
+    """'validation_Art_Theory_12' -> 'Art_Theory' (reference:
+    mmmu/utils.py extract_subset_name)."""
+    parts = str(doc_id).split("_")
+    if len(parts) >= 3:
+        return "_".join(parts[1:-1])
+    return "unknown"
+
+
+def mmmu_process_results(doc: dict, result: str) -> dict:
+    from ..api.metrics import multiple_choice_letter
+
+    score = multiple_choice_letter(str(doc.get("answer", "")), str(result))
+    return {"mmmu_acc": {"subject": _mmmu_subject(doc.get("id", "")),
+                         "score": score}}
+
+
+def mmmu_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    by_subject = defaultdict(list)
+    for r in results:
+        by_subject[r["subject"]].append(r["score"])
+    out = {}
+    domain_scores = defaultdict(list)
+    for s, vs in sorted(by_subject.items()):
+        out[s] = round(sum(vs) / len(vs), 4)
+        domain_scores[_MMMU_SUBJECT2DOMAIN.get(s, "unknown")].extend(vs)
+    for d, vs in sorted(domain_scores.items()):
+        out[f"Overall-{d}"] = round(sum(vs) / len(vs), 4)
+    n = sum(len(vs) for vs in by_subject.values())
+    out["Overall"] = round(sum(sum(vs) for vs in by_subject.values())
+                           / max(n, 1), 4)
+    return out
+
+
 def seedbench_process_results(doc: dict, result: str) -> dict:
     pred = str(result).strip()
     if len(pred) > 1:

@@ -180,6 +180,56 @@ def test_seedbench_per_type_golden():
     assert agg["all"] == pytest.approx(0.75)
 
 
+def test_hallusion_qacc_facc_golden():
+    """One 2-question set over 2 figures (reference protocol: qAcc groups
+    by question across figure rotations, fAcc by figure across questions;
+    a group scores only when every member is correct —
+    hallusion_bench/evaluate_hb.py hb_aggregation_result_intern)."""
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        hallusion_aggregate, hallusion_process_results)
+
+    def doc(q, f, gt):
+        return {"category": "VD", "subcategory": "illusion", "set_id": "1",
+                "question_id": str(q), "figure_id": str(f),
+                "gt_answer": gt, "question": "?"}
+
+    cases = [
+        (doc(0, 0, "1"), "yes"),     # q0/f0 correct
+        (doc(0, 1, "0"), "no"),      # q0/f1 correct  -> q0 hit
+        (doc(1, 0, "1"), "no"),      # q1/f0 WRONG    -> q1 miss, f0 miss
+        (doc(1, 1, "0"), "no"),      # q1/f1 correct  -> f1 hit
+    ]
+    per_doc = [hallusion_process_results(d, r) for d, r in cases]
+    agg = hallusion_aggregate([p["hallusion_acc"] for p in per_doc])
+    assert agg["aAcc"] == pytest.approx(0.75)
+    assert agg["qAcc"] == pytest.approx(0.5)    # q0 yes, q1 no
+    assert agg["fAcc"] == pytest.approx(0.5)    # f0 no, f1 yes
+    # the yes-substring parse (reference intern variant), not equality
+    r = hallusion_process_results(doc(9, 9, "1"), "Yes, it is.")
+    assert r["hallusion_acc"]["correct"] == 1.0
+
+
+def test_mmmu_per_subject_golden():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        mmmu_aggregate, mmmu_process_results)
+
+    cases = [
+        ({"id": "validation_Art_1", "answer": "A"}, "A"),
+        ({"id": "validation_Art_2", "answer": "B"}, "C"),
+        ({"id": "validation_Art_Theory_1", "answer": "C"}, "(C)"),
+        ({"id": "validation_Math_3", "answer": "D"}, "D."),
+    ]
+    per_doc = [mmmu_process_results(d, r) for d, r in cases]
+    agg = mmmu_aggregate([p["mmmu_acc"] for p in per_doc])
+    assert agg["Art"] == pytest.approx(0.5)
+    assert agg["Art_Theory"] == pytest.approx(1.0)
+    assert agg["Math"] == pytest.approx(1.0)
+    # discipline rollups pool instances (reference calculate_ins_level_acc)
+    assert agg["Overall-Art and Design"] == pytest.approx(2 / 3, abs=1e-4)
+    assert agg["Overall-Science"] == pytest.approx(1.0)
+    assert agg["Overall"] == pytest.approx(0.75)
+
+
 def test_check_integrity_accepts_hooks():
     from matryoshka_mm_tpu.lmms_eval.api.registry import (TASK_REGISTRY,
                                                           register_task)
