@@ -40,6 +40,15 @@ def vqa_accuracy(gold_list: List[str], pred: str) -> float:
     return min(sum(1 for g in golds if g == pred) / 3.0, 1.0)
 
 
+def exact_match_any(gold_list, pred: str) -> float:
+    """Case-insensitive exact match against ANY gold answer (the
+    MP-DocVQA Evaluator's 'accuracy', reported next to ANLS — reference:
+    lmms-eval/lmms_eval/tasks/multidocvqa/utils.py:40-51)."""
+    golds = gold_list if isinstance(gold_list, list) else [gold_list]
+    p = str(pred).strip().lower()
+    return float(any(str(g).strip().lower() == p for g in golds))
+
+
 def pope_yes_no(gold: str, pred: str) -> float:
     from ...eval.eval_pope import normalize_answer
 
@@ -196,6 +205,7 @@ METRICS: Dict[str, Callable] = {
     "contains_match": contains_match,
     "multiple_choice_index": multiple_choice_index,
     "exact_match": exact_match,
+    "exact_match_any": exact_match_any,
     "anls": anls,
     "vqa_accuracy": vqa_accuracy,
     "pope_yes_no": pope_yes_no,

@@ -357,6 +357,112 @@ def mmmu_aggregate(results: List[dict]) -> dict:
     return out
 
 
+# ---------------------------------------------------------------------------
+# WebSRC — squad-F1 per website domain plus the pooled overall
+# (reference: lmms-eval/lmms_eval/tasks/websrc/utils.py
+# websrc_aggregate_results; the overall is instance-pooled across domains).
+# ---------------------------------------------------------------------------
+
+def websrc_process_results(doc: dict, result: str) -> dict:
+    from ..api.metrics import squad_f1
+
+    return {"websrc_squad_f1": {
+        "f1": squad_f1(doc.get("answer", ""), str(result)),
+        "domain": doc.get("domain", "unknown"),
+    }}
+
+
+def websrc_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    by_domain = defaultdict(list)
+    for r in results:
+        by_domain[r["domain"]].append(r["f1"])
+    out = {}
+    for d, vs in sorted(by_domain.items()):
+        out[d] = round(sum(vs) / len(vs), 4)
+    n = sum(len(vs) for vs in by_domain.values())
+    out["overall"] = round(sum(sum(vs) for vs in by_domain.values())
+                           / max(n, 1), 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# CMMMU — per-subcategory accuracy with per-discipline + overall rollups,
+# and per-question-type parsing (reference:
+# lmms-eval/lmms_eval/tasks/cmmmu/utils.py cmmmu_process_results /
+# cmmmu_aggregate_results).  The three question types: 选择 (multiple
+# choice, option letter), 判断 (true/false, 对/错), 填空 (fill-in,
+# normalized containment).  The parse chains are compact versions of the
+# reference's candidate extraction; the discipline table is CMMMU's
+# published taxonomy.
+# ---------------------------------------------------------------------------
+
+_CMMMU_DOMAINS = {
+    "艺术与设计": ("艺术", "艺术理论", "设计", "音乐"),
+    "商业": ("会计", "经济", "金融", "管理", "营销"),
+    "科学": ("生物", "化学", "地理", "数学", "物理"),
+    "健康与医学": ("基础医学", "临床医学", "诊断学与实验室医学", "制药",
+                   "公共卫生"),
+    "人文社会科学": ("历史", "文献学", "社会学", "心理学"),
+    "技术与工程": ("农业", "建筑学", "计算机科学", "电子学", "能源和电力",
+                   "材料", "机械工程"),
+}
+_CMMMU_SUB2DOMAIN = {s: d for d, subs in _CMMMU_DOMAINS.items()
+                     for s in subs}
+
+
+def _cmmmu_score(doc: dict, result: str) -> float:
+    import re
+
+    qtype = str(doc.get("type", "选择"))
+    pred = str(result)
+    answer = str(doc.get("answer", "")).strip()
+    if qtype == "选择":
+        # parenthesized letter, else bare letter occurrences, else the
+        # answer option's text (reference get_multi_choice_prediction)
+        m = re.findall(r"\(([A-D])\)", pred) or re.findall(r"[A-D]", pred)
+        if m:
+            return float(m[-1].upper() == answer.upper())
+        opt = str(doc.get(f"option{ord(answer.upper()) - 64}", "")) \
+            if answer.upper() in "ABCD" else ""
+        return float(bool(opt) and opt in pred)
+    if qtype == "判断":
+        # 对/错 verdict words (reference get_TF_prediction indicators)
+        truthy = any(w in pred for w in ("对", "正确", "是的", "没错"))
+        falsy = any(w in pred for w in ("错", "不对", "不正确", "否"))
+        got = "对" if truthy and not falsy else ("错" if falsy else "")
+        return float(got == answer)
+    # 填空: normalized equality or containment of the gold answer
+    norm = re.sub(r"[\s。.,，]", "", pred).lower()
+    gold = re.sub(r"[\s。.,，]", "", answer).lower()
+    return float(bool(gold) and gold in norm)
+
+
+def cmmmu_process_results(doc: dict, result: str) -> dict:
+    return {"cmmmu_acc": {"subject": str(doc.get("subcategory", "unknown")),
+                          "score": _cmmmu_score(doc, result)}}
+
+
+def cmmmu_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    by_subject = defaultdict(list)
+    for r in results:
+        by_subject[r["subject"]].append(r["score"])
+    out = {}
+    domain_scores = defaultdict(list)
+    for s, vs in sorted(by_subject.items()):
+        out[s] = round(sum(vs) / len(vs), 4)
+        domain_scores[_CMMMU_SUB2DOMAIN.get(s, "unknown")].extend(vs)
+    for d, vs in sorted(domain_scores.items()):
+        out[f"Overall-{d}"] = round(sum(vs) / len(vs), 4)
+    n = sum(len(vs) for vs in by_subject.values())
+    out["Overall"] = round(sum(sum(vs) for vs in by_subject.values())
+                           / max(n, 1), 4)
+    return out
+
+
 def seedbench_process_results(doc: dict, result: str) -> dict:
     pred = str(result).strip()
     if len(pred) > 1:

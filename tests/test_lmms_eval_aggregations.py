@@ -230,6 +230,58 @@ def test_mmmu_per_subject_golden():
     assert agg["Overall"] == pytest.approx(0.75)
 
 
+def test_websrc_per_domain_golden():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        websrc_aggregate, websrc_process_results)
+
+    cases = [
+        ({"answer": "red car", "domain": "auto"}, "red car"),     # f1 1.0
+        ({"answer": "blue", "domain": "auto"}, "green"),          # f1 0.0
+        ({"answer": "yes", "domain": "movie"}, "yes"),            # f1 1.0
+    ]
+    per_doc = [websrc_process_results(d, r) for d, r in cases]
+    agg = websrc_aggregate([p["websrc_squad_f1"] for p in per_doc])
+    assert agg["auto"] == pytest.approx(0.5)
+    assert agg["movie"] == pytest.approx(1.0)
+    assert agg["overall"] == pytest.approx(2 / 3, abs=1e-4)
+
+
+def test_cmmmu_type_parsing_and_rollups():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        cmmmu_aggregate, cmmmu_process_results)
+
+    cases = [
+        # MC: parenthesized letter wins over loose letters
+        ({"type": "选择", "answer": "B", "subcategory": "艺术"},
+         "答案是 (B)。"),
+        # MC: bare letter
+        ({"type": "选择", "answer": "C", "subcategory": "艺术"}, "C"),
+        # TF: 对/错 verdicts
+        ({"type": "判断", "answer": "对", "subcategory": "数学"}, "这是正确的"),
+        ({"type": "判断", "answer": "错", "subcategory": "数学"}, "不对"),
+        # fill-in: normalized containment
+        ({"type": "填空", "answer": "42", "subcategory": "数学"},
+         "结果等于 42。"),
+        ({"type": "填空", "answer": "北京", "subcategory": "历史"}, "上海"),
+    ]
+    per_doc = [cmmmu_process_results(d, r) for d, r in cases]
+    agg = cmmmu_aggregate([p["cmmmu_acc"] for p in per_doc])
+    assert agg["艺术"] == pytest.approx(1.0)
+    assert agg["数学"] == pytest.approx(1.0)
+    assert agg["历史"] == pytest.approx(0.0)
+    assert agg["Overall-科学"] == pytest.approx(1.0)       # 数学 ∈ 科学
+    assert agg["Overall-人文社会科学"] == pytest.approx(0.0)
+    assert agg["Overall"] == pytest.approx(5 / 6, abs=1e-4)
+
+
+def test_exact_match_any_metric():
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import exact_match_any
+
+    assert exact_match_any(["Red Car", "automobile"], " red car ") == 1.0
+    assert exact_match_any(["red"], "red car") == 0.0
+    assert exact_match_any("single", "SINGLE") == 1.0
+
+
 def test_check_integrity_accepts_hooks():
     from matryoshka_mm_tpu.lmms_eval.api.registry import (TASK_REGISTRY,
                                                           register_task)
