@@ -358,6 +358,116 @@ def mmmu_aggregate(results: List[dict]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# POPE — accuracy / precision / recall / F1 / yes-ratio (reference:
+# lmms-eval/lmms_eval/tasks/pope/utils.py:29-87; F1 is POPE's headline).
+# Same math as the repo's standalone scorer (eval/eval_pope.py).
+# ---------------------------------------------------------------------------
+
+def pope_process_results(doc: dict, result: str) -> dict:
+    from ...eval.eval_pope import normalize_answer
+
+    pred = normalize_answer(str(result))
+    gt = str(doc.get("answer", "")).lower().strip()
+    return {"pope_metrics": {"pred": pred, "gt": gt,
+                             "score": float(pred == gt)}}
+
+
+def pope_aggregate(results: List[dict]) -> dict:
+    tp = sum(1 for r in results if r["gt"] == "yes" and r["pred"] == "yes")
+    fp = sum(1 for r in results if r["gt"] == "no" and r["pred"] == "yes")
+    fn = sum(1 for r in results if r["gt"] == "yes" and r["pred"] == "no")
+    yes = sum(1 for r in results if r["pred"] == "yes")
+    n = max(len(results), 1)
+    precision = tp / (tp + fp) if tp + fp else 0.0
+    recall = tp / (tp + fn) if tp + fn else 0.0
+    f1 = (2 * precision * recall / (precision + recall)
+          if precision + recall else 0.0)
+    return {
+        "accuracy": round(sum(r["score"] for r in results) / n, 4),
+        "precision": round(precision, 4),
+        "recall": round(recall, 4),
+        "f1": round(f1, 4),
+        "yes_ratio": round(yes / n, 4),
+    }
+
+
+# ---------------------------------------------------------------------------
+# OCRBench — per-question-type correct counts, the Text Recognition total
+# (six recognition types), and the published Final Score out of ~1000
+# (reference: lmms-eval/lmms_eval/tasks/ocrbench/utils.py:68-95; per-doc
+# scoring is gold-containment, spaces stripped entirely for HME100k).
+# ---------------------------------------------------------------------------
+
+_OCR_RECOGNITION_TYPES = (
+    "Regular Text Recognition", "Irregular Text Recognition",
+    "Artistic Text Recognition", "Handwriting Recognition",
+    "Digit String Recognition", "Non-Semantic Text Recognition")
+_OCR_OTHER_TYPES = (
+    "Scene Text-centric VQA", "Doc-oriented VQA",
+    "Key Information Extraction",
+    "Handwritten Mathematical Expression Recognition")
+
+
+def ocrbench_process_results(doc: dict, result: str) -> dict:
+    golds = doc.get("answer")
+    if not isinstance(golds, list):
+        golds = [golds]
+    pred = str(result).lower().strip().replace("\n", " ")
+    if doc.get("dataset") == "HME100k":
+        pred = pred.replace(" ", "")
+        score = float(any(str(g).strip().replace("\n", " ")
+                          .replace(" ", "") in pred for g in golds))
+    else:
+        score = float(any(str(g).lower().strip().replace("\n", " ") in pred
+                          for g in golds))
+    return {"ocrbench_accuracy": {
+        "score": score,
+        "question_type": doc.get("question_type", "unknown"),
+    }}
+
+
+def ocrbench_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    by_type = defaultdict(float)
+    for r in results:
+        by_type[r["question_type"]] += r["score"]
+    recognition = sum(by_type[t] for t in _OCR_RECOGNITION_TYPES)
+    final = recognition + sum(by_type[t] for t in _OCR_OTHER_TYPES)
+    out = {t: int(v) for t, v in sorted(by_type.items())}
+    out["text_recognition_total"] = int(recognition)
+    out["final_score"] = int(final)
+    out["accuracy"] = round(sum(r["score"] for r in results)
+                            / max(len(results), 1), 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# ScreenSpot REC — the reference's full threshold ladder
+# (utils_rec.py REC_METRICS: IoU, ACC@0.1..0.9, Center_ACC).
+# ---------------------------------------------------------------------------
+
+def screenspot_rec_process_results(doc: dict, result: str) -> dict:
+    from ..api.metrics import rec_center_acc, rec_iou
+
+    iou = rec_iou(doc.get("bbox"), str(result))
+    return {"screenspot_rec": {
+        "iou": iou,
+        "center": rec_center_acc(doc.get("bbox"), str(result)),
+    }}
+
+
+def screenspot_rec_aggregate(results: List[dict]) -> dict:
+    n = max(len(results), 1)
+    out = {"IoU": round(sum(r["iou"] for r in results) / n, 4)}
+    for thr in (0.1, 0.3, 0.5, 0.7, 0.9):
+        out[f"ACC@{thr}"] = round(
+            sum(1.0 for r in results if r["iou"] >= thr) / n, 4)
+    out["Center_ACC"] = round(sum(r["center"] for r in results) / n, 4)
+    return out
+
+
+# ---------------------------------------------------------------------------
 # WebSRC — squad-F1 per website domain plus the pooled overall
 # (reference: lmms-eval/lmms_eval/tasks/websrc/utils.py
 # websrc_aggregate_results; the overall is instance-pooled across domains).

@@ -282,6 +282,67 @@ def test_exact_match_any_metric():
     assert exact_match_any("single", "SINGLE") == 1.0
 
 
+def test_pope_full_metrics_golden():
+    """2 yes-gt (1 hit), 2 no-gt (1 false 'yes'): precision 1/2,
+    recall 1/2, f1 1/2, accuracy 1/2, yes_ratio 1/2 (reference
+    pope/utils.py:29-87 definitions)."""
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        pope_aggregate, pope_process_results)
+
+    cases = [
+        ({"answer": "yes"}, "Yes"),
+        ({"answer": "yes"}, "no"),
+        ({"answer": "no"}, "yes, there is"),
+        ({"answer": "no"}, "No."),
+    ]
+    per_doc = [pope_process_results(d, r) for d, r in cases]
+    agg = pope_aggregate([p["pope_metrics"] for p in per_doc])
+    assert agg["accuracy"] == pytest.approx(0.5)
+    assert agg["precision"] == pytest.approx(0.5)
+    assert agg["recall"] == pytest.approx(0.5)
+    assert agg["f1"] == pytest.approx(0.5)
+    assert agg["yes_ratio"] == pytest.approx(0.5)
+
+
+def test_ocrbench_final_score_golden():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        ocrbench_aggregate, ocrbench_process_results)
+
+    cases = [
+        ({"answer": ["HELLO"], "question_type": "Regular Text Recognition",
+          "dataset": "x"}, "hello world"),                        # hit
+        ({"answer": "42", "question_type": "Digit String Recognition",
+          "dataset": "x"}, "41"),                                  # miss
+        ({"answer": ["a+b"], "question_type":
+          "Handwritten Mathematical Expression Recognition",
+          "dataset": "HME100k"}, "a + b"),      # space-stripped containment
+        ({"answer": "paris", "question_type": "Scene Text-centric VQA",
+          "dataset": "x"}, "It is Paris."),                       # hit
+    ]
+    per_doc = [ocrbench_process_results(d, r) for d, r in cases]
+    agg = ocrbench_aggregate([p["ocrbench_accuracy"] for p in per_doc])
+    assert agg["text_recognition_total"] == 1
+    assert agg["final_score"] == 3
+    assert agg["accuracy"] == pytest.approx(0.75)
+
+
+def test_screenspot_threshold_ladder():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        screenspot_rec_aggregate, screenspot_rec_process_results)
+
+    # exact box -> IoU 1; shifted box -> IoU 1/7, center outside the gold
+    d = {"bbox": [0.0, 0.0, 0.4, 0.4]}
+    exact = screenspot_rec_process_results(d, "[0.0, 0.0, 0.4, 0.4]")
+    part = screenspot_rec_process_results(d, "[0.3, 0.0, 0.7, 0.4]")
+    agg = screenspot_rec_aggregate([exact["screenspot_rec"],
+                                    part["screenspot_rec"]])
+    assert agg["ACC@0.9"] == pytest.approx(0.5)
+    assert agg["ACC@0.1"] == pytest.approx(1.0)
+    assert agg["ACC@0.3"] == pytest.approx(0.5)
+    assert agg["Center_ACC"] == pytest.approx(0.5)
+    assert agg["IoU"] == pytest.approx((1.0 + 1 / 7) / 2, abs=1e-3)
+
+
 def test_check_integrity_accepts_hooks():
     from matryoshka_mm_tpu.lmms_eval.api.registry import (TASK_REGISTRY,
                                                           register_task)
