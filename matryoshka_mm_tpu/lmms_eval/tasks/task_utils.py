@@ -358,6 +358,43 @@ def mmmu_aggregate(results: List[dict]) -> dict:
 
 
 # ---------------------------------------------------------------------------
+# Caption tasks (COCO / NoCaps / Flickr30k / TextCaps) — corpus-level
+# Bleu_1..4 / ROUGE_L / CIDEr (reference: the pycocoevalcap pipeline the
+# reference caption tasks call, e.g. coco_cap/utils.py
+# coco_cap_aggregation_result).  CIDEr's idf statistics come from the
+# evaluation set's own references, so scoring happens at aggregation time
+# over the collected (prediction, references) pairs.
+# ---------------------------------------------------------------------------
+
+def caption_process_results(doc: dict, result: str) -> dict:
+    for field in ("answer", "annotations_captions", "reference_strs",
+                  "caption"):
+        refs = doc.get(field)
+        if refs is not None:
+            break
+    if not isinstance(refs, list):
+        refs = [refs]
+    return {"caption_scores": {"pred": str(result),
+                               "refs": [str(r) for r in refs]}}
+
+
+def caption_aggregate(results: List[dict]) -> dict:
+    from ...eval.caption_metrics import cider_d, corpus_bleu, rouge_l
+
+    preds = [r["pred"] for r in results]
+    refs = [r["refs"] for r in results]
+    bleu = corpus_bleu(preds, refs)
+    cider, _ = cider_d(preds, refs)
+    rl = (sum(rouge_l(p, rs) for p, rs in zip(preds, refs))
+          / max(len(preds), 1))
+    return {
+        **{f"Bleu_{i + 1}": round(b, 4) for i, b in enumerate(bleu)},
+        "ROUGE_L": round(rl, 4),
+        "CIDEr": round(cider, 4),
+    }
+
+
+# ---------------------------------------------------------------------------
 # POPE — accuracy / precision / recall / F1 / yes-ratio (reference:
 # lmms-eval/lmms_eval/tasks/pope/utils.py:29-87; F1 is POPE's headline).
 # Same math as the repo's standalone scorer (eval/eval_pope.py).

@@ -343,6 +343,53 @@ def test_screenspot_threshold_ladder():
     assert agg["IoU"] == pytest.approx((1.0 + 1 / 7) / 2, abs=1e-3)
 
 
+def test_caption_metrics_properties():
+    """CIDEr-D / ROUGE-L / corpus-BLEU sanity: exact matches score at the
+    ceiling, disjoint captions at the floor, and the known CIDEr
+    idf-of-common-ngram behavior (an n-gram in every image's refs gets
+    idf 0)."""
+    from matryoshka_mm_tpu.eval.caption_metrics import (cider_d,
+                                                        corpus_bleu,
+                                                        rouge_l)
+
+    preds = ["a red car parked outside", "two dogs play in the park"]
+    refs = [["a red car parked outside", "a crimson automobile outdoors"],
+            ["two dogs play in the park", "dogs playing at a park"]]
+    corpus, per = cider_d(preds, refs)
+    assert corpus > 3.0          # exact matches dominate
+    assert all(s > 0 for s in per)
+    # disjoint prediction scores ~0
+    _, per_bad = cider_d(["zebra quantum flux"], [refs[0]])
+    assert per_bad[0] < 0.1
+
+    assert rouge_l("a red car", ["a red car"]) == pytest.approx(1.0)
+    assert rouge_l("xyz", ["a red car"]) == 0.0
+    # F-beta: precision-light candidate still scores via recall weighting
+    assert 0.0 < rouge_l("the a red car thing", ["a red car"]) < 1.0
+
+    bleu = corpus_bleu(preds, refs)
+    assert bleu[0] == pytest.approx(1.0)     # Bleu_1 on exact matches
+    assert bleu[3] == pytest.approx(1.0)     # Bleu_4 too
+    bleu_bad = corpus_bleu(["zebra quantum flux"], [refs[0]])
+    assert bleu_bad[3] < 0.01
+
+
+def test_caption_task_hooks():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        caption_aggregate, caption_process_results)
+
+    per_doc = [
+        caption_process_results({"answer": ["a cat on a mat"]},
+                                "a cat on a mat"),
+        caption_process_results({"reference_strs": ["a big dog runs"]},
+                                "a big dog runs"),
+    ]
+    agg = caption_aggregate([p["caption_scores"] for p in per_doc])
+    assert agg["Bleu_4"] == pytest.approx(1.0)
+    assert agg["ROUGE_L"] == pytest.approx(1.0)
+    assert agg["CIDEr"] > 3.0
+
+
 def test_check_integrity_accepts_hooks():
     from matryoshka_mm_tpu.lmms_eval.api.registry import (TASK_REGISTRY,
                                                           register_task)
