@@ -412,6 +412,159 @@ def generate(
     return _trim(np.concatenate(out_tokens, axis=1), gen_cfg)
 
 
+# ---------------------------------------------------------------------------
+# beam search (reference: the HF generate(num_beams=N) path the eval
+# scripts expose, e.g. llava/eval/model_vqa.py --num-beams / run_llava.py;
+# the reference delegates to transformers' BeamSearchScorer)
+# ---------------------------------------------------------------------------
+
+def _reorder_cache(cache: KVCache, parent: jnp.ndarray) -> KVCache:
+    """Gather beam rows after a top-k step.  k/v (+ int8 scales) carry the
+    beam axis at 1, valid/positions at 0; write_idx is shared."""
+    return KVCache(
+        k=cache.k[:, parent], v=cache.v[:, parent],
+        valid=cache.valid[parent], positions=cache.positions[parent],
+        write_idx=cache.write_idx,
+        k_scale=None if cache.k_scale is None else cache.k_scale[:, parent],
+        v_scale=None if cache.v_scale is None else cache.v_scale[:, parent])
+
+
+@lru_cache(maxsize=16)
+def _beam_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
+                    num_beams: int, steps: int):
+    """Whole-beam-search-on-device decode: ``steps`` rounds of forward →
+    flat top-k over (beams x V) → beam/cache reorder, with the token
+    history carried (and reordered) inside the scan so no host-side
+    backtrace is needed.  Finished beams continue with a zero-cost pad
+    continuation (their score freezes), matching HF's hypothesis
+    bookkeeping for eos'd beams."""
+
+    @partial(jax.jit, donate_argnums=(1,))
+    def decode(params, cache: KVCache, token, lengths, scores, finished,
+               n_tok):
+        pad_t = gen_cfg.pad_token_id
+
+        def step(carry, i):
+            cache, token, lengths, scores, finished, n_tok, hist = carry
+            embeds = embed_tokens(params["llama"], token[:, None])
+            hidden, cache = llama_forward(
+                params["llama"], cfg.llama, embeds,
+                position_ids=lengths[:, None],
+                attn_valid=~finished[:, None], cache=cache)
+            logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
+            logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+            V = logp.shape[-1]
+            # finished beams offer exactly one candidate: pad at +0
+            pad_row = jnp.full((V,), -jnp.inf).at[pad_t].set(0.0)
+            cand = jnp.where(finished[:, None], pad_row[None], logp)
+            top_scores, top_idx = jax.lax.top_k(
+                (scores[:, None] + cand).reshape(-1), num_beams)
+            parent = (top_idx // V).astype(jnp.int32)
+            nxt = (top_idx % V).astype(jnp.int32)
+            was_fin = finished[parent]
+            finished = was_fin | (nxt == gen_cfg.eos_token_id)
+            n_tok = n_tok[parent] + jnp.where(was_fin, 0, 1)
+            hist = hist[parent].at[:, i].set(
+                jnp.where(was_fin, pad_t, nxt))
+            cache = _reorder_cache(cache, parent)
+            return (cache, nxt, lengths + 1, top_scores, finished, n_tok,
+                    hist), None
+
+        hist0 = jnp.full((num_beams, steps), pad_t, jnp.int32)
+        (cache, token, lengths, scores, finished, n_tok, hist), _ = \
+            jax.lax.scan(step, (cache, token, lengths, scores, finished,
+                                n_tok, hist0), jnp.arange(steps))
+        return scores, finished, n_tok, hist
+
+    return decode
+
+
+def beam_generate(
+    params: dict,
+    cfg: LlavaConfig,
+    input_ids: np.ndarray,                       # (1, T)
+    pixel_values: Optional[np.ndarray] = None,   # (1, 3, H, W)
+    *,
+    matryoshka_vis_token_scale: Optional[str] = None,
+    num_beams: int = 3,
+    gen_cfg: GenerationConfig = GenerationConfig(),
+    length_penalty: float = 1.0,
+) -> np.ndarray:
+    """Beam-search decode, batch 1 (the reference surface: HF
+    ``generate(num_beams=N)`` behind ``--num-beams`` in the eval scripts).
+    Deterministic; returns the best hypothesis's (1, <=max_new_tokens)
+    suffix.  Scores are summed log-probs normalized by
+    ``len ** length_penalty`` (HF convention).  The whole search — forward,
+    flat top-k, beam/KV reorder — runs on device; the per-step cache
+    gather is the cost of beam search everywhere and is O(beams x cache)
+    HBM traffic."""
+    input_ids = jnp.asarray(np.asarray(input_ids, np.int32))
+    B, T = input_ids.shape
+    if B != 1:
+        raise ValueError("beam search supports batch_size=1")
+    numtoks = None
+    if matryoshka_vis_token_scale:
+        kvs = parse_kv_from_string(matryoshka_vis_token_scale)
+        if kvs.get("ver") == "v2":
+            raise ValueError("ver=v2 combine-logits does not compose with "
+                             "beam search; use ver=v0")
+        if kvs.get("numtoks") == "gateprobargmax":
+            gp = np.asarray(gating_probs(params, cfg, pixel_values))
+            numtoks = cfg.tokscale_list[int(gp[0].argmax())]
+        else:
+            numtoks = int(kvs["numtoks"])
+
+    if pixel_values is None:
+        text_cap = _round_up(T, 64)
+        capacity = text_cap + gen_cfg.max_new_tokens
+        pad = text_cap - T
+        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
+        mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
+        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
+            params, ids_p, mask)
+    else:
+        pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
+        if pixel_values.ndim != 4 or pixel_values.shape[0] != 1:
+            raise ValueError("beam search supports one image per prompt")
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        L = _round_up(T - 1 + n, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+            params, input_ids, pixel_values)
+
+    logp0 = jax.nn.log_softmax(logits[0].astype(jnp.float32))
+    scores0, toks0 = jax.lax.top_k(logp0, num_beams)
+    cache_b = KVCache(
+        k=jnp.repeat(cache.k, num_beams, axis=1),
+        v=jnp.repeat(cache.v, num_beams, axis=1),
+        valid=jnp.repeat(cache.valid, num_beams, axis=0),
+        positions=jnp.repeat(cache.positions, num_beams, axis=0),
+        write_idx=cache.write_idx,
+        k_scale=None if cache.k_scale is None
+        else jnp.repeat(cache.k_scale, num_beams, axis=1),
+        v_scale=None if cache.v_scale is None
+        else jnp.repeat(cache.v_scale, num_beams, axis=1))
+    lengths_b = jnp.repeat(lengths, num_beams, axis=0)
+    toks0 = toks0.astype(jnp.int32)
+    finished0 = toks0 == gen_cfg.eos_token_id
+    n_tok0 = jnp.ones((num_beams,), jnp.int32)
+
+    steps = gen_cfg.max_new_tokens - 1
+    if steps > 0:
+        decode = _beam_decode_fn(cfg, gen_cfg, num_beams, steps)
+        scores, finished, n_tok, hist = decode(
+            params, cache_b, toks0, lengths_b, scores0, finished0, n_tok0)
+        seqs = np.concatenate([np.asarray(toks0)[:, None],
+                               np.asarray(hist)], axis=1)
+    else:
+        scores, n_tok = scores0, n_tok0
+        seqs = np.asarray(toks0)[:, None]
+    norm = np.asarray(scores, np.float64) \
+        / np.maximum(np.asarray(n_tok, np.float64), 1) ** length_penalty
+    best = seqs[int(norm.argmax())][None]
+    return _trim(best, gen_cfg)
+
+
 def chunked_prefill(params, cfg: LlavaConfig, embeds: jnp.ndarray,
                     position_ids: jnp.ndarray, attn_valid: jnp.ndarray,
                     capacity: int, chunk: int = 512):

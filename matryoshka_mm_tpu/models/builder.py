@@ -51,16 +51,23 @@ class LlavaModel:
                  temperature=0.0, top_p=1.0, do_sample=False,
                  eos_token_id=2, pad_token_id=0, stopping_criteria=None,
                  use_cache=True, num_beams=1, speculative=False, **kw):
-        from ..generate import GenerationConfig, generate, speculative_generate
+        from ..generate import (GenerationConfig, beam_generate, generate,
+                                speculative_generate)
 
-        if num_beams != 1:
-            raise NotImplementedError("beam search is not supported; use greedy/sampling")
         scale = matryoshka_vis_token_scale or getattr(
             self.config, "matryoshka_vis_token_scale", None)
         gen_cfg = GenerationConfig(
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
             pad_token_id=pad_token_id)
+        if num_beams != 1:
+            # reference surface: HF generate(num_beams=N) behind the eval
+            # scripts' --num-beams flag (beam search is deterministic;
+            # sampling knobs are ignored, matching HF at temperature 0)
+            return beam_generate(
+                self.params, self.cfg, input_ids, images,
+                matryoshka_vis_token_scale=scale, num_beams=num_beams,
+                gen_cfg=gen_cfg)
         if speculative:
             # prompt-lookup decoding: greedy, B=1, no anyres
             return speculative_generate(

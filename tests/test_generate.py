@@ -258,3 +258,84 @@ def test_multi_image_greedy_matches_naive(params, cfg):
                         matryoshka_vis_token_scale=f"ver=v0_numtoks={numtoks}",
                         gen_cfg=gen_cfg)[0]
     assert not np.array_equal(got[:steps], got_swap[:steps])
+
+
+# ---------------------------------------------------------------------------
+# beam search (reference surface: HF generate(num_beams=N) behind the eval
+# scripts' --num-beams flag)
+# ---------------------------------------------------------------------------
+
+def _seq_logprob(params, cfg, ids, px, numtoks, toks):
+    """Sum of log P(tok_i | prefix) under the model, recomputed naively."""
+    import jax.nn as jnn
+
+    total = 0.0
+    cur = np.asarray(ids)
+    for t in toks:
+        spliced, _ = prepare_multimodal(
+            params, cfg, jnp.asarray(cur), px, numtoks=numtoks,
+            out_len=cur.shape[1] + numtoks + 16)
+        logits = forward_spliced(params, cfg, spliced)
+        last = int(np.asarray(spliced.lengths)[0]) - 1
+        logp = jnn.log_softmax(logits[0, last].astype(jnp.float32))
+        total += float(logp[int(t)])
+        cur = np.concatenate([cur, [[int(t)]]], axis=1)
+    return total
+
+
+def test_beam_width_one_matches_greedy(params, cfg):
+    from matryoshka_mm_tpu.generate import beam_generate
+
+    rng = np.random.default_rng(1)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    px = rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, eos_token_id=EOS)
+    greedy = generate(params, cfg, ids, px,
+                      matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                      gen_cfg=gen_cfg)[0]
+    beam1 = beam_generate(params, cfg, ids, px,
+                          matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                          num_beams=1, gen_cfg=gen_cfg)[0]
+    assert list(beam1) == list(greedy)
+
+
+def test_beam_search_score_not_worse_than_greedy(params, cfg):
+    """The width-3 hypothesis's summed log-prob must be >= the greedy
+    sequence's (on the same model) — the defining property of beam
+    search.  Also: deterministic across calls."""
+    from matryoshka_mm_tpu.generate import beam_generate
+
+    rng = np.random.default_rng(2)
+    ids = np.array([[7, IMAGE_TOKEN_INDEX, 11, 3]], np.int32)
+    px = rng.standard_normal(
+        (1, 3, cfg.vision.image_size, cfg.vision.image_size)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=5, eos_token_id=EOS)
+    greedy = generate(params, cfg, ids, px,
+                      matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                      gen_cfg=gen_cfg)[0]
+    beam = beam_generate(params, cfg, ids, px,
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         num_beams=3, gen_cfg=gen_cfg)[0]
+    beam2 = beam_generate(params, cfg, ids, px,
+                          matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                          num_beams=3, gen_cfg=gen_cfg)[0]
+    assert list(beam) == list(beam2)
+    lp_beam = _seq_logprob(params, cfg, ids, px, 4, beam)
+    lp_greedy = _seq_logprob(params, cfg, ids, px, 4, greedy)
+    # normalized comparison only meaningful at equal lengths; compare raw
+    # sums over the shorter prefix length when they differ
+    n = min(len(beam), len(greedy))
+    lp_beam_n = _seq_logprob(params, cfg, ids, px, 4, beam[:n])
+    lp_greedy_n = _seq_logprob(params, cfg, ids, px, 4, greedy[:n])
+    assert lp_beam_n >= lp_greedy_n - 1e-4, (lp_beam, lp_greedy)
+
+
+def test_beam_search_text_only_and_facade(params, cfg):
+    from matryoshka_mm_tpu.models.builder import LlavaModel
+
+    ids = np.array([[5, 9, 12, 7]], np.int32)
+    model = LlavaModel(params, cfg)
+    out = model.generate(ids, num_beams=2, max_new_tokens=4,
+                         eos_token_id=EOS)
+    assert out.shape[0] == 1 and 1 <= out.shape[1] <= 4
