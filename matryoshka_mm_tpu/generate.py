@@ -464,13 +464,16 @@ def _beam_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
             was_fin = finished[parent]
             finished = was_fin | (nxt == gen_cfg.eos_token_id)
             n_tok = n_tok[parent] + jnp.where(was_fin, 0, 1)
-            hist = hist[parent].at[:, i].set(
+            # the history rides the SAME parent gather as the cache — the
+            # first token lives in column 0, so it reorders with its beam
+            hist = hist[parent].at[:, i + 1].set(
                 jnp.where(was_fin, pad_t, nxt))
             cache = _reorder_cache(cache, parent)
             return (cache, nxt, lengths + 1, top_scores, finished, n_tok,
                     hist), None
 
-        hist0 = jnp.full((num_beams, steps), pad_t, jnp.int32)
+        hist0 = jnp.full((num_beams, steps + 1), pad_t,
+                         jnp.int32).at[:, 0].set(token)
         (cache, token, lengths, scores, finished, n_tok, hist), _ = \
             jax.lax.scan(step, (cache, token, lengths, scores, finished,
                                 n_tok, hist0), jnp.arange(steps))
@@ -554,8 +557,7 @@ def beam_generate(
         decode = _beam_decode_fn(cfg, gen_cfg, num_beams, steps)
         scores, finished, n_tok, hist = decode(
             params, cache_b, toks0, lengths_b, scores0, finished0, n_tok0)
-        seqs = np.concatenate([np.asarray(toks0)[:, None],
-                               np.asarray(hist)], axis=1)
+        seqs = np.asarray(hist)
     else:
         scores, n_tok = scores0, n_tok0
         seqs = np.asarray(toks0)[:, None]

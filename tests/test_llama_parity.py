@@ -50,3 +50,30 @@ def test_merge_lora_math():
     merged = merge_lora(base, lora, scaling=0.5)
     want = np.eye(4) + 0.5 * (np.ones((4, 2)) @ np.ones((2, 4)))
     np.testing.assert_allclose(merged["model.layers.0.self_attn.q_proj.weight"], want)
+
+
+def test_beam_search_matches_hf(hf_model):
+    """Token-for-token parity of beam_generate vs transformers' beam
+    search on the converted tiny llama (text-only, eos disabled so all
+    beams run the full horizon and the HF length normalization cancels)."""
+    from matryoshka_mm_tpu.generate import GenerationConfig, beam_generate
+    from matryoshka_mm_tpu.models.clip import ClipVisionConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig
+
+    params = {"llama": convert_llama(hf_model.state_dict(), CFG)}
+    cfg = LlavaConfig(llama=CFG, vision=ClipVisionConfig(
+        image_size=28, patch_size=14, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32))
+    ids = np.array([[3, 14, 15, 92, 65]], dtype=np.int64)
+    for width in (2, 4):
+        with torch.no_grad():
+            want = hf_model.generate(
+                torch.from_numpy(ids), num_beams=width, max_new_tokens=6,
+                do_sample=False, eos_token_id=None, pad_token_id=0,
+                early_stopping=False, length_penalty=1.0)
+        want = want[0, ids.shape[1]:].numpy()
+        got = beam_generate(
+            params, cfg, ids.astype(np.int32), None, num_beams=width,
+            gen_cfg=GenerationConfig(max_new_tokens=6, eos_token_id=-1,
+                                     pad_token_id=0))[0]
+        assert list(got) == list(want), (width, got, want)
