@@ -486,8 +486,9 @@ def beam_generate(
     params: dict,
     cfg: LlavaConfig,
     input_ids: np.ndarray,                       # (1, T)
-    pixel_values: Optional[np.ndarray] = None,   # (1, 3, H, W)
+    pixel_values: Optional[np.ndarray] = None,   # (1, 3, H, W) | (1, T, 3, H, W)
     *,
+    image_sizes=None,                            # [(w, h)] for anyres
     matryoshka_vis_token_scale: Optional[str] = None,
     num_beams: int = 3,
     gen_cfg: GenerationConfig = GenerationConfig(),
@@ -525,6 +526,20 @@ def beam_generate(
         mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
         logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
             params, ids_p, mask)
+    elif np.asarray(pixel_values).ndim == 5:
+        # anyres multi-tile prompt: same prefill as generate()'s branch
+        from .models.llava import anyres_token_count
+
+        tiles = jnp.asarray(np.asarray(pixel_values, np.float32))[0]
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        size = tuple(image_sizes[0]) if image_sizes else \
+            (cfg.vision.image_size, cfg.vision.image_size)
+        n_img = anyres_token_count(cfg, size, int(tiles.shape[0]), n)
+        L = _round_up(T - 1 + n_img, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        logits, cache, lengths = _prefill_anyres_fn(
+            cfg, n, int(tiles.shape[0]), size, L, capacity)(
+            params, input_ids, tiles)
     else:
         pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
         if pixel_values.ndim != 4 or pixel_values.shape[0] != 1:

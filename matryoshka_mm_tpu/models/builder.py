@@ -66,6 +66,7 @@ class LlavaModel:
             # sampling knobs are ignored, matching HF at temperature 0)
             return beam_generate(
                 self.params, self.cfg, input_ids, images,
+                image_sizes=image_sizes,
                 matryoshka_vis_token_scale=scale, num_beams=num_beams,
                 gen_cfg=gen_cfg)
         if speculative:

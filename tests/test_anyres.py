@@ -118,3 +118,20 @@ def test_anyres_stream_generate(params, cfg):
                                   gen_cfg=gen_cfg))
     got = chunks[-1][0]
     np.testing.assert_array_equal(got[: len(want)], want)
+
+
+def test_anyres_beam_width_one_matches_greedy(params, cfg):
+    from matryoshka_mm_tpu.generate import (GenerationConfig, beam_generate,
+                                            generate)
+
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42]], np.int32)
+    px = np.random.default_rng(3).standard_normal(
+        (1, 5, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=4, eos_token_id=-1)
+    greedy = generate(params, cfg, ids, px, image_sizes=[(500, 500)],
+                      matryoshka_vis_token_scale="ver=v0_numtoks=16",
+                      gen_cfg=gen_cfg)[0]
+    beam = beam_generate(params, cfg, ids, px, image_sizes=[(500, 500)],
+                         matryoshka_vis_token_scale="ver=v0_numtoks=16",
+                         num_beams=1, gen_cfg=gen_cfg)[0]
+    assert list(beam) == list(greedy)
