@@ -116,19 +116,25 @@ def _lcs_len(a: List[str], b: List[str]) -> int:
 
 
 def rouge_l(pred: str, refs: Sequence[str], beta: float = 1.2) -> float:
-    """LCS F-score, max over references (pycocoevalcap Rouge)."""
+    """LCS F-score.  pycocoevalcap's Rouge.calc_score takes the MAX
+    precision and MAX recall independently across references (possibly
+    from different references) and forms ONE F from those — not the max
+    per-reference F."""
     p = _tokenize(pred)
-    best = 0.0
+    if not p:
+        return 0.0
+    prec_max = rec_max = 0.0
     for ref in refs:
         r = _tokenize(ref)
-        lcs = _lcs_len(p, r)
-        if lcs == 0:
+        if not r:
             continue
-        prec = lcs / len(p)
-        rec = lcs / len(r)
-        f = ((1 + beta ** 2) * prec * rec) / (rec + beta ** 2 * prec)
-        best = max(best, f)
-    return best
+        lcs = _lcs_len(p, r)
+        prec_max = max(prec_max, lcs / len(p))
+        rec_max = max(rec_max, lcs / len(r))
+    if prec_max == 0.0 or rec_max == 0.0:
+        return 0.0
+    return ((1 + beta ** 2) * prec_max * rec_max
+            / (rec_max + beta ** 2 * prec_max))
 
 
 # ---------------------------------------------------------------------------

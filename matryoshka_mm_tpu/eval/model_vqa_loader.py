@@ -118,6 +118,7 @@ def eval_model(args):
             max_new_tokens=args.max_new_tokens,
             eos_token_id=getattr(tokenizer, "eos_token_id", 2),
             pad_token_id=pad_id,
+            num_beams=args.num_beams,
         )
         texts = tokenizer.batch_decode(output_ids, skip_special_tokens=True)
         for (line, _), text in zip(batch, texts):
@@ -137,7 +138,8 @@ def eval_model(args):
         if item is None:
             break
         batch.append(item)
-        if len(batch) >= args.batch_size:
+        # beam search decodes batch-1; don't batch rows under --num_beams
+        if len(batch) >= (1 if args.num_beams > 1 else args.batch_size):
             flush_batch(batch)
             batch = []
     flush_batch(batch)

@@ -125,6 +125,7 @@ def eval_model(args):
                 top_p=args.top_p if args.top_p is not None else 1.0,
                 max_new_tokens=128,
                 eos_token_id=getattr(tokenizer, "eos_token_id", 2),
+            num_beams=args.num_beams,
                 pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0)
             outputs = tokenizer.batch_decode(
                 output_ids, skip_special_tokens=True)[0].strip()

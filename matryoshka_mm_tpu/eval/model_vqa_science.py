@@ -75,6 +75,7 @@ def eval_model(args):
             do_sample=args.temperature > 0, temperature=args.temperature,
             max_new_tokens=1024,
             eos_token_id=getattr(tokenizer, "eos_token_id", 2),
+            num_beams=args.num_beams,
             pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0)
         outputs = tokenizer.batch_decode(
             output_ids, skip_special_tokens=True)[0].strip()
@@ -98,6 +99,7 @@ if __name__ == "__main__":
     parser.add_argument("--num-chunks", type=int, default=1)
     parser.add_argument("--chunk-idx", type=int, default=0)
     parser.add_argument("--temperature", type=float, default=0.2)
+    parser.add_argument("--num_beams", type=int, default=1)
     parser.add_argument("--answer-prompter", action="store_true")
     parser.add_argument("--single-pred-prompt", action="store_true")
     parser.add_argument("--matryoshka_vis_token_scale", type=str, default=None)

@@ -119,6 +119,7 @@ def eval_model(args):
         eos_token_id=getattr(tokenizer, "eos_token_id", 2),
         pad_token_id=getattr(tokenizer, "pad_token_id", 0) or 0,
         stopping_criteria=stopping,
+        num_beams=getattr(args, "num_beams", 1),
         speculative=getattr(args, "speculative", False),
     )
 

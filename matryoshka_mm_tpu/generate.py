@@ -245,6 +245,54 @@ def _decode_chunk_combine_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
 # public API
 # ---------------------------------------------------------------------------
 
+def _prefill_dispatch(params, cfg: LlavaConfig, input_ids: jnp.ndarray,
+                      pixel_values, image_sizes, attention_mask,
+                      numtoks, gen_cfg: GenerationConfig):
+    """Shared prompt prefill for the text-only / anyres-tiled /
+    one-image-per-row cases — the dispatch both ``generate`` and
+    ``beam_generate`` need (multi-image and combine-logits prompts have
+    their own paths in ``generate``).  Returns (logits, cache, lengths)
+    where logits are the last-position next-token logits."""
+    B, T = input_ids.shape
+    mask = None if attention_mask is None else \
+        jnp.asarray(np.asarray(attention_mask, bool))
+    if pixel_values is None:
+        text_cap = _round_up(T, 64)
+        capacity = text_cap + gen_cfg.max_new_tokens
+        pad = text_cap - T
+        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
+        m = jnp.ones((B, T), bool) if mask is None else mask
+        m = jnp.pad(m, ((0, 0), (pad, 0)))
+        return _prefill_text_fn(cfg, text_cap, capacity)(params, ids_p, m)
+
+    pv = np.asarray(pixel_values, np.float32)
+    if pv.ndim == 5:
+        # anyres: (1, T_tiles, 3, H, W) multi-tile input (LLaVA-NeXT)
+        if B != 1:
+            raise ValueError("anyres generation supports batch_size=1")
+        if mask is not None and not bool(np.asarray(mask).all()):
+            raise ValueError("anyres prompts must be unpadded")
+        from .models.llava import anyres_token_count
+
+        tiles = jnp.asarray(pv[0])
+        n = numtoks if numtoks is not None else cfg.vision.num_patches
+        size = tuple(image_sizes[0]) if image_sizes else \
+            (cfg.vision.image_size, cfg.vision.image_size)
+        n_img = anyres_token_count(cfg, size, int(tiles.shape[0]), n)
+        L = _round_up(T - 1 + n_img, 64)
+        capacity = L + gen_cfg.max_new_tokens
+        return _prefill_anyres_fn(
+            cfg, n, int(tiles.shape[0]), size, L, capacity)(
+            params, input_ids, tiles)
+
+    n = numtoks if numtoks is not None else cfg.vision.num_patches
+    L = _round_up(T - 1 + n, 64)
+    capacity = L + gen_cfg.max_new_tokens
+    logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
+        params, input_ids, jnp.asarray(pv), mask)
+    return logits, cache, lengths
+
+
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
@@ -289,42 +337,16 @@ def generate(
         else:
             numtoks = int(kvs["numtoks"])
 
-    if pixel_values is None:
-        text_cap = _round_up(T, 64)
-        capacity = text_cap + gen_cfg.max_new_tokens
-        pad = text_cap - T
-        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
-        mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
-        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
-            params, ids_p, mask)
+    if pixel_values is None or (np.asarray(pixel_values).ndim == 5
+                                and not combine):
+        logits, cache, lengths = _prefill_dispatch(
+            params, cfg, input_ids, pixel_values, image_sizes,
+            attention_mask, numtoks, gen_cfg)
         first, rng = _select_token(logits, gen_cfg, rng)
         return _decode_loop(params, cfg, gen_cfg, cache, first, lengths,
                             rng, stopping_criteria)
 
-    pixel_values = np.asarray(pixel_values, np.float32)
-
-    # anyres: (1, T_tiles, 3, H, W) multi-tile input (LLaVA-NeXT)
-    if pixel_values.ndim == 5 and not combine:
-        if B != 1:
-            raise ValueError("anyres generation supports batch_size=1")
-        n = numtoks if numtoks is not None else cfg.vision.num_patches
-        tiles = pixel_values[0]
-        n_tiles = tiles.shape[0]
-        size = tuple(image_sizes[0]) if image_sizes else \
-            (cfg.vision.image_size, cfg.vision.image_size)
-        from .models.llava import anyres_token_count
-
-        n_img = anyres_token_count(cfg, size, int(n_tiles), n)
-        L = _round_up(T - 1 + n_img, 64)
-        capacity = L + gen_cfg.max_new_tokens
-        logits, cache, lengths = _prefill_anyres_fn(
-            cfg, n, n_tiles, size, L, capacity)(
-            params, input_ids, jnp.asarray(tiles))
-        first, rng = _select_token(logits, gen_cfg, rng)
-        return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
-                            stopping_criteria)
-
-    pixel_values = jnp.asarray(pixel_values)
+    pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
 
     # multi-image (B=1): an (M, 3, H, W) stack whose M matches the M image
     # sentinels in the prompt — each image splices at its own sentinel
@@ -345,14 +367,10 @@ def generate(
                             stopping_criteria)
 
     if not combine:
-        n = numtoks if numtoks is not None else cfg.vision.num_patches
-        L = _round_up(T - 1 + n, 64)
-        capacity = L + gen_cfg.max_new_tokens
-        mask = None if attention_mask is None else \
-            jnp.asarray(np.asarray(attention_mask, bool))
-        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
-            params, input_ids, pixel_values, mask)
         # left-padded prefill: slots [L - len, L); decode continues at L
+        logits, cache, lengths = _prefill_dispatch(
+            params, cfg, input_ids, pixel_values, image_sizes,
+            attention_mask, numtoks, gen_cfg)
         first, rng = _select_token(logits, gen_cfg, rng)
         return _decode_loop(params, cfg, gen_cfg, cache, first, lengths, rng,
                             stopping_criteria)
@@ -431,53 +449,94 @@ def _reorder_cache(cache: KVCache, parent: jnp.ndarray) -> KVCache:
 
 @lru_cache(maxsize=16)
 def _beam_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig,
-                    num_beams: int, steps: int):
-    """Whole-beam-search-on-device decode: ``steps`` rounds of forward →
-    flat top-k over (beams x V) → beam/cache reorder, with the token
-    history carried (and reordered) inside the scan so no host-side
-    backtrace is needed.  Finished beams continue with a zero-cost pad
-    continuation (their score freezes), matching HF's hypothesis
-    bookkeeping for eos'd beams."""
+                    num_beams: int, steps: int, length_penalty: float):
+    """Whole-beam-search-on-device decode with HF hypothesis banking:
+    each step takes the top ``2*num_beams`` flat candidates; eos'd
+    candidates ranked inside the top ``num_beams`` move to a fixed-size
+    hypothesis bank (replace-worst, scores normalized by full sequence
+    length at banking time, HF BeamHypotheses.add), and the live slots
+    refill with the best non-eos candidates — exploration never shrinks.
+    A ``done`` flag mirrors HF's early_stopping=False criterion (bank
+    full and the best attainable live score cannot beat the worst banked
+    hypothesis); once set, later banking stops, so extra scan steps
+    cannot change the result.  The token history is carried (and
+    parent-gathered) inside the scan — no host-side backtrace."""
 
     @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache: KVCache, token, lengths, scores, finished,
-               n_tok):
+    def decode(params, cache: KVCache, token, lengths, scores,
+               bank_norm0, bank_seqs0, done0):
         pad_t = gen_cfg.pad_token_id
+        eos_t = gen_cfg.eos_token_id
+        lp = length_penalty
+        k2 = 2 * num_beams
 
         def step(carry, i):
-            cache, token, lengths, scores, finished, n_tok, hist = carry
+            (cache, token, lengths, scores, hist, bank_norm, bank_seqs,
+             done) = carry
             embeds = embed_tokens(params["llama"], token[:, None])
             hidden, cache = llama_forward(
                 params["llama"], cfg.llama, embeds,
                 position_ids=lengths[:, None],
-                attn_valid=~finished[:, None], cache=cache)
+                attn_valid=jnp.ones_like(lengths, bool)[:, None],
+                cache=cache)
             logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
             logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
             V = logp.shape[-1]
-            # finished beams offer exactly one candidate: pad at +0
-            pad_row = jnp.full((V,), -jnp.inf).at[pad_t].set(0.0)
-            cand = jnp.where(finished[:, None], pad_row[None], logp)
-            top_scores, top_idx = jax.lax.top_k(
-                (scores[:, None] + cand).reshape(-1), num_beams)
-            parent = (top_idx // V).astype(jnp.int32)
-            nxt = (top_idx % V).astype(jnp.int32)
-            was_fin = finished[parent]
-            finished = was_fin | (nxt == gen_cfg.eos_token_id)
-            n_tok = n_tok[parent] + jnp.where(was_fin, 0, 1)
-            # the history rides the SAME parent gather as the cache — the
-            # first token lives in column 0, so it reorders with its beam
-            hist = hist[parent].at[:, i + 1].set(
-                jnp.where(was_fin, pad_t, nxt))
+            cand_scores, cand_idx = jax.lax.top_k(
+                (scores[:, None] + logp).reshape(-1), k2)
+            cand_parent = (cand_idx // V).astype(jnp.int32)
+            cand_tok = (cand_idx % V).astype(jnp.int32)
+            is_eos = cand_tok == eos_t
+
+            # ---- bank eos candidates ranked inside the top num_beams
+            # (HF: beam_token_rank < group_size), replace-worst.  HF's
+            # BeamHypotheses.add normalizes by GENERATED length counting
+            # the eos: generated_len = cur_len - prompt_len = i + 2 ----
+            add_len = jnp.float32(i + 2)
+            for r in range(num_beams):
+                norm_r = cand_scores[r] / add_len ** lp
+                seq_r = hist[cand_parent[r]].at[i + 1].set(eos_t)
+                worst = jnp.argmin(bank_norm)
+                take = is_eos[r] & ~done & (norm_r > bank_norm[worst])
+                bank_norm = jnp.where(take,
+                                      bank_norm.at[worst].set(norm_r),
+                                      bank_norm)
+                bank_seqs = jnp.where(take,
+                                      bank_seqs.at[worst].set(seq_r),
+                                      bank_seqs)
+
+            # ---- refill live slots with the best non-eos candidates
+            # (each beam offers at most one eos among its top-2N entries,
+            # so >= num_beams non-eos candidates always exist) ----
+            order = jnp.cumsum(~is_eos) - 1
+            slot = jnp.where(~is_eos, order, k2).astype(jnp.int32)
+            new_scores = jnp.full((num_beams,), -jnp.inf
+                                  ).at[slot].set(cand_scores, mode="drop")
+            parent = jnp.zeros((num_beams,), jnp.int32
+                               ).at[slot].set(cand_parent, mode="drop")
+            nxt = jnp.zeros((num_beams,), jnp.int32
+                            ).at[slot].set(cand_tok, mode="drop")
+
+            # HF is_done (early_stopping=False): best attainable score —
+            # best candidate sum over generated length — can no longer
+            # beat the worst banked hypothesis
+            bank_full = jnp.all(bank_norm > -jnp.inf)
+            done = done | (bank_full
+                           & (jnp.min(bank_norm)
+                              >= cand_scores[0] / add_len ** lp))
+
+            hist = hist[parent].at[:, i + 1].set(nxt)
             cache = _reorder_cache(cache, parent)
-            return (cache, nxt, lengths + 1, top_scores, finished, n_tok,
-                    hist), None
+            return (cache, nxt, lengths + 1, new_scores, hist, bank_norm,
+                    bank_seqs, done), None
 
         hist0 = jnp.full((num_beams, steps + 1), pad_t,
                          jnp.int32).at[:, 0].set(token)
-        (cache, token, lengths, scores, finished, n_tok, hist), _ = \
-            jax.lax.scan(step, (cache, token, lengths, scores, finished,
-                                n_tok, hist0), jnp.arange(steps))
-        return scores, finished, n_tok, hist
+        (cache, token, lengths, scores, hist, bank_norm, bank_seqs,
+         done), _ = jax.lax.scan(
+            step, (cache, token, lengths, scores, hist0, bank_norm0,
+                   bank_seqs0, done0), jnp.arange(steps))
+        return scores, hist, bank_norm, bank_seqs, done
 
     return decode
 
@@ -489,10 +548,12 @@ def beam_generate(
     pixel_values: Optional[np.ndarray] = None,   # (1, 3, H, W) | (1, T, 3, H, W)
     *,
     image_sizes=None,                            # [(w, h)] for anyres
+    attention_mask: Optional[np.ndarray] = None,  # (1, T) for padded rows
     matryoshka_vis_token_scale: Optional[str] = None,
     num_beams: int = 3,
     gen_cfg: GenerationConfig = GenerationConfig(),
     length_penalty: float = 1.0,
+    stopping_criteria=None,
 ) -> np.ndarray:
     """Beam-search decode, batch 1 (the reference surface: HF
     ``generate(num_beams=N)`` behind ``--num-beams`` in the eval scripts).
@@ -518,40 +579,41 @@ def beam_generate(
         else:
             numtoks = int(kvs["numtoks"])
 
-    if pixel_values is None:
-        text_cap = _round_up(T, 64)
-        capacity = text_cap + gen_cfg.max_new_tokens
-        pad = text_cap - T
-        ids_p = jnp.pad(input_ids, ((0, 0), (pad, 0)))
-        mask = jnp.pad(jnp.ones((B, T), bool), ((0, 0), (pad, 0)))
-        logits, cache, lengths = _prefill_text_fn(cfg, text_cap, capacity)(
-            params, ids_p, mask)
-    elif np.asarray(pixel_values).ndim == 5:
-        # anyres multi-tile prompt: same prefill as generate()'s branch
-        from .models.llava import anyres_token_count
-
-        tiles = jnp.asarray(np.asarray(pixel_values, np.float32))[0]
-        n = numtoks if numtoks is not None else cfg.vision.num_patches
-        size = tuple(image_sizes[0]) if image_sizes else \
-            (cfg.vision.image_size, cfg.vision.image_size)
-        n_img = anyres_token_count(cfg, size, int(tiles.shape[0]), n)
-        L = _round_up(T - 1 + n_img, 64)
-        capacity = L + gen_cfg.max_new_tokens
-        logits, cache, lengths = _prefill_anyres_fn(
-            cfg, n, int(tiles.shape[0]), size, L, capacity)(
-            params, input_ids, tiles)
-    else:
-        pixel_values = jnp.asarray(np.asarray(pixel_values, np.float32))
-        if pixel_values.ndim != 4 or pixel_values.shape[0] != 1:
+    if pixel_values is not None:
+        pv = np.asarray(pixel_values)
+        if pv.ndim == 4 and pv.shape[0] != 1:
             raise ValueError("beam search supports one image per prompt")
-        n = numtoks if numtoks is not None else cfg.vision.num_patches
-        L = _round_up(T - 1 + n, 64)
-        capacity = L + gen_cfg.max_new_tokens
-        logits, cache, lengths, _ = _prefill_fn(cfg, n, L, capacity)(
-            params, input_ids, pixel_values)
+    logits, cache, lengths = _prefill_dispatch(
+        params, cfg, input_ids, pixel_values, image_sizes, attention_mask,
+        numtoks, gen_cfg)
 
-    logp0 = jax.nn.log_softmax(logits[0].astype(jnp.float32))
-    scores0, toks0 = jax.lax.top_k(logp0, num_beams)
+    # seed with the same 2N-candidate protocol as the scan steps: eos
+    # candidates ranked inside the top num_beams go straight to the
+    # hypothesis bank (generated_len 1 — HF counts the eos), live slots
+    # take the best non-eos candidates
+    steps = gen_cfg.max_new_tokens - 1
+    logp0 = np.asarray(
+        jax.nn.log_softmax(logits[0].astype(jnp.float32)), np.float32)
+    seed_order = np.argsort(-logp0)[: 2 * num_beams]
+    bank_norm0 = np.full((num_beams,), -np.inf, np.float32)
+    bank_seqs0 = np.full((num_beams, max(steps, 0) + 1),
+                         gen_cfg.pad_token_id, np.int32)
+    live_scores, live_toks = [], []
+    for r, t in enumerate(seed_order):
+        if int(t) == gen_cfg.eos_token_id:
+            if r < num_beams:
+                worst = int(bank_norm0.argmin())
+                if logp0[t] > bank_norm0[worst]:
+                    bank_norm0[worst] = logp0[t]
+                    bank_seqs0[worst, 0] = gen_cfg.eos_token_id
+            continue
+        if len(live_toks) < num_beams:
+            live_scores.append(logp0[t])
+            live_toks.append(int(t))
+    done0 = bool(np.all(bank_norm0 > -np.inf)
+                 and bank_norm0.min() >= logp0[seed_order[0]])
+    scores0 = jnp.asarray(np.asarray(live_scores, np.float32))
+    toks0 = jnp.asarray(np.asarray(live_toks, np.int32))
     cache_b = KVCache(
         k=jnp.repeat(cache.k, num_beams, axis=1),
         v=jnp.repeat(cache.v, num_beams, axis=1),
@@ -563,23 +625,44 @@ def beam_generate(
         v_scale=None if cache.v_scale is None
         else jnp.repeat(cache.v_scale, num_beams, axis=1))
     lengths_b = jnp.repeat(lengths, num_beams, axis=0)
-    toks0 = toks0.astype(jnp.int32)
-    finished0 = toks0 == gen_cfg.eos_token_id
-    n_tok0 = jnp.ones((num_beams,), jnp.int32)
 
-    steps = gen_cfg.max_new_tokens - 1
     if steps > 0:
-        decode = _beam_decode_fn(cfg, gen_cfg, num_beams, steps)
-        scores, finished, n_tok, hist = decode(
-            params, cache_b, toks0, lengths_b, scores0, finished0, n_tok0)
+        decode = _beam_decode_fn(cfg, gen_cfg, num_beams, steps,
+                                 length_penalty)
+        scores, hist, bank_norm, bank_seqs, done = decode(
+            params, cache_b, toks0, lengths_b, scores0,
+            jnp.asarray(bank_norm0), jnp.asarray(bank_seqs0),
+            jnp.asarray(done0))
+        scores = np.asarray(scores, np.float64)
         seqs = np.asarray(hist)
+        bank_norm = np.asarray(bank_norm, np.float64)
+        bank_seqs = np.asarray(bank_seqs)
+        done = bool(np.asarray(done))
     else:
-        scores, n_tok = scores0, n_tok0
+        scores = np.asarray(scores0, np.float64)
         seqs = np.asarray(toks0)[:, None]
-    norm = np.asarray(scores, np.float64) \
-        / np.maximum(np.asarray(n_tok, np.float64), 1) ** length_penalty
-    best = seqs[int(norm.argmax())][None]
-    return _trim(best, gen_cfg)
+        bank_norm, bank_seqs, done = bank_norm0, bank_seqs0, done0
+
+    # HF finalize: live beams join the bank only when the search did not
+    # early-stop, normalized by their generated length (steps + 1)
+    live_norm = scores / float(steps + 1) ** length_penalty
+    if done:
+        cand_norm, cand_seqs = bank_norm, bank_seqs
+    else:
+        cand_norm = np.concatenate([bank_norm, live_norm])
+        cand_seqs = np.concatenate([bank_seqs, seqs], axis=0)
+    best = cand_seqs[int(cand_norm.argmax())][None]
+    best = _trim(best, gen_cfg)
+    if stopping_criteria is not None:
+        # post-hoc trim at the earliest prefix the criteria accepts (the
+        # reference halts the whole search there; exploring the full
+        # horizon first can only change near-tie hypothesis picks)
+        row = list(best[0])
+        for i in range(1, len(row) + 1):
+            if stopping_criteria(row[:i]):
+                best = best[:, :i]
+                break
+    return best
 
 
 def chunked_prefill(params, cfg: LlavaConfig, embeds: jnp.ndarray,

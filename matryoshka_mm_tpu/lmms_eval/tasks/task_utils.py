@@ -339,22 +339,8 @@ def mmmu_process_results(doc: dict, result: str) -> dict:
 
 
 def mmmu_aggregate(results: List[dict]) -> dict:
-    from collections import defaultdict
-
-    by_subject = defaultdict(list)
-    for r in results:
-        by_subject[r["subject"]].append(r["score"])
-    out = {}
-    domain_scores = defaultdict(list)
-    for s, vs in sorted(by_subject.items()):
-        out[s] = round(sum(vs) / len(vs), 4)
-        domain_scores[_MMMU_SUBJECT2DOMAIN.get(s, "unknown")].extend(vs)
-    for d, vs in sorted(domain_scores.items()):
-        out[f"Overall-{d}"] = round(sum(vs) / len(vs), 4)
-    n = sum(len(vs) for vs in by_subject.values())
-    out["Overall"] = round(sum(sum(vs) for vs in by_subject.values())
-                           / max(n, 1), 4)
-    return out
+    return _grouped_mean(results, "subject", "score",
+                         domain_map=_MMMU_SUBJECT2DOMAIN)
 
 
 # ---------------------------------------------------------------------------
@@ -519,19 +505,34 @@ def websrc_process_results(doc: dict, result: str) -> dict:
     }}
 
 
-def websrc_aggregate(results: List[dict]) -> dict:
+def _grouped_mean(results: List[dict], group_key: str, value_key: str,
+                  domain_map: dict | None = None,
+                  overall_key: str = "Overall") -> dict:
+    """Per-group means plus instance-pooled rollups: the shared shape of
+    the MMMU/CMMMU per-discipline and WebSRC per-domain aggregations
+    (reference calculate_ins_level_acc — rollups pool instances, they do
+    not average the group means)."""
     from collections import defaultdict
 
-    by_domain = defaultdict(list)
+    by_group = defaultdict(list)
     for r in results:
-        by_domain[r["domain"]].append(r["f1"])
+        by_group[r[group_key]].append(r[value_key])
     out = {}
-    for d, vs in sorted(by_domain.items()):
-        out[d] = round(sum(vs) / len(vs), 4)
-    n = sum(len(vs) for vs in by_domain.values())
-    out["overall"] = round(sum(sum(vs) for vs in by_domain.values())
-                           / max(n, 1), 4)
+    rollup = defaultdict(list)
+    for g, vs in sorted(by_group.items()):
+        out[g] = round(sum(vs) / len(vs), 4)
+        if domain_map is not None:
+            rollup[domain_map.get(g, "unknown")].extend(vs)
+    for d, vs in sorted(rollup.items()):
+        out[f"Overall-{d}"] = round(sum(vs) / len(vs), 4)
+    n = sum(len(vs) for vs in by_group.values())
+    out[overall_key] = round(sum(sum(vs) for vs in by_group.values())
+                             / max(n, 1), 4)
     return out
+
+
+def websrc_aggregate(results: List[dict]) -> dict:
+    return _grouped_mean(results, "domain", "f1", overall_key="overall")
 
 
 # ---------------------------------------------------------------------------
@@ -592,22 +593,8 @@ def cmmmu_process_results(doc: dict, result: str) -> dict:
 
 
 def cmmmu_aggregate(results: List[dict]) -> dict:
-    from collections import defaultdict
-
-    by_subject = defaultdict(list)
-    for r in results:
-        by_subject[r["subject"]].append(r["score"])
-    out = {}
-    domain_scores = defaultdict(list)
-    for s, vs in sorted(by_subject.items()):
-        out[s] = round(sum(vs) / len(vs), 4)
-        domain_scores[_CMMMU_SUB2DOMAIN.get(s, "unknown")].extend(vs)
-    for d, vs in sorted(domain_scores.items()):
-        out[f"Overall-{d}"] = round(sum(vs) / len(vs), 4)
-    n = sum(len(vs) for vs in by_subject.values())
-    out["Overall"] = round(sum(sum(vs) for vs in by_subject.values())
-                           / max(n, 1), 4)
-    return out
+    return _grouped_mean(results, "subject", "score",
+                         domain_map=_CMMMU_SUB2DOMAIN)
 
 
 def seedbench_process_results(doc: dict, result: str) -> dict:

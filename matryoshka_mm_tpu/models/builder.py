@@ -66,9 +66,9 @@ class LlavaModel:
             # sampling knobs are ignored, matching HF at temperature 0)
             return beam_generate(
                 self.params, self.cfg, input_ids, images,
-                image_sizes=image_sizes,
+                image_sizes=image_sizes, attention_mask=attention_mask,
                 matryoshka_vis_token_scale=scale, num_beams=num_beams,
-                gen_cfg=gen_cfg)
+                gen_cfg=gen_cfg, stopping_criteria=stopping_criteria)
         if speculative:
             # prompt-lookup decoding: greedy, B=1, no anyres
             return speculative_generate(

@@ -77,3 +77,42 @@ def test_beam_search_matches_hf(hf_model):
             gen_cfg=GenerationConfig(max_new_tokens=6, eos_token_id=-1,
                                      pad_token_id=0))[0]
         assert list(got) == list(want), (width, got, want)
+
+
+def test_beam_search_matches_hf_with_live_eos(hf_model):
+    """Beam parity when EOS actually fires mid-search: eos'd candidates
+    must move to the hypothesis bank (live exploration keeps num_beams
+    beams) and the final pick must use HF's full-length-normalized
+    scoring.  eos ids are chosen from tokens the tiny model actually
+    emits so banking triggers."""
+    from matryoshka_mm_tpu.generate import GenerationConfig, beam_generate
+    from matryoshka_mm_tpu.models.clip import ClipVisionConfig
+    from matryoshka_mm_tpu.models.llava import LlavaConfig
+
+    params = {"llama": convert_llama(hf_model.state_dict(), CFG)}
+    cfg = LlavaConfig(llama=CFG, vision=ClipVisionConfig(
+        image_size=28, patch_size=14, hidden_size=16, num_hidden_layers=1,
+        num_attention_heads=2, intermediate_size=32))
+    ids = np.array([[3, 14, 15, 92, 65]], dtype=np.int64)
+    checked = 0
+    for eos in (96, 13, 12, 114):
+        for width in (2, 3):
+            with torch.no_grad():
+                want = hf_model.generate(
+                    torch.from_numpy(ids), num_beams=width,
+                    max_new_tokens=8, do_sample=False, eos_token_id=eos,
+                    pad_token_id=0, early_stopping=False,
+                    length_penalty=1.0)
+            want = want[0, ids.shape[1]:].numpy()
+            if eos in want:
+                want = want[: int(np.where(want == eos)[0][0])]
+                checked += 1
+            got = beam_generate(
+                params, cfg, ids.astype(np.int32), None, num_beams=width,
+                gen_cfg=GenerationConfig(max_new_tokens=8,
+                                         eos_token_id=eos,
+                                         pad_token_id=0))[0]
+            got = got[got != 0] if eos != 0 else got
+            got = got[: len(want)] if len(got) > len(want) else got
+            assert list(got) == list(want), (eos, width, got, want)
+    assert checked >= 2, "no eos fired — fixture ids need retuning"
