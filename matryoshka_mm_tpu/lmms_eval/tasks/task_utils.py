@@ -622,3 +622,149 @@ def seedbench_aggregate(results: List[dict]) -> dict:
     out["all"] = round(sum(all_scores) / len(all_scores), 4) \
         if all_scores else 0.0
     return out
+
+
+# ---------------------------------------------------------------------------
+# MathVista — faithful extract -> normalize -> compare -> per-key breakdown
+# (reference: lmms-eval/lmms_eval/tasks/mathvista/mathvista_evals.py:114-245
+# and mathvista/utils.py:45-118).  The reference's extraction chain is
+# rule-first (verbatim choice / int / float / `The answer is "..."` regex)
+# with a GPT call as the final fallback; here the GPT step is gated behind
+# MATHVISTA_GPT_EXTRACT=1 (same pluggable judge as MMBench matching) and an
+# offline heuristic (option-letter / last-number scan) takes its place so
+# runs without an API key still score every response.
+# ---------------------------------------------------------------------------
+
+_MATHVISTA_KEYS = ("question_type", "answer_type", "language", "source",
+                   "category", "task", "context", "grade", "skills")
+
+
+def _mathvista_extract(response: str, question_type: str, answer_type: str,
+                       choices: List[str], query: str = "") -> str:
+    import os
+    import re
+
+    if not response:
+        return ""
+    r = str(response).strip()
+    if question_type == "multi_choice" and r in (choices or []):
+        return r
+    if answer_type == "integer":
+        try:
+            return str(int(r))
+        except ValueError:
+            pass
+    if answer_type == "float":
+        try:
+            return str(float(r))
+        except ValueError:
+            pass
+    m = re.search(r'The answer is "(.*)"\.', r)
+    if m:
+        return m.group(1)
+    if os.environ.get("MATHVISTA_GPT_EXTRACT") == "1":
+        try:
+            from ...eval.gpt_review import openai_chat_fn
+
+            chat = openai_chat_fn()
+            out = chat(
+                "Please extract the answer from the model response and "
+                "type it at the end of the prompt (only the extracted "
+                "answer, nothing else).",
+                f"{query}\n\nModel response: {r}\n\nExtracted answer: ")
+            if out:
+                return str(out).strip()
+        except Exception:
+            pass
+    # offline heuristics (replace the reference's GPT fallback)
+    if question_type == "multi_choice" and choices:
+        opts = {chr(ord("A") + i): c for i, c in enumerate(choices)}
+        letter = infer_option_letter(r, opts)
+        if letter:
+            return letter
+    if answer_type in ("integer", "float"):
+        nums = re.findall(r"[-+]?\d*\.?\d+", r.replace(",", ""))
+        if nums:
+            return nums[-1]
+    if answer_type == "list":
+        lists = re.findall(r"\[[^\[\]]*\]", r)
+        if lists:
+            return lists[-1]
+    return r
+
+
+def _mathvista_normalize(extraction: str, choices: List[str],
+                         question_type: str, answer_type: str,
+                         precision) -> str | None:
+    """mathvista_evals.py:171-219 normalize_extracted_answer."""
+    import re
+
+    if question_type == "multi_choice":
+        extraction = str(extraction or "").strip()
+        letter = re.findall(r"\(([a-zA-Z])\)", extraction)
+        if letter:
+            extraction = letter[0].upper()
+        options = [chr(ord("A") + i) for i in range(len(choices or []))]
+        if extraction in options:
+            return choices[options.index(extraction)]
+        if not choices:
+            return extraction
+        from ...eval.m4c_evaluator import _levenshtein
+
+        dists = [_levenshtein(extraction, str(c)) for c in choices]
+        return choices[dists.index(min(dists))]
+    if answer_type == "integer":
+        try:
+            return str(int(float(extraction)))
+        except (TypeError, ValueError):
+            return None
+    if answer_type == "float":
+        try:
+            return str(round(float(extraction), int(precision or 0)))
+        except (TypeError, ValueError):
+            return None
+    if answer_type == "list":
+        try:
+            return str(extraction)
+        except Exception:
+            return None
+    return str(extraction) if extraction is not None else None
+
+
+def mathvista_process_results(doc: dict, result: str) -> dict:
+    choices = list(doc.get("choices") or [])
+    qt = str(doc.get("question_type", ""))
+    at = str(doc.get("answer_type", ""))
+    extraction = _mathvista_extract(result, qt, at, choices,
+                                    query=str(doc.get("query", "")))
+    pred = _mathvista_normalize(extraction, choices, qt,
+                                at, doc.get("precision", 0))
+    answer = doc.get("answer")
+    score = (float(str(pred).strip() == str(answer).strip())
+             if answer is not None and pred is not None else 0.0)
+    meta = doc.get("metadata") or {}
+    rec = {"score": score, "question_type": qt, "answer_type": at}
+    for k in _MATHVISTA_KEYS[2:]:
+        rec[k] = meta.get(k, doc.get(k))
+    return {"mathvista_acc": rec}
+
+
+def mathvista_aggregate(results: List[dict]) -> dict:
+    """Overall accuracy plus per-value breakdowns over every metadata key
+    (mathvista/utils.py:81-104 — skills is a list and explodes)."""
+    from collections import defaultdict
+
+    out = {"average": round(sum(r["score"] for r in results)
+                            / max(len(results), 1), 4)}
+    for key in _MATHVISTA_KEYS:
+        groups = defaultdict(list)
+        for r in results:
+            vals = r.get(key)
+            if vals is None:
+                continue
+            for v in (vals if isinstance(vals, (list, tuple)) else [vals]):
+                groups[str(v)].append(r["score"])
+        for v, vs in sorted(groups.items(),
+                            key=lambda kv: -sum(kv[1]) / len(kv[1])):
+            out[f"{key}/{v}"] = round(sum(vs) / len(vs), 4)
+    return out

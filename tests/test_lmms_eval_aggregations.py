@@ -409,3 +409,82 @@ def test_check_integrity_accepts_hooks():
     finally:
         TASK_REGISTRY.pop("bad_hook_task", None)   # keep the corpus clean
         # for test_check_integrity's no-arg whole-registry scan
+
+
+# ---------------------------------------------------------------------------
+# MathVista (mathvista_evals.py:114-245, utils.py:45-118)
+# ---------------------------------------------------------------------------
+
+def test_mathvista_extraction_chain():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import \
+        _mathvista_extract
+
+    # verbatim choice passes through
+    assert _mathvista_extract("8/11", "multi_choice", "text",
+                              ["3/11", "8/11"]) == "8/11"
+    # bare integer / float responses parse directly
+    assert _mathvista_extract("14", "free_form", "integer", []) == "14"
+    assert _mathvista_extract("0.60", "free_form", "float", []) == "0.6"
+    # the reference's quick-extract regex
+    assert _mathvista_extract('The answer is "blue".', "free_form", "text",
+                              []) == "blue"
+    # offline heuristics: option letter, trailing number
+    assert _mathvista_extract("The correct answer is (B) 8/11.",
+                              "multi_choice", "text",
+                              ["3/11", "8/11"]) == "B"
+    assert _mathvista_extract("Luca needs $1.45 in total.", "free_form",
+                              "float", []) == "1.45"
+
+
+def test_mathvista_normalize_golden():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import \
+        _mathvista_normalize
+
+    choices = ["red", "green", "blue"]
+    # "(B)" -> letter -> choice text
+    assert _mathvista_normalize("(b) green", choices, "multi_choice",
+                                "text", 0) == "green"
+    # non-letter falls back to Levenshtein nearest choice
+    assert _mathvista_normalize("blu", choices, "multi_choice",
+                                "text", 0) == "blue"
+    # numeric rounding honors the per-question precision
+    assert _mathvista_normalize("1.456", [], "free_form", "float", 1) \
+        == "1.5"
+    assert _mathvista_normalize("3.0", [], "free_form", "integer", 0) == "3"
+    assert _mathvista_normalize("oops", [], "free_form", "integer", 0) \
+        is None
+
+
+def test_mathvista_per_key_breakdown_golden():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        mathvista_aggregate, mathvista_process_results)
+
+    docs = [
+        {"pid": "1", "question_type": "multi_choice", "answer_type": "text",
+         "choices": ["3", "4"], "answer": "4", "query": "q",
+         "metadata": {"task": "geometry", "skills": ["algebra", "logic"],
+                      "grade": "elem"}},
+        {"pid": "2", "question_type": "free_form", "answer_type": "integer",
+         "choices": [], "answer": "7", "query": "q", "precision": 0,
+         "metadata": {"task": "geometry", "skills": ["logic"],
+                      "grade": "high"}},
+        {"pid": "3", "question_type": "free_form", "answer_type": "float",
+         "choices": [], "answer": "1.2", "query": "q", "precision": 1,
+         "metadata": {"task": "statistics", "skills": ["algebra"],
+                      "grade": "high"}},
+    ]
+    preds = ["The correct answer is (B) 4.",   # right
+             "The count is 7.",                # right
+             "I think it is 3.4"]              # wrong
+    recs = [mathvista_process_results(d, p)["mathvista_acc"]
+            for d, p in zip(docs, preds)]
+    assert [r["score"] for r in recs] == [1.0, 1.0, 0.0]
+    agg = mathvista_aggregate(recs)
+    assert agg["average"] == round(2 / 3, 4)
+    assert agg["task/geometry"] == 1.0
+    assert agg["task/statistics"] == 0.0
+    # skills explode: algebra sees docs 1 and 3, logic sees 1 and 2
+    assert agg["skills/algebra"] == 0.5
+    assert agg["skills/logic"] == 1.0
+    assert agg["question_type/multi_choice"] == 1.0
+    assert agg["grade/high"] == 0.5
