@@ -768,3 +768,95 @@ def mathvista_aggregate(results: List[dict]) -> dict:
                             key=lambda kv: -sum(kv[1]) / len(kv[1])):
             out[f"{key}/{v}"] = round(sum(vs) / len(vs), 4)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MathVerse — extract -> score -> per-problem_version / per-subfield
+# accuracy (reference: lmms-eval/lmms_eval/tasks/mathverse/
+# mathverse_evals.py:155-187 extract_answer/score_answer and :262-306
+# eval_results).  The reference runs BOTH stages through GPT; offline the
+# extraction reuses MathVista's rule chain and scoring falls back to the
+# reference's quick_match (normalized string equality).  MATHVERSE_GPT=1
+# restores the GPT judge for the match stage.
+# ---------------------------------------------------------------------------
+
+def _mathverse_quick_match(extraction: str, answer: str) -> bool:
+    """quick_match (mathverse_evals.py:172-173) with the same whitespace /
+    case / trailing-period tolerance the GPT judge exhibits on literal
+    matches."""
+    a = str(extraction or "").strip().strip(".").lower()
+    b = str(answer or "").strip().strip(".").lower()
+    return bool(b) and a == b
+
+
+def _mathverse_extract(response: str, question_type: str) -> str:
+    """Offline stand-in for the reference's GPT extractor
+    (mathverse_evals.py:155-169 + DEMO_PROMPT_EXTRACT): multi-choice
+    answers are bare option letters, free-form answers are the final
+    value in the response."""
+    import re
+
+    r = str(response or "").strip()
+    if not r:
+        return ""
+    if question_type == "multi-choice":
+        letters = re.findall(r"\(([a-zA-Z])\)", r)
+        if letters:
+            return letters[-1].upper()
+        tokens = re.findall(r"(?<![A-Za-z])([A-H])(?![A-Za-z])", r)
+        if tokens:
+            return tokens[-1]
+        return r
+    m = re.search(r'[Tt]he answer is "?([^".\n]+)"?\.?\s*$', r)
+    if m:
+        return m.group(1).strip()
+    nums = re.findall(r"[-+]?\d*\.?\d+", r.replace(",", ""))
+    if nums:
+        return nums[-1]
+    return r.splitlines()[-1].strip()
+
+
+def mathverse_process_results(doc: dict, result: str) -> dict:
+    import os
+
+    pred = str(result).strip()
+    qt = str(doc.get("question_type", ""))
+    answer = doc.get("answer")
+    extraction = _mathverse_extract(pred, qt)
+    matched = False
+    if answer is not None:
+        matched = _mathverse_quick_match(extraction, answer)
+        if not matched and os.environ.get("MATHVERSE_GPT") == "1":
+            try:
+                from ...eval.gpt_review import openai_chat_fn
+
+                chat = openai_chat_fn()
+                out = chat(
+                    "Below is a math question, the correct answer, and a "
+                    "model's extracted answer.  Judge whether the "
+                    "extracted answer is correct.  Reply with 1 for "
+                    "correct or 0 for incorrect, nothing else.",
+                    f"Question: {doc.get('question_for_eval', '')}\n"
+                    f"Correct answer: {answer}\n"
+                    f"Extracted answer: {extraction}\nJudgement: ")
+                matched = str(out).replace("Judgement:", "").strip() == "1"
+            except Exception:
+                pass
+    meta = doc.get("metadata") or {}
+    return {"mathverse_acc": {
+        "score": float(matched),
+        "problem_version": str(doc.get("problem_version", "unknown")),
+        "subfield": str(meta.get("subfield", doc.get("subfield",
+                                                     "unknown"))),
+    }}
+
+
+def mathverse_aggregate(results: List[dict]) -> dict:
+    out = {"average": round(sum(r["score"] for r in results)
+                            / max(len(results), 1), 4)}
+    for key in ("problem_version", "subfield"):
+        acc = _grouped_mean(results, key, "score")
+        for v, s in acc.items():
+            if v != "Overall":
+                out[f"{key}/{v}"] = s
+    return out

@@ -488,3 +488,39 @@ def test_mathvista_per_key_breakdown_golden():
     assert agg["skills/logic"] == 1.0
     assert agg["question_type/multi_choice"] == 1.0
     assert agg["grade/high"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# MathVerse (mathverse_evals.py:155-187, :262-306)
+# ---------------------------------------------------------------------------
+
+def test_mathverse_quick_match_and_breakdowns():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        mathverse_aggregate, mathverse_process_results)
+
+    docs = [
+        {"question_type": "multi-choice", "answer": "B",
+         "problem_version": "Text Dominant",
+         "metadata": {"subfield": "Plane Geometry"},
+         "question_for_eval": "q1"},
+        {"question_type": "free-form", "answer": "12",
+         "problem_version": "Vision Only",
+         "metadata": {"subfield": "Algebra"},
+         "question_for_eval": "q2"},
+        {"question_type": "free-form", "answer": "3.5",
+         "problem_version": "Text Dominant",
+         "metadata": {"subfield": "Algebra"},
+         "question_for_eval": "q3"},
+    ]
+    preds = ["The answer is (B).",      # letter extracted, matches
+             "So the result is 12.",    # trailing number, matches
+             "I believe it is 4"]       # wrong
+    recs = [mathverse_process_results(d, p)["mathverse_acc"]
+            for d, p in zip(docs, preds)]
+    assert [r["score"] for r in recs] == [1.0, 1.0, 0.0]
+    agg = mathverse_aggregate(recs)
+    assert agg["average"] == round(2 / 3, 4)
+    assert agg["problem_version/Text Dominant"] == 0.5
+    assert agg["problem_version/Vision Only"] == 1.0
+    assert agg["subfield/Algebra"] == 0.5
+    assert agg["subfield/Plane Geometry"] == 1.0
