@@ -90,7 +90,13 @@ class ConfigurableTask:
 
     # ---- doc adapters ----
     def doc_to_text(self, doc: dict) -> str:
-        text = _FMT.vformat(self.config["doc_to_text"], (), doc)
+        spec = self.config["doc_to_text"]
+        if isinstance(spec, str) and spec.startswith("task_utils."):
+            # prompt-construction hook (reference: !function utils.<fn>
+            # doc_to_text entries, e.g. olympiadbench en_utils.py:22-48)
+            text = _resolve_hook(spec)(doc)
+        else:
+            text = _FMT.vformat(spec, (), doc)
         pre = self.config.get("pre_prompt", "")
         post = self.config.get("post_prompt", "")
         return f"{pre}{text}{post}"

@@ -860,3 +860,62 @@ def mathverse_aggregate(results: List[dict]) -> dict:
             if v != "Overall":
                 out[f"{key}/{v}"] = s
     return out
+
+
+# ---------------------------------------------------------------------------
+# OlympiadBench — symbolic-equivalence judging (reference:
+# lmms-eval/lmms_eval/tasks/olympiadbench/en_utils.py:51-66 + the
+# OlympiadBenchEvaluator protocol, re-implemented in eval/math_judge.py).
+# Proof questions (source contains "TP") have no autogradable answer and
+# contribute a submission record instead of a score.
+# ---------------------------------------------------------------------------
+
+def olympiadbench_doc_to_text(doc: dict) -> str:
+    """Faithful prompt construction (en_utils.py:22-48): competition
+    header, answer-type hint (multi-answer aware), and the boxed-answer
+    instruction."""
+    subject = doc.get("subfield", "Mathematics")
+    mul = bool(doc.get("is_multiple_answer") or False)
+    ans_type = doc.get("answer_type") or "a numeric value"
+    if ans_type == "Need_human_evaluate":
+        ans_type = "proof based"
+    pre = f"The following is a question from an International {subject} " \
+          "competition.\n"
+    post = (f"The question has multiple answers, each of them should be "
+            f"{ans_type}.\n" if mul
+            else f"The answer of the question should be {ans_type}.\n")
+    post += ("Please calculate the answer according to the given "
+             "requirements and the information provided. Please use LaTeX "
+             "format to represent the variables and formulas used in the "
+             "solution process and results. Please end your solution with ")
+    post += ('"So the final answer is \\boxed{multiple answers connected '
+             'with commas}.\n' if mul
+             else '"So the final answer is \\boxed{answer}."\n')
+    return pre + str(doc.get("question", "")) + "\n" + post
+
+
+def olympiadbench_process_results(doc: dict, result: str) -> dict:
+    from ...eval.math_judge import judge
+
+    pred = str(result).strip()
+    if "TP" in str(doc.get("source", "")):
+        return {"olympiadbench_acc": {"score": None, "submission": pred}}
+    pred = pred.split("final answer is")[-1]
+    pred = (pred.replace('"', "").replace("\n", "").replace(" ", "")
+            .strip(".").strip("\u3002"))
+    answers = doc.get("final_answer") or [""]
+    precision = doc.get("error")
+    if precision is None:
+        precision = 0
+    score = float(judge(str(answers[0]), pred, precision))
+    return {"olympiadbench_acc": {"score": score}}
+
+
+def olympiadbench_aggregate(results: List[dict]) -> dict:
+    scored = [r["score"] for r in results if r.get("score") is not None]
+    return {
+        "accuracy": round(sum(scored) / len(scored), 4) if scored else 0.0,
+        "scored": len(scored),
+        "proof_submissions": sum(1 for r in results
+                                 if r.get("score") is None),
+    }

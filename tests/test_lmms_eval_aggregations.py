@@ -524,3 +524,48 @@ def test_mathverse_quick_match_and_breakdowns():
     assert agg["problem_version/Vision Only"] == 1.0
     assert agg["subfield/Algebra"] == 0.5
     assert agg["subfield/Plane Geometry"] == 1.0
+
+
+# ---------------------------------------------------------------------------
+# OlympiadBench (en_utils.py:51-66 + olympiadbench_evals.py protocol)
+# ---------------------------------------------------------------------------
+
+def test_math_judge_protocol():
+    from matryoshka_mm_tpu.eval.math_judge import judge
+
+    assert judge(r"\frac{1}{2}", "0.5")
+    assert judge(r"2\sqrt{3}", r"\sqrt{12}")
+    assert judge("1,2", "2,1")                    # order-free multi-answer
+    assert judge(r"\pm 3", "3,-3")                # plus-minus expansion
+    assert judge("[1,2]", "[1.0, 2.0]")           # interval
+    assert judge("50", "0.5")                     # percentage alias
+    assert judge("3.14159", r"\pi", 1e-3)         # pi substitution
+    assert judge("1.41", r"\sqrt{2}", 1e-2)       # tolerance honored
+    assert not judge("1.41", r"\sqrt{2}", 1e-8)
+    assert not judge("7", "8")
+    assert not judge("1,2", "1")                  # arity mismatch
+
+
+def test_olympiadbench_process_and_aggregate():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        olympiadbench_aggregate, olympiadbench_doc_to_text,
+        olympiadbench_process_results)
+
+    doc = {"source": "OE_MM_maths_en_COMP", "final_answer": [r"\frac{3}{4}"],
+           "error": None, "subfield": "Math", "question": "q?",
+           "is_multiple_answer": False, "answer_type": "a fraction"}
+    good = olympiadbench_process_results(
+        doc, r"Therefore... So the final answer is \boxed{\frac{3}{4}}.")
+    bad = olympiadbench_process_results(
+        doc, r"So the final answer is \boxed{\frac{1}{4}}.")
+    proof = olympiadbench_process_results(
+        {**doc, "source": "OE_TP_maths_en"}, "Proof: ...")
+    recs = [good["olympiadbench_acc"], bad["olympiadbench_acc"],
+            proof["olympiadbench_acc"]]
+    assert [r["score"] for r in recs] == [1.0, 0.0, None]
+    agg = olympiadbench_aggregate(recs)
+    assert agg == {"accuracy": 0.5, "scored": 2, "proof_submissions": 1}
+    # prompt construction carries the answer-type hint and boxed suffix
+    text = olympiadbench_doc_to_text(doc)
+    assert "International Math competition" in text
+    assert "a fraction" in text and "\\boxed{answer}" in text
