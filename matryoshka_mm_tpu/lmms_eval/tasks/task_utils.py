@@ -490,6 +490,18 @@ def screenspot_rec_aggregate(results: List[dict]) -> dict:
     return out
 
 
+def refcoco_rec_process_results(doc: dict, result: str) -> dict:
+    """RefCOCO/+/g REC: the same IoU / ACC@{0.1..0.9} / Center_ACC ladder
+    as ScreenSpot (reference: refcoco/utils_rec.py:164-231 registers all
+    seven aggregations)."""
+    rec = screenspot_rec_process_results(doc, result)["screenspot_rec"]
+    return {"refcoco_rec": rec}
+
+
+def refcoco_rec_aggregate(results: List[dict]) -> dict:
+    return screenspot_rec_aggregate(results)
+
+
 # ---------------------------------------------------------------------------
 # WebSRC — squad-F1 per website domain plus the pooled overall
 # (reference: lmms-eval/lmms_eval/tasks/websrc/utils.py

@@ -569,3 +569,19 @@ def test_olympiadbench_process_and_aggregate():
     text = olympiadbench_doc_to_text(doc)
     assert "International Math competition" in text
     assert "a fraction" in text and "\\boxed{answer}" in text
+
+
+def test_refcoco_rec_ladder():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        refcoco_rec_aggregate, refcoco_rec_process_results)
+
+    doc = {"bbox": [0.1, 0.1, 0.5, 0.5]}
+    exact = refcoco_rec_process_results(doc, "(0.1, 0.1, 0.5, 0.5)")
+    off = refcoco_rec_process_results(doc, "(0.3, 0.3, 0.7, 0.7)")
+    recs = [exact["refcoco_rec"], off["refcoco_rec"]]
+    agg = refcoco_rec_aggregate(recs)
+    assert agg["ACC@0.9"] == 0.5          # only the exact box
+    assert agg["ACC@0.1"] == 1.0          # both overlap a little
+    assert 0.5 < agg["IoU"] < 1.0
+    assert agg["Center_ACC"] == 1.0       # off-box center (0.5,0.5) is on
+                                          # the gt corner -> still inside
