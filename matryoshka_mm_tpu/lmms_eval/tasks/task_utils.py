@@ -931,3 +931,28 @@ def olympiadbench_aggregate(results: List[dict]) -> dict:
         "proof_submissions": sum(1 for r in results
                                  if r.get("score") is None),
     }
+
+
+# ---------------------------------------------------------------------------
+# ChartQA — relaxed accuracy overall + human/augmented split means
+# (reference: lmms-eval/lmms_eval/tasks/chartqa/utils.py:12-22; the split
+# comes from doc["type"] == "human_test").
+# ---------------------------------------------------------------------------
+
+def chartqa_process_results(doc: dict, result: str) -> dict:
+    from ..api.metrics import relaxed_accuracy
+
+    score = relaxed_accuracy(doc.get("answer"), str(result))
+    split = ("human" if str(doc.get("type", "")) == "human_test"
+             else "augmented")
+    return {"relaxed_accuracy": {"score": score, "split": split}}
+
+
+def chartqa_aggregate(results: List[dict]) -> dict:
+    out = {"relaxed_overall": round(
+        sum(r["score"] for r in results) / max(len(results), 1), 4)}
+    for split in ("human", "augmented"):
+        vs = [r["score"] for r in results if r["split"] == split]
+        if vs:
+            out[f"relaxed_{split}_split"] = round(sum(vs) / len(vs), 4)
+    return out

@@ -585,3 +585,21 @@ def test_refcoco_rec_ladder():
     assert 0.5 < agg["IoU"] < 1.0
     assert agg["Center_ACC"] == 1.0       # off-box center (0.5,0.5) is on
                                           # the gt corner -> still inside
+
+
+def test_chartqa_split_means():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        chartqa_aggregate, chartqa_process_results)
+
+    recs = [
+        chartqa_process_results({"answer": "42", "type": "human_test"},
+                                "42")["relaxed_accuracy"],
+        chartqa_process_results({"answer": "10", "type": "human_test"},
+                                "10.4")["relaxed_accuracy"],   # within 5%
+        chartqa_process_results({"answer": "blue", "type": "aug_test"},
+                                "red")["relaxed_accuracy"],
+    ]
+    agg = chartqa_aggregate(recs)
+    assert agg["relaxed_overall"] == round(2 / 3, 4)
+    assert agg["relaxed_human_split"] == 1.0
+    assert agg["relaxed_augmented_split"] == 0.0
