@@ -956,3 +956,43 @@ def chartqa_aggregate(results: List[dict]) -> dict:
         if vs:
             out[f"relaxed_{split}_split"] = round(sum(vs) / len(vs), 4)
     return out
+
+
+# ---------------------------------------------------------------------------
+# MM-Vet — GPT-graded scores rolled up overall + per-capability +
+# per-capability-combination (reference:
+# lmms-eval/lmms_eval/tasks/mmvet/utils.py:159-203; the judge itself is
+# the API-gated gpt4_judge metric, as in the reference which requires a
+# GPT-4 key).
+# ---------------------------------------------------------------------------
+
+def mmvet_process_results(doc: dict, result: str) -> dict:
+    from ..api.metrics import gpt4_judge
+
+    caps = doc.get("capability", "")
+    if isinstance(caps, (list, tuple)):
+        caps = ",".join(str(c) for c in caps)
+    return {"gpt4_judge": {
+        "score": gpt4_judge(doc.get("answer", ""), str(result)),
+        "capabilities": str(caps),
+    }}
+
+
+def mmvet_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    n = max(len(results), 1)
+    out = {"overall": round(
+        100.0 * sum(r["score"] for r in results) / n, 2)}
+    caps, combos = defaultdict(list), defaultdict(list)
+    for r in results:
+        parts = [c.strip() for c in r["capabilities"].split(",") if c]
+        for c in parts:
+            caps[c].append(r["score"])
+        combos["_".join(sorted(parts))].append(r["score"])
+    for c, vs in sorted(caps.items()):
+        out[f"cap/{c}"] = round(100.0 * sum(vs) / len(vs), 2)
+    for c, vs in sorted(combos.items()):
+        if "_" in c:        # single-capability combos duplicate cap/
+            out[f"detail/{c}"] = round(100.0 * sum(vs) / len(vs), 2)
+    return out

@@ -603,3 +603,20 @@ def test_chartqa_split_means():
     assert agg["relaxed_overall"] == round(2 / 3, 4)
     assert agg["relaxed_human_split"] == 1.0
     assert agg["relaxed_augmented_split"] == 0.0
+
+
+def test_mmvet_capability_rollups():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import mmvet_aggregate
+
+    recs = [
+        {"score": 1.0, "capabilities": "ocr,math"},
+        {"score": 0.0, "capabilities": "ocr"},
+        {"score": 0.5, "capabilities": "rec"},
+    ]
+    agg = mmvet_aggregate(recs)
+    assert agg["overall"] == 50.0
+    assert agg["cap/ocr"] == 50.0
+    assert agg["cap/math"] == 100.0
+    assert agg["cap/rec"] == 50.0
+    assert agg["detail/math_ocr"] == 100.0
+    assert "detail/ocr" not in agg
