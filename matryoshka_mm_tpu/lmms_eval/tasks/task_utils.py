@@ -996,3 +996,66 @@ def mmvet_aggregate(results: List[dict]) -> dict:
         if "_" in c:        # single-capability combos duplicate cap/
             out[f"detail/{c}"] = round(100.0 * sum(vs) / len(vs), 2)
     return out
+
+
+# ---------------------------------------------------------------------------
+# LLaVA-Bench (in-the-wild / COCO) — pairwise GPT review against the
+# dataset's GPT-4 reference answers, reported as the relative score
+# 100 * mean(model) / mean(gpt4) overall and per category (reference:
+# lmms-eval/lmms_eval/tasks/llava-in-the-wild/utils.py:89-192; the
+# rubric text is the reference rule.json llava_bench_* prompt, a scoring
+# spec shared by all three categories).  API-gated like the standalone
+# eval/gpt_review.py pipeline.
+# ---------------------------------------------------------------------------
+
+_LLAVA_BENCH_RUBRIC = (
+    "We would like to request your feedback on the performance of two AI "
+    "assistants in response to the user question displayed above. The "
+    "user asks the question on observing an image. For your reference, "
+    "the visual content in the image is represented with a few sentences "
+    "describing the image. \nPlease rate the helpfulness, relevance, "
+    "accuracy, level of details of their responses. Each assistant "
+    "receives an overall score on a scale of 1 to 10, where a higher "
+    "score indicates better overall performance.\nPlease first output a "
+    "single line containing only two values indicating the scores for "
+    "Assistant 1 and 2, respectively. The two scores are separated by a "
+    "space.\nIn the subsequent line, please provide a comprehensive "
+    "explanation of your evaluation, avoiding any potential bias and "
+    "ensuring that the order in which the responses were presented does "
+    "not affect your judgment.")
+
+
+def llava_wild_process_results(doc: dict, result: str) -> dict:
+    from ...eval.gpt_review import openai_chat_fn, parse_score
+
+    chat = openai_chat_fn()  # raises a clear error without an API key
+    context = doc.get("caption", doc.get("context", ""))
+    if isinstance(context, (list, tuple)):
+        context = "\n".join(str(c) for c in context)
+    content = (f"[Context]\n{context}\n\n"
+               f"[Question]\n{doc.get('question', '')}\n\n"
+               f"[Assistant 1]\n{doc.get('gpt_answer', '')}\n"
+               "[End of Assistant 1]\n\n"
+               f"[Assistant 2]\n{result}\n[End of Assistant 2]\n\n"
+               f"[System]\n{_LLAVA_BENCH_RUBRIC}\n\n")
+    review = chat("You are a helpful and precise assistant for checking "
+                  "the quality of the answer.", content)
+    scores = parse_score(review)
+    return {"gpt4_judge": {"gpt4": scores[0], "model": scores[1],
+                           "category": str(doc.get("category", "all"))}}
+
+
+def llava_wild_aggregate(results: List[dict]) -> dict:
+    from collections import defaultdict
+
+    valid = [r for r in results if r["gpt4"] > 0 and r["model"] > 0]
+    groups = defaultdict(list)
+    for r in valid:
+        groups["all"].append(r)
+        groups[r["category"]].append(r)
+    out = {}
+    for cat, rs in sorted(groups.items()):
+        g = sum(r["gpt4"] for r in rs) / len(rs)
+        m = sum(r["model"] for r in rs) / len(rs)
+        out[cat] = round(100.0 * m / g, 1) if g else 0.0
+    return out

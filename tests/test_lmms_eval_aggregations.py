@@ -620,3 +620,18 @@ def test_mmvet_capability_rollups():
     assert agg["cap/rec"] == 50.0
     assert agg["detail/math_ocr"] == 100.0
     assert "detail/ocr" not in agg
+
+
+def test_llava_wild_relative_score():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import \
+        llava_wild_aggregate
+
+    recs = [
+        {"gpt4": 8.0, "model": 6.0, "category": "conv"},
+        {"gpt4": 10.0, "model": 9.0, "category": "detail"},
+        {"gpt4": 5.0, "model": -1.0, "category": "conv"},   # failed parse
+    ]
+    agg = llava_wild_aggregate(recs)
+    assert agg["conv"] == 75.0
+    assert agg["detail"] == 90.0
+    assert agg["all"] == round(100.0 * (7.5 / 9.0), 1)
