@@ -479,8 +479,20 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
         # padded int8 leaf: zero weights pad the tail columns exactly
         x2 = jnp.pad(x2, ((0, 0), (0, kp - x2.shape[-1])))
     if stacked:
-        fn = int4_matmul_stacked if is4 else int8_matmul_stacked
-        y = fn(x2, leaf[key], leaf["scale"], leaf["_layer"])
+        import os as _os
+
+        if is4 and _os.environ.get("M3_W4A8") == "1" and rows <= 32:
+            # opt-in W4A8: int8 activations feed s8xs8->s32 MXU dots —
+            # skips the per-byte int8->bf16 feed conversion that bounds
+            # W4A16 past ~650 GB/s, at the cost of per-row activation
+            # quantization error (ops/int4_matmul.py W4A8 section)
+            from .int4_matmul import int4_matmul_w4a8_stacked
+
+            y = int4_matmul_w4a8_stacked(x2, leaf[key], leaf["scale"],
+                                         leaf["_layer"])
+        else:
+            fn = int4_matmul_stacked if is4 else int8_matmul_stacked
+            y = fn(x2, leaf[key], leaf["scale"], leaf["_layer"])
     else:
         fn = int4_matmul if is4 else int8_matmul
         y = fn(x2, leaf[key], leaf["scale"])
