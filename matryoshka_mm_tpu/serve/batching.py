@@ -124,7 +124,8 @@ class ContinuousBatcher:
                  page_size: int = 64, use_kernel: Optional[bool] = None,
                  prefix_cache: bool = False, adapters: Optional[dict] = None,
                  speculative_k: int = 0, spec_ngram: int = 3,
-                 fsm_vocab: Optional[list] = None, max_fsm_states: int = 64):
+                 fsm_vocab: Optional[list] = None, max_fsm_states: int = 64,
+                 n_pages: Optional[int] = None):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
@@ -204,7 +205,11 @@ class ContinuousBatcher:
             self.capacity = _round_up(self.capacity + self._headroom,
                                       page_size)
             self.pages_per_row = -(-self.capacity // page_size)
-            n_pages = max_batch * self.pages_per_row
+            # n_pages override: bound the paged pool's HBM footprint below
+            # the worst case (every row at full capacity); admissions that
+            # cannot get pages retry at the front of the line
+            if n_pages is None:
+                n_pages = max_batch * self.pages_per_row
             # dtype=None: init_paged_cache honors cfg.llama.kv_cache_dtype
             # (int8 pools carry per-slot dequant scales through the pytree)
             self.paged = init_paged_cache(cfg.llama, n_pages, page_size)
@@ -215,7 +220,7 @@ class ContinuousBatcher:
                                                self.pages_per_row)
                 self.index = PrefixIndex()
                 self.stats = {"prefix_hits": 0, "prefix_misses": 0,
-                              "prefix_pages_reused": 0}
+                              "prefix_pages_reused": 0, "admit_retries": 0}
             else:
                 self.alloc = PageAllocator(n_pages, page_size, max_batch,
                                            self.pages_per_row)
@@ -264,6 +269,12 @@ class ContinuousBatcher:
             self.lora_idx = jnp.zeros((max_batch,), jnp.int32)
 
         self.pending: "queue.Queue[_Request]" = queue.Queue()
+        # out-of-pages retries and retire continuations go HERE, not back
+        # into pending: a tail requeue would let later arrivals jump ahead
+        # of a request that already waited (unbounded under sustained
+        # pressure -> TTFT p95 blow-up); the scheduler drains this
+        # front-of-line list before pending each iteration
+        self._retry: List[_Request] = []
         self.slots: List[Optional[_Request]] = [None] * max_batch
         self._admitting: List[_Request] = []   # mid-admission, for the crash handler
         # admissions by path: solo b=1 prefills vs rows sharing a batched
@@ -787,8 +798,10 @@ class ContinuousBatcher:
             need = -(-(T + self._headroom) // self.page_size)
             if need > self.pages_per_row:      # can never fit: fail it
                 req.out_queue.put(None)
-            else:                              # out of pages now: retry later
-                self.pending.put(req)
+            else:        # out of pages now: retry at the FRONT of the line
+                if self.index is not None:
+                    self.stats["admit_retries"] += 1
+                self._retry.append(req)
             return False
         self.paged = import_prefill(self.paged, cache, self.L - T,
                                     self.alloc.tables[slot],
@@ -869,6 +882,9 @@ class ContinuousBatcher:
                     if req is not None:
                         req.out_queue.put(None)
                         self.slots[slot] = None
+                for waiting in self._retry:
+                    waiting.out_queue.put(None)
+                self._retry = []
                 while True:
                     try:
                         self.pending.get_nowait().out_queue.put(None)
@@ -908,23 +924,28 @@ class ContinuousBatcher:
             admitted = False
             free = [s for s in range(self.max_batch) if self.slots[s] is None]
             fallthrough = []            # (req, slot) pairs needing full prefill
+            retry, self._retry = self._retry, []
             while free:
-                try:
-                    req = self.pending.get_nowait()
-                except queue.Empty:
-                    break
+                if retry:
+                    req = retry.pop(0)
+                else:
+                    try:
+                        req = self.pending.get_nowait()
+                    except queue.Empty:
+                        break
                 slot = free.pop(0)
                 self._admitting.append(req)  # visible to the crash handler
                 if self.backend == "paged" and self.index is not None:
-                    handled = self._try_admit_prefix(req, slot)
-                    if handled is True:
+                    # returns True (admitted via cached prefix) or None
+                    # (fall through to full prefill — incl. under pool
+                    # pressure, where _insert_paged front-requeues)
+                    if self._try_admit_prefix(req, slot) is True:
                         self._admitting.remove(req)
                         admitted = True
                         continue
-                    if handled is False:    # pool pressure: stop admitting
-                        self._admitting.remove(req)
-                        break
                 fallthrough.append((req, slot))
+            if retry:       # slots ran out first: keep waiting up front
+                self._retry = retry + self._retry
 
             groups: Dict = {}
             for req, slot in fallthrough:
@@ -1035,7 +1056,7 @@ class ContinuousBatcher:
             cont = _Request(req.rid, ids, req.pixel_values, req.numtoks,
                             remaining, req.lora_id, out_queue=req.out_queue,
                             emitted=req.emitted, image_size=req.image_size)
-            self.pending.put(cont)
+            self._retry.append(cont)
         self.active = jnp.zeros_like(self.active)
         # reset the pool for a fresh write region
         self.pool = init_kv_cache(self.cfg.llama, self.max_batch,

@@ -566,3 +566,44 @@ def test_batched_admission_mixed_burst(params, cfg, monkeypatch):
         assert batcher.admit_stats["solo"] == 2
     finally:
         batcher.shutdown()
+
+
+def test_paged_pool_pressure_retries_front_of_line(params, cfg):
+    """Out-of-pages admissions requeue at the FRONT of the line (not the
+    pending tail, where later arrivals could starve them): under a pool
+    where rows must wait for pages, every submitted request still
+    completes at full length, and the retry path is actually exercised."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                               eos_token_id=-1)
+    # 39-token prompt + 4 vis tokens spliced = 42 -> 3 pages on admission
+    # (headroom 3), growing to 4 by the end of an 8-token generation; a
+    # 4-page pool admits ONE row at a time and forces the others through
+    # the out-of-pages retry path while leaving room to finish.
+    base = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    filler = np.arange(10, 44, dtype=np.int32)[None, :]
+    batcher = ContinuousBatcher(params, cfg, max_batch=3, prefill_len=64,
+                                max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                                backend="paged", page_size=16,
+                                prefix_cache=True, n_pages=4)
+    try:
+        reqs, wants = [], []
+        for i in range(3):
+            rng = np.random.default_rng(i)
+            ids = np.concatenate([base, filler + i], axis=1)
+            px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+            reqs.append(batcher.submit(ids, px, numtoks=4,
+                                       max_new_tokens=8))
+            wants.append(generate(
+                params, cfg, ids, px,
+                matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                gen_cfg=gen_cfg)[0])
+        for r, want in zip(reqs, wants):
+            toks = np.concatenate(list(batcher.stream(r)))
+            np.testing.assert_array_equal(toks[: len(want)], want)
+            assert len(toks) == len(want)
+        assert batcher.stats["admit_retries"] >= 1
+        assert batcher._retry == []
+    finally:
+        batcher.shutdown()
