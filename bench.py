@@ -235,6 +235,10 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
             "throughput_tok_s": round(total_tok / wall, 1),
             "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 3),
             "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 3),
+            # full sorted distribution: p95 on 18 samples is one request,
+            # so the tail shape (one-off compile vs systematic wait) is
+            # only diagnosable from the raw values
+            "ttft_s_sorted": [round(t, 2) for t in sorted(ttfts)],
             "note": "paged int8-KV pool + prefix cache + int8 fused "
                     "decode, batcher-level (HTTP transport excluded)",
         }
