@@ -243,6 +243,7 @@ def load_pretrained_model(
     use_flash_attn: bool = False,
     quant_fuse: bool = True,
     kv_cache_dtype: str = "",
+    tp_size: int = 0,
     **kwargs,
 ) -> Tuple[object, LlavaModel, ClipImageProcessor, int]:
     """reference: builder.py:27-192.  Returns (tokenizer, model,
@@ -251,10 +252,22 @@ def load_pretrained_model(
     ``kv_cache_dtype='int8'`` stores KV cache slots int8 with per-slot
     scales (no reference analog — TPU-side extension): halves decode
     attention reads and doubles cache capacity at a small accuracy cost.
+
+    ``tp_size>1`` is the reference's multi-GPU ``device_map='auto'``
+    (builder.py:45-49) done the TPU way: weights are placed TP-sharded
+    over a (1, tp) mesh and GSPMD partitions the same jitted graphs
+    (parallel/inference.py) — how a 13B fits chips it can't fit alone.
+    Composes with load_8bit/4bit only under ``quant_fuse=False`` (the
+    fused Pallas decode kernels are single-chip programs).
     """
     import dataclasses
 
     import jax
+
+    if tp_size > 1 and quant_fuse and (load_8bit or load_4bit):
+        raise ValueError("tp_size>1 with quantized weights requires "
+                         "quant_fuse=False (fused Pallas decode kernels "
+                         "are not GSPMD-partitionable)")
 
     model_name = model_name or os.path.basename(model_path.rstrip("/"))
     image_processor = ClipImageProcessor()
@@ -265,6 +278,14 @@ def load_pretrained_model(
         return dataclasses.replace(
             cfg, llama=dataclasses.replace(cfg.llama,
                                            kv_cache_dtype=kv_cache_dtype))
+
+    def _model(params, cfg):
+        cfg = _with_kv(cfg)
+        if tp_size > 1:
+            from ..parallel.inference import shard_model_for_inference
+
+            params, cfg, _ = shard_model_for_inference(params, cfg, tp_size)
+        return LlavaModel(params, cfg)
 
     # ---- debug configs (no weights on disk) ----
     if model_path.startswith("debug://"):
@@ -282,7 +303,7 @@ def load_pretrained_model(
             size={"shortest_edge": s}, crop_size={"height": s, "width": s})
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
         params = maybe_quantize(params, load_8bit, load_4bit, quant_fuse)
-        return DebugTokenizer(cfg.llama.vocab_size), LlavaModel(params, _with_kv(cfg)), \
+        return DebugTokenizer(cfg.llama.vocab_size), _model(params, cfg), \
             image_processor, cfg.tokenizer_model_max_length
 
     # ---- native orbax checkpoint ----
@@ -291,7 +312,7 @@ def load_pretrained_model(
 
         params, cfg = load_checkpoint(model_path)
         tokenizer = _load_tokenizer(model_path, model_base)
-        return tokenizer, LlavaModel(params, _with_kv(cfg)), image_processor, \
+        return tokenizer, _model(params, cfg), image_processor, \
             cfg.tokenizer_model_max_length
 
     # ---- HF/LLaVA torch checkpoint ----
@@ -348,7 +369,7 @@ def load_pretrained_model(
     tokenizer = _load_tokenizer(model_path, model_base)
     context_len = hf_cfg.get("max_sequence_length",
                              cfg.tokenizer_model_max_length)
-    return tokenizer, LlavaModel(params, _with_kv(cfg)), image_processor, context_len
+    return tokenizer, _model(params, cfg), image_processor, context_len
 
 
 def _load_tokenizer(model_path: str, model_base: Optional[str]):

@@ -54,7 +54,7 @@ class ModelWorker:
                  continuous_batching=False, max_batch=4, kv_backend="dense",
                  prefix_cache=False, warmup=False, pool_prefill_len=None,
                  pool_max_new=1024, lora_adapters=None, kv_cache_dtype="",
-                 speculative_k=0):
+                 speculative_k=0, tp_size=0):
         self.controller_addr = controller_addr
         self.worker_addr = worker_addr
         self.worker_id = worker_id
@@ -77,10 +77,15 @@ class ModelWorker:
          self.context_len) = load_pretrained_model(
             model_path, model_base, self.model_name, load_8bit, load_4bit,
             device=device, use_flash_attn=use_flash_attn,
-            kv_cache_dtype=kv_cache_dtype,
+            kv_cache_dtype=kv_cache_dtype, tp_size=tp_size,
             # multi-LoRA targets per-projection leaves: keep the
             # unfused quantized layout when adapters are configured
             quant_fuse=not lora_adapters)
+        if tp_size > 1 and continuous_batching:
+            raise ValueError(
+                "--tp-size serves through the solo generate path; the "
+                "continuous batcher's paged/fused Pallas kernels are "
+                "single-chip programs (drop --continuous-batching)")
         self.is_multimodal = ("llava" in self.model_name.lower()
                               or model_path.startswith("debug://"))
 
@@ -456,6 +461,10 @@ def main():
                         help="continuous batching: verify k prompt-lookup "
                              "draft tokens per step (greedy-only; paged "
                              "backend); 0 disables")
+    parser.add_argument("--tp-size", type=int, default=0,
+                        help="shard the model TP over this many chips "
+                             "(GSPMD over a (1, tp) mesh) — the reference's "
+                             "multi-GPU device_map=auto; solo generate path")
     parser.add_argument("--kv-cache-dtype", type=str, default="",
                         choices=["", "int8"],
                         help="int8: KV slots stored int8 with per-slot "
@@ -477,7 +486,8 @@ def main():
                          pool_max_new=args.pool_max_new,
                          lora_adapters=args.lora_adapters,
                          kv_cache_dtype=args.kv_cache_dtype,
-                         speculative_k=args.speculative_k)
+                         speculative_k=args.speculative_k,
+                         tp_size=args.tp_size)
 
     from aiohttp import web
 
