@@ -25,6 +25,75 @@ import numpy as np
 
 N_DECODE_SAMPLES = 5
 
+# ---- stall watchdog ------------------------------------------------
+# The tunneled TPU backend can wedge indefinitely mid-run (device calls
+# block forever, no exception).  Every section write bumps _BEAT; a
+# daemon thread emits the final JSON line with whatever partial results
+# exist and exits if no section completes within _STALL_S.  _STALL_S is
+# sized to the longest legitimate silent stretch (a cold 7B QLoRA remat
+# compile); sections that legitimately run longer raise it in place.
+_BEAT = [time.time()]
+_STALL_S = [1200.0]
+
+
+class _Heartbeat(dict):
+    """dict that timestamps every write so the watchdog sees progress."""
+
+    def __setitem__(self, k, v):
+        super().__setitem__(k, v)
+        _BEAT[0] = time.time()
+
+
+def _emit(results, error=None):
+    """Print the one bench JSON line (partial if `error`)."""
+    scales = results.get("scales") or {}
+    headline = (scales.get("144") or {}).get("decode_tok_s")
+    cpu = results.get("cpu_reference_decode_tok_s")
+    line = {
+        "metric": "decode_tokens_per_sec (llava-v1.5-7b-m3, scale=144, 1 chip)",
+        "value": headline,
+        "unit": "tok/s",
+        "vs_baseline": round(headline / cpu, 2) if headline and cpu else None,
+        "detail": dict(results),
+    }
+    if error:
+        line["error"] = error
+    print(json.dumps(line), flush=True)
+
+
+def _start_watchdog(results):
+    def run():
+        while True:
+            time.sleep(30)
+            idle = time.time() - _BEAT[0]
+            if idle > _STALL_S[0]:
+                _emit(results, error=(
+                    f"stalled: no section completed for {idle:.0f}s "
+                    "(tpu tunnel wedge?) — partial results"))
+                os._exit(0)
+
+    threading.Thread(target=run, daemon=True).start()
+
+
+def _probe_devices(timeout_s=240.0):
+    """jax.devices() against a wedged tunnel blocks forever — probe it
+    on a side thread so a dead tunnel yields a structured failure line
+    instead of a hang."""
+    box = {}
+
+    def probe():
+        import jax
+        box["dev"] = jax.devices()[0]
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if "dev" not in box:
+        _emit({}, error=f"device probe did not answer within {timeout_s:.0f}s "
+                        "(tpu tunnel unavailable)")
+        os._exit(0)
+    return box["dev"]
+
 
 def _median(xs):
     return float(np.median(np.asarray(xs)))
@@ -322,9 +391,10 @@ def main():
     from matryoshka_mm_tpu.models.clip import ClipVisionConfig, clip_vision_forward, init_clip_params
     from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
 
-    dev = jax.devices()[0]
+    dev = _probe_devices()
     platform = dev.platform
-    results = {"device": str(dev), "platform": platform}
+    results = _Heartbeat({"device": str(dev), "platform": platform})
+    _start_watchdog(results)
 
     # --------------------------------------------------------------
     # 1) ViT-L/14-336 encode throughput (images/sec)
@@ -370,7 +440,7 @@ def main():
     ids = jnp.asarray(ids)
 
     gen_cfg = GenerationConfig(max_new_tokens=64, decode_chunk=32)
-    decode_meta = {}
+    decode_meta = _Heartbeat()
 
     def _timed_decode(decode, params, cache, first, lengths, B):
         """Median decode tok/s over N samples of 2x32-token chunks, each
@@ -389,7 +459,7 @@ def main():
             rates.append(B * 64 / (time.perf_counter() - t0))
         return rates, c
 
-    scale_metrics = {}
+    scale_metrics = _Heartbeat()
     for numtoks in cfg.tokscale_list:
         L = -(-(T - 1 + numtoks) // 64) * 64
         capacity = L + gen_cfg.max_new_tokens
@@ -539,6 +609,9 @@ def main():
             results["cpu_reference_cached"] = True
         else:
             try:
+                # ~50 min of single-core wall clock with no section
+                # writes — not a tunnel stall
+                _STALL_S[0] = 4500.0
                 cpu_tok_s = _cpu_reference_tok_s(cfg)
                 with open(cache_path, "w") as f:
                     json.dump({"cpu_tok_s": cpu_tok_s,
@@ -556,13 +629,7 @@ def main():
         "decode graph on this host's single-core CPU backend; north-star "
         "target is >= 5.0). The box has 1 core — scale by ~bandwidth for "
         "a full CPU server estimate.")
-    print(json.dumps({
-        "metric": "decode_tokens_per_sec (llava-v1.5-7b-m3, scale=144, 1 chip)",
-        "value": headline,
-        "unit": "tok/s",
-        "vs_baseline": round(headline / cpu_tok_s, 2) if cpu_tok_s else None,
-        "detail": results,
-    }))
+    _emit(results)
 
 
 if __name__ == "__main__":
