@@ -530,6 +530,31 @@ def main():
     _batched_decode("int8_kv8_decode_tok_s_b8", 8, k8 + " + int8 KV",
                     bcfg=cfg_kv8)
 
+    # Env-gated decode-kernel candidates (round 3, opt-in pending hardware
+    # validation): timed here under the same protocol so the round
+    # artifact carries the speed half of the flip-the-default decision
+    # even when no interactive tunnel window exists.  The exactness half
+    # is scripts/tpu_kernel_check.py + scripts/ab_gated_kernels.py.  The
+    # gates are read at TRACE time and _decode_chunk_fn is lru_cached, so
+    # each combo must drop the decode cache (prefill graphs are
+    # gate-independent: both gates need rows <= 32, ops/fused_mlp.py).
+    def _gated_decode(tag, B, kernel, env, bcfg=None):
+        from matryoshka_mm_tpu.generate import _decode_chunk_fn as _dcf
+        try:
+            os.environ.update(env)
+            _dcf.cache_clear()
+            _batched_decode(tag, B, kernel, bcfg=bcfg)
+        except Exception as e:  # noqa: BLE001
+            results[tag] = {"error": str(e)[:200]}
+        finally:
+            for k in env:
+                os.environ.pop(k, None)
+            _dcf.cache_clear()
+
+    tail = {"M3_TAIL_KERNEL": "1"}
+    _gated_decode("int8_tail_decode_tok_s_b1", 1,
+                  k8 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
+
     # --------------------------------------------------------------
     # 3a) serving: continuous batching under concurrency, int8 weights
     # --------------------------------------------------------------
@@ -561,6 +586,19 @@ def main():
     for B, tag in ((1, "int4_kv8_decode_tok_s_b1"),
                    (8, "int4_kv8_decode_tok_s_b8")):
         _batched_decode(tag, B, k4 + " + int8 KV", bcfg=cfg_kv8)
+
+    # gated candidates on the int4 flagship config (see the int8 block
+    # above for the caching/trace-time mechanics)
+    w4a8 = {"M3_W4A8": "1"}
+    _gated_decode("int4_tail_decode_tok_s_b1", 1,
+                  k4 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
+    _gated_decode("int4_w4a8_decode_tok_s_b1", 1,
+                  k4 + " + int8 activations on s8xs8 MXU dots (M3_W4A8, "
+                       "approximate)", w4a8)
+    _gated_decode("int4_tail_w4a8_decode_tok_s_b1", 1,
+                  k4 + " + M3_TAIL_KERNEL + M3_W4A8", {**tail, **w4a8})
+    _gated_decode("int4_tail_decode_tok_s_b8", 8,
+                  k4 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
     del params
 
     results["scales"] = scale_metrics

@@ -80,6 +80,14 @@ def run_bits(bits: int, steps: int, samples: int):
     base_tokens = {}
     for name, tail, w4a8 in combos:
         _set_gates(tail, w4a8)
+        # _decode_chunk_fn is lru_cached on (cfg, shapes) and the env
+        # gates are read at TRACE time, so a cached jitted fn from the
+        # previous combo would silently re-measure that combo's graph —
+        # drop the cache so every combo traces (and compiles) fresh.
+        # _prefill_fn stays cached: both gates require decode-narrow rows
+        # (<= 32, ops/fused_mlp.py *_eligible), so prefill graphs are
+        # gate-independent and recompiling them would waste tunnel time.
+        _decode_chunk_fn.cache_clear()
         for B in (1, 8):
             prefill = _prefill_fn(cfg, numtoks, L, L + steps)
             ids_b = jnp.tile(ids, (B, 1))
@@ -118,6 +126,7 @@ def run_bits(bits: int, steps: int, samples: int):
                               out[f"int{bits}_{name}_b{B}"]}), flush=True)
             del cache, c, c2
     _set_gates(False, False)
+    _decode_chunk_fn.cache_clear()
     del params
     return out
 
