@@ -217,11 +217,34 @@ def _item_equal(ref: str, pred: str, tol: float) -> bool:
     return False
 
 
+def _parse_tols(precision) -> list:
+    """Normalize a tolerance spec to a non-empty list of floats.
+
+    OlympiadBench stores per-question tolerance as a string field
+    (``"1e-2"``, or comma-joined per-component ``"1e-2,1e-3"``); a str
+    reaching the arithmetic (``tol * 1.01``) raises inside the equality
+    helpers, whose blanket ``except`` then silently disables tolerance
+    matching — so parse everything up front."""
+    if precision is None:
+        return [1e-8]
+    if isinstance(precision, str):
+        precision = [p for p in precision.split(",") if p.strip()]
+    if not isinstance(precision, (list, tuple)):
+        precision = [precision]
+    out = []
+    for p in precision:
+        try:
+            out.append(float(p))
+        except (TypeError, ValueError):
+            out.append(1e-8)
+    return out or [1e-8]
+
+
 def judge(reference: str, prediction: str, precision=1e-8) -> bool:
     """True when ``prediction`` matches ``reference`` under the
-    OlympiadBench equivalence protocol.  ``precision`` may be a scalar or
-    a per-answer-component list."""
-    precision = precision if isinstance(precision, list) else [precision]
+    OlympiadBench equivalence protocol.  ``precision`` may be a scalar,
+    a per-answer-component list, or the dataset's string form of either."""
+    precision = _parse_tols(precision)
     try:
         ref = _normalize(extract_boxed(str(reference)))
         pred = _normalize(extract_boxed(str(prediction)))
@@ -234,11 +257,14 @@ def judge(reference: str, prediction: str, precision=1e-8) -> bool:
 
     ref_items = _expand_pm(split_top_level(ref))
     pred_items = _expand_pm(split_top_level(pred))
-    if len(precision) <= 1:
-        precision = (precision or [1e-8]) * len(ref_items)
     if len(ref_items) != len(pred_items):
         return False
+    # pad with the last tolerance: a spec shorter than the component
+    # count must not truncate the zip below (unchecked components would
+    # score as correct)
     tols = list(precision)
+    if len(tols) < len(ref_items):
+        tols += [tols[-1]] * (len(ref_items) - len(tols))
     for r_item, tol in list(zip(ref_items, tols)):
         for p_item in pred_items:
             if _item_equal(r_item, p_item, tol):

@@ -399,6 +399,12 @@ def generate(
         valid=jnp.concatenate([c.valid for c in caches], axis=0),
         positions=jnp.concatenate([c.positions for c in caches], axis=0),
         write_idx=caches[0].write_idx,
+        # int8 KV: the per-(layer, B, slot, kv-head) dequant scales must
+        # ride along or the decode trace dies on cache_ks=None
+        k_scale=(jnp.concatenate([c.k_scale for c in caches], axis=1)
+                 if caches[0].k_scale is not None else None),
+        v_scale=(jnp.concatenate([c.v_scale for c in caches], axis=1)
+                 if caches[0].v_scale is not None else None),
     )
     lengths_kb = jnp.tile(lengths, (K,))
     logits_k = jnp.stack(logits_list)                          # (K, B, V)

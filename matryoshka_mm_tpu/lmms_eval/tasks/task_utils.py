@@ -353,11 +353,20 @@ def mmmu_aggregate(results: List[dict]) -> dict:
 # ---------------------------------------------------------------------------
 
 def caption_process_results(doc: dict, result: str) -> dict:
-    for field in ("answer", "annotations_captions", "reference_strs",
-                  "caption"):
+    fields = ("answer", "annotations_captions", "reference_strs", "caption")
+    refs = None
+    for field in fields:
         refs = doc.get(field)
         if refs is not None:
             break
+    if refs is None:
+        # fail loudly: scoring against str(None) would silently report
+        # near-zero CIDEr/BLEU that reads as a bad model rather than a
+        # reference-field mismatch
+        raise KeyError(
+            f"caption doc has none of the known reference fields {fields}; "
+            f"got keys {sorted(doc.keys())} — add the dataset's reference "
+            "column to caption_process_results")
     if not isinstance(refs, list):
         refs = [refs]
     return {"caption_scores": {"pred": str(result),
@@ -916,10 +925,10 @@ def olympiadbench_process_results(doc: dict, result: str) -> dict:
     pred = (pred.replace('"', "").replace("\n", "").replace(" ", "")
             .strip(".").strip("\u3002"))
     answers = doc.get("final_answer") or [""]
-    precision = doc.get("error")
-    if precision is None:
-        precision = 0
-    score = float(judge(str(answers[0]), pred, precision))
+    # doc["error"] is the dataset's tolerance field — a string like
+    # "1e-2" or comma-joined per-component "1e-2,1e-3"; judge() parses it
+    # (None falls back to its 1e-8 default, matching the reference)
+    score = float(judge(str(answers[0]), pred, doc.get("error")))
     return {"olympiadbench_acc": {"score": score}}
 
 

@@ -101,10 +101,15 @@ def _pool_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
                 attn_valid=active[:, None], cache=cache)
             logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
             nxt, rng2 = _select_token(logits, gen_cfg, rng)
+            # stream value: -1 marks "no token" for rows inactive this
+            # step — out-of-band, so a genuinely sampled pad_token_id
+            # (id 0 = <unk> for llama) still reaches the client and the
+            # host history stays in sync with the device cache
+            emit = jnp.where(active, nxt, -1)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             budget = jnp.where(active, budget - 1, budget)
             active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
-            return (cache, nxt, lengths + 1, budget, active, rng2), nxt
+            return (cache, nxt, lengths + 1, budget, active, rng2), emit
 
         (cache, token, lengths, budget, active, rng), toks = jax.lax.scan(
             step, (cache, tokens, lengths, budget, active, rng),
@@ -1018,7 +1023,10 @@ class ContinuousBatcher:
                 if req is None:
                     continue
                 row = toks_np[slot]
-                row = row[row != self.gen_cfg.pad_token_id]
+                # -1 is the device-side "no token" sentinel (see the
+                # decode fns) — filtering by value would also drop real
+                # pad-id tokens and desync host history from the cache
+                row = row[row >= 0]
                 if row.size:
                     req.out_queue.put(row)
                     req.emitted += row.size

@@ -513,11 +513,16 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
             nxt, rng2 = _select_token(logit0, gen_cfg, rng)
             if fsm:
                 fstate = jnp.where(active, fsm_trans[fstate, nxt], fstate)
+            # -1 = "no token this step" in the emitted stream (out-of-band
+            # — a genuinely sampled pad_token_id must not be dropped by
+            # the host's filter); the carried token stays a valid id for
+            # the next embedding gather
+            emit = jnp.where(active, nxt, -1)
             nxt = jnp.where(active, nxt, gen_cfg.pad_token_id)
             row_len = row_len + active.astype(row_len.dtype)
             budget = jnp.where(active, budget - 1, budget)
             active = active & (nxt != gen_cfg.eos_token_id) & (budget > 0)
-            return (paged, nxt, row_len, budget, active, rng2, fstate), nxt
+            return (paged, nxt, row_len, budget, active, rng2, fstate), emit
 
         if not fsm:
             fsm_state = jnp.zeros_like(tokens)
@@ -574,7 +579,10 @@ def _paged_spec_verify_fn(cfg, gen_cfg, k: int, max_pages: int,
         keep = ((j <= n_acc[:, None]) & (eos_before == 0)
                 & (j < budget[:, None]) & active[:, None])
         n_emit = keep.sum(axis=1).astype(jnp.int32)
-        out = jnp.where(keep, greedy, pad)
+        # -1 = "lane not kept" (out-of-band: a kept greedy token equal to
+        # pad_token_id must reach the host, or its history desyncs from
+        # the device cache and later drafts/re-prompts diverge)
+        out = jnp.where(keep, greedy, -1)
 
         row_len = row_len + n_emit
         budget = budget - n_emit

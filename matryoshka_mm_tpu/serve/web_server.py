@@ -12,6 +12,7 @@ responses proxied from the worker.
 from __future__ import annotations
 
 import argparse
+import asyncio
 import base64
 import json
 import os
@@ -258,7 +259,12 @@ def build_app(controller_url: str, conv_mode: str = "vicuna_v1",
 
         resp = web.StreamResponse()
 
-        if moderate and check_text(data["message"]):
+        # moderation does a blocking HTTP POST (10s timeout) — run it on
+        # a worker thread so a slow endpoint stalls only this request,
+        # not every connected client on the event loop
+        flagged = (moderate and await asyncio.get_event_loop()
+                   .run_in_executor(None, check_text, data["message"]))
+        if flagged:
             # flagged input never reaches the worker; the attempt is
             # logged (reference: add_text moderation path, utils.py:96-115)
             if conv_log is not None:

@@ -607,3 +607,35 @@ def test_paged_pool_pressure_retries_front_of_line(params, cfg):
         assert batcher._retry == []
     finally:
         batcher.shutdown()
+
+
+def test_stream_keeps_tokens_equal_to_pad_id(params, cfg):
+    """The emitted stream must not drop genuinely generated tokens whose
+    id equals pad_token_id (regression: the host filtered the chunk by
+    value, so a real pad-id token vanished from the stream while the
+    device advanced over it — desyncing prompt-lookup drafts and
+    dense-reset re-prompts from the device cache).  The device now marks
+    empty lanes with -1 (out-of-band), so the stream is invariant to
+    which vocab id serves as pad."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    ids, px = _inputs(3)
+    streams = {}
+    for name, pad in (("pad0", 0), ("pad_real", None)):
+        gen_cfg = GenerationConfig(max_new_tokens=8, decode_chunk=2,
+                                   eos_token_id=-1, pad_token_id=pad or 0)
+        if pad is None:
+            # second pass: make pad_token_id a token the model actually
+            # emits, so any by-value filtering would corrupt the stream
+            gen_cfg = GenerationConfig(
+                max_new_tokens=8, decode_chunk=2, eos_token_id=-1,
+                pad_token_id=int(streams["pad0"][0]))
+        b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                              max_new_tokens=16, gen_cfg=gen_cfg, chunk=2)
+        try:
+            req = b.submit(ids, px, numtoks=4, max_new_tokens=8)
+            streams[name] = np.concatenate(list(b.stream(req)))
+        finally:
+            b.shutdown()
+    assert streams["pad0"].shape[0] == 8
+    np.testing.assert_array_equal(streams["pad0"], streams["pad_real"])

@@ -212,3 +212,34 @@ def test_mpt_int8_kv_matches_bf16():
             assert mx > 8, f"int8 codes look like raw astype: max={mx}"
     err = np.abs(outs["int8"] - outs["bf16"]).max()
     assert err < 0.05, err
+
+
+def test_combine_logits_decode_int8_kv():
+    """ver=v2 combine-logits stacks the per-scale prefill caches into one
+    batch — the rebuilt KVCache must carry k_scale/v_scale along
+    (regression: they were dropped, and the int8-KV decode trace died on
+    cache_ks=None)."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig, generate
+    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
+
+    cfg = LlavaConfig.tiny_debug()
+    cfg8 = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
+    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
+    gen_cfg = GenerationConfig(max_new_tokens=6, decode_chunk=2,
+                               eos_token_id=-1)
+    scale = "ver=v2_numtoks=[1,4]_pickby=entropy"
+    out8 = generate(params, cfg8, ids, px,
+                    matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg)
+    assert out8.shape == (1, 6)
+    # int8-KV quantization error is far below tiny-model logit margins:
+    # the combined greedy stream matches the bf16-cache one exactly
+    out16 = generate(params, cfg, ids, px,
+                     matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg)
+    np.testing.assert_array_equal(np.asarray(out8), np.asarray(out16))

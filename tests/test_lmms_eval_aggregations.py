@@ -544,6 +544,17 @@ def test_math_judge_protocol():
     assert not judge("1.41", r"\sqrt{2}", 1e-8)
     assert not judge("7", "8")
     assert not judge("1,2", "1")                  # arity mismatch
+    # the dataset's "error" field is a STRING (possibly comma-joined per
+    # component) — must parse, not silently disable tolerance matching
+    assert judge("0.33", "0.333", "1e-2")
+    assert not judge("0.33", "0.4", "1e-2")
+    assert judge("0.33,0.66", "0.333,0.667", "1e-2,1e-2")
+    # a tolerance list shorter than the component count pads with its
+    # last entry — it must never truncate the comparison (a regression
+    # here scored unchecked components as correct)
+    assert not judge("1,2,3", "1,2,999", [1e-8, 1e-8])
+    assert judge("1,2,3", "1,2,3.0000001", [1e-8, 1e-8, 1e-3])
+    assert not judge("0.33", "0.4", None)         # None -> 1e-8 default
 
 
 def test_olympiadbench_process_and_aggregate():
