@@ -19,12 +19,17 @@ phase 2 starts) — the gate/up -> down boundary costs no DMA bubble.
 
 Replaces (for decode-narrow row counts) the two ``int4_matmul_stacked`` /
 ``int8_matmul_stacked`` calls + XLA elementwise that ``models/llama.py``
-``_layer_forward`` otherwise issues.  Math is identical to the unfused
-pair up to the intermediate rounding point: the unfused path rounds
-``h`` to bf16 at the kernel boundary, this kernel rounds the f32 strips
-at the same point (gu scratch is f32, h is cast to bf16 before the down
-dot), so results match the unfused fused-kernel path bit-for-bit on the
-down-matmul inputs.
+``_layer_forward`` otherwise issues.  Rounding differs from the unfused
+pair at ONE point: the unfused path rounds ``gate`` and ``up`` each to
+bf16 at its kernel boundary before ``silu(g)*u``, while this kernel keeps
+the gate/up strips in f32 scratch and rounds only ``h = silu(g)*u`` to
+bf16 before the down dot — strictly tighter numerics, but NOT bit-exact
+vs the unfused pair whenever g or u is not bf16-representable.  The
+flip-the-default bar is therefore greedy-token agreement end-to-end
+(scripts/tpu_kernel_check.py check_tail_fusion, scripts/
+ab_gated_kernels.py), not elementwise equality.  The nibble unpack and
+excess-8 bias correction mirror ops/int4_matmul.py — a numerics fix
+there must land here too.
 
 Reference analog: the CUDA path fuses nothing here — bitsandbytes
 dequantizes per-matmul (llava/model/builder.py:51-60); this design is

@@ -214,7 +214,9 @@ class ContinuousBatcher:
             # the worst case (every row at full capacity); admissions that
             # cannot get pages retry at the front of the line
             if n_pages is None:
-                n_pages = max_batch * self.pages_per_row
+                # +1: page 0 is the allocator's reserved trash page
+                # (paged_cache.PageAllocator), not allocatable capacity
+                n_pages = max_batch * self.pages_per_row + 1
             # dtype=None: init_paged_cache honors cfg.llama.kv_cache_dtype
             # (int8 pools carry per-slot dequant scales through the pytree)
             self.paged = init_paged_cache(cfg.llama, n_pages, page_size)

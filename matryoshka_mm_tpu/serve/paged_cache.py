@@ -95,7 +95,16 @@ class PageAllocator:
                  max_pages_per_row: int):
         self.page_size = page_size
         self.max_pages_per_row = max_pages_per_row
-        self.free: List[int] = list(range(n_pages))
+        # Page 0 is RESERVED as a trash page and never handed out: it is
+        # also the placeholder in unallocated table slots, so a row that
+        # overruns its allocation (a scheduler bug or a direct caller
+        # violating the capacity contract) scatters into dead storage
+        # instead of a page the free list may have given a live request.
+        # The placeholder must stay a VALID page id — the Pallas paged
+        # kernels DMA every table slot (grid covers all P slots; masking
+        # happens in the kernel math), so an out-of-range sentinel would
+        # produce out-of-bounds block indices.
+        self.free: List[int] = list(range(1, n_pages))
         self.tables = np.full((max_rows, max_pages_per_row), 0, np.int32)
         self.n_alloc = np.zeros(max_rows, np.int32)
 
@@ -186,6 +195,12 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                   cfg.head_dim)
     n_pages = k_all.shape[1]
     S_virt = max_pages * page_size
+    # The paged Pallas kernels don't implement windowed attention: a
+    # mistral-style sliding_window config must take the gather path,
+    # which masks kv older than the window (otherwise rows longer than
+    # the window silently attend to expired tokens and diverge from the
+    # dense backend / HF reference).
+    use_kernel = use_kernel and not cfg.sliding_window
     # S>1 (speculative verify) routes through the S-block variant of the
     # paged kernel when the caller enabled kernels; S==1 keeps the
     # single-token kernel
@@ -356,7 +371,8 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 q, k_rows.transpose(0, 2, 1, 3),
                 v_rows.transpose(0, 2, 1, 3),
                 causal=True, q_positions=pos, kv_positions=kv_pos,
-                kv_valid=kv_valid)
+                kv_valid=kv_valid,
+                sliding_window=cfg.sliding_window or None)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         m = lp["mlp"]
         # one-kernel layer tail (o_proj + residual + norm + MLP +
@@ -411,7 +427,10 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
     kernel (pages read in place); otherwise pages are gathered and fed to
     the reference attention."""
 
-    @jax.jit
+    # donate the pool like the sibling decode fns: without it XLA cannot
+    # alias the .at[].set slot writes into the live input buffers and
+    # copies the entire multi-GB KV pool every step
+    @partial(jax.jit, donate_argnums=(1,))
     def step(params, paged: PagedKVCache, tables, row_len, tokens, active):
         new_k, new_v, new_ks, new_vs, logits = _decode_core(
             params, cfg, paged.k, paged.v, tables, row_len, tokens, active,

@@ -639,3 +639,37 @@ def test_stream_keeps_tokens_equal_to_pad_id(params, cfg):
             b.shutdown()
     assert streams["pad0"].shape[0] == 8
     np.testing.assert_array_equal(streams["pad0"], streams["pad_real"])
+
+
+def test_paged_batcher_sliding_window_matches_generate():
+    """A mistral-style sliding_window config served through the paged
+    backend must window its attention (regression: the gather path
+    dropped cfg.sliding_window and the paged kernels don't implement
+    windowing, so rows longer than the window silently attended to
+    expired tokens and diverged from the dense/solo path)."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    base = LlavaConfig.tiny_debug()
+    cfg_w = dataclasses.replace(
+        base, llama=dataclasses.replace(base.llama, arch="mistral",
+                                        sliding_window=6))
+    params_w = init_llava_params(jax.random.PRNGKey(0), cfg_w)
+    ids, px = _inputs(5)
+    # prompt (5 text + 4 visual tokens) + 12 decoded tokens sails well
+    # past the 6-token window, so windowing decides the logits
+    gen_cfg = GenerationConfig(max_new_tokens=12, decode_chunk=3,
+                               eos_token_id=-1)
+    want = generate(params_w, cfg_w, ids, px,
+                    matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                    gen_cfg=gen_cfg)[0]
+    b = ContinuousBatcher(params_w, cfg_w, max_batch=2, prefill_len=64,
+                          max_new_tokens=16, gen_cfg=gen_cfg, chunk=3,
+                          backend="paged", page_size=16)
+    try:
+        req = b.submit(ids, px, numtoks=4, max_new_tokens=12)
+        got = np.concatenate(list(b.stream(req)))
+    finally:
+        b.shutdown()
+    np.testing.assert_array_equal(got[: len(want)], want)

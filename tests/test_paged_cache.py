@@ -24,19 +24,22 @@ PAGE = 8
 
 
 def test_allocator():
+    # page 0 is reserved (trash page for overrun writes): 9 allocatable
     a = PageAllocator(n_pages=10, page_size=8, max_rows=2, max_pages_per_row=4)
+    assert 0 not in a.free
     assert a.allocate_row(0, n_tokens=17, headroom=0)   # 3 pages
     assert a.capacity(0) == 24
-    assert len(a.free) == 7
+    assert len(a.free) == 6
     assert a.extend_row(0)
     assert a.capacity(0) == 32
     assert not a.extend_row(0)  # max_pages_per_row reached
     a.free_row(0)
-    assert len(a.free) == 10
-    # exhaustion
+    assert len(a.free) == 9
+    # exhaustion (9 allocatable: 4 + 4 fit)
     assert a.allocate_row(0, n_tokens=32)
     assert a.allocate_row(1, n_tokens=32)
-    assert not a.extend_row(0)  # no free pages left
+    assert not a.extend_row(0)  # max_pages_per_row reached
+    assert not a.allocate_row(0, n_tokens=32)  # 1 page left < 4 needed
 
 
 def test_paged_decode_matches_dense():

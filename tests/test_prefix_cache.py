@@ -58,7 +58,7 @@ def test_refcount_allocator_sharing():
     a.pin(shared)
     assert a.allocate_row(1, n_tokens=24, shared=shared)   # 2 shared + 1 fresh
     assert a.ref[shared[0]] == 2
-    assert len(a.free) == 10 - 4             # 3 + 1 distinct pages in use
+    assert len(a.free) == 9 - 4              # 3 + 1 distinct in use (page 0 reserved)
     a.free_row(0)
     # shared pages still referenced by row 1; row 0's third page was unpinned
     assert a.ref[shared[0]] == 1
@@ -67,7 +67,7 @@ def test_refcount_allocator_sharing():
     assert set(shared) <= a.cached           # pinned -> retained, not freed
     flushed = a.flush_cached()
     assert set(shared) <= set(flushed)
-    assert len(a.free) == 10
+    assert len(a.free) == 9              # page 0 stays reserved
 
 
 @pytest.fixture(scope="module")
