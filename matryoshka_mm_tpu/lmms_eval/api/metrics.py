@@ -56,11 +56,32 @@ def pope_yes_no(gold: str, pred: str) -> float:
 
 
 def multiple_choice_letter(gold: str, pred: str) -> float:
-    """First option letter in the prediction vs gold letter."""
-    pred = pred.strip()
-    m = re.match(r"^\(?([A-E])[).\s]?", pred)
-    letter = m.group(1) if m else pred[:1].upper()
+    """First option letter in the prediction vs gold letter.
+
+    A letter only counts as an option pick when it stands alone —
+    followed by a delimiter or the end of the answer.  An optional-suffix
+    pattern would match the first letter of any ordinary word ("Blue" ->
+    B, "Because..." -> B), silently scoring free-form answers as
+    whichever option their first letter spells.  Free text without a
+    standalone letter anywhere ("the answer is B") scores 0."""
+    letter = _standalone_letter(pred, "A-E")
     return float(letter == gold.strip().upper())
+
+
+def _standalone_letter(pred: str, letters: str) -> str:
+    """Extract the option letter a prediction picks, or ''.
+
+    Prefers a leading "B" / "(B)" / "B." form (either case — an answer
+    that *begins* with a lone letter is an option pick); otherwise takes
+    the LAST standalone UPPERCASE letter mention in the text (conclusions
+    come last: "...so the answer is B."; lowercase in-text letters are
+    skipped or the article in "a cat" would read as option A)."""
+    pred = str(pred).strip()
+    m = re.match(rf"^\(?([{letters}])(?:[).:,]|\s|$)", pred, re.IGNORECASE)
+    if m:
+        return m.group(1).upper()
+    ms = re.findall(rf"(?<![A-Za-z])\(?([{letters}])(?:[).:,]|\s|$)", pred)
+    return ms[-1].upper() if ms else ""
 
 
 def relaxed_accuracy(gold, pred: str, tolerance: float = 0.05) -> float:
@@ -76,7 +97,10 @@ def relaxed_accuracy(gold, pred: str, tolerance: float = 0.05) -> float:
             if abs(gv - pv) / denom <= tolerance:
                 return 1.0
         except ValueError:
-            if g_s.lower() == str(pred).strip().lower():
+            # compare both sides in the SAME normalization — a raw pred
+            # against a comma-stripped gold scores the verbatim-correct
+            # answer "1,000 people" as wrong
+            if g_s.lower() == pred_s.lower():
                 return 1.0
     return 0.0
 
@@ -94,12 +118,13 @@ def contains_match(gold, pred: str) -> float:
 
 def multiple_choice_index(gold, pred: str) -> float:
     """Like :func:`multiple_choice_letter` but the gold is a 0-based option
-    index (AI2D-style datasets)."""
+    index (AI2D-style datasets); standalone-letter rules apply (a bare
+    word like "eight" must not read as option E)."""
     pred = str(pred).strip()
-    m = re.match(r"^\(?([A-H])[).\s]?", pred, re.IGNORECASE)
-    if not m:
+    letter = _standalone_letter(pred, "A-H")
+    if not letter:
         return float(str(gold).strip() == pred)
-    return float(ord(m.group(1).upper()) - ord("A") == int(str(gold).strip()))
+    return float(ord(letter) - ord("A") == int(str(gold).strip()))
 
 
 def squad_f1(gold, pred: str) -> float:

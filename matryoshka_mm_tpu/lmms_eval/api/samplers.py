@@ -27,8 +27,14 @@ class ContextSampler:
         cfg = task.config
         self.target_delimiter = cfg.get("target_delimiter", " ")
         self.fewshot_delimiter = cfg.get("fewshot_delimiter", "\n\n")
+        # pool-selection predicate MUST mirror ConfigurableTask.
+        # _fewshot_sampler: an unset fewshot_split means the pool IS the
+        # eval split (task.py builds it from self.docs()), so the extra
+        # example for self-exclusion must be drawn then too — `==` alone
+        # missed the None case and under-filled the context by one shot
+        # whenever the doc under evaluation was drawn
         self.same_as_eval = (cfg.get("fewshot_split")
-                             == cfg.get("test_split"))
+                             in (None, cfg.get("test_split")))
         self.docs = list(docs)
         if fewshot_indices:
             self.docs = [self.docs[i] for i in fewshot_indices]

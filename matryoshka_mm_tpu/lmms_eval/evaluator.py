@@ -53,8 +53,15 @@ def simple_evaluate(
         else:
             responses = lm.loglikelihood(instances)
         for inst, resp in zip(instances, responses):
-            inst.resps = list(resp) if isinstance(resp, (list, tuple)) \
-                else [resp]
+            if task.output_type == "generate_until":
+                inst.resps = list(resp) if isinstance(resp, (list, tuple)) \
+                    else [resp]
+            else:
+                # loglikelihood: the response IS one (logprob, is_greedy)
+                # tuple per instance — list(resp) would split it into two
+                # "responses" and take_first would hand process_results a
+                # bare float instead of the pair
+                inst.resps = [resp]
         # answer-extraction pipelines (reference: task.apply_filters);
         # each ensemble is scored separately, keyed "metric,name" ("none"
         # keeps the bare metric name)

@@ -9,19 +9,27 @@ from __future__ import annotations
 from typing import List
 
 
+def _normalize_bbox(doc: dict):
+    """Pixel ``bbox`` (x, y, w, h) -> normalized corner form (x1, y1,
+    x2, y2) in [0, 1], using the doc's image dimensions; returns the
+    bbox unchanged when dims are unavailable.  Shared by every REC
+    family so the normalization can't drift between them."""
+    w = doc.get("image_width") or getattr(doc.get("image"), "width", None)
+    h = doc.get("image_height") or getattr(doc.get("image"), "height", None)
+    bbox = doc.get("bbox")
+    if bbox is not None and w and h and len(bbox) == 4:
+        x, y, bw, bh = bbox
+        bbox = [x / w, y / h, (x + bw) / w, (y + bh) / h]
+    return bbox
+
+
 def refcoco_rec_preprocess(docs: List[dict]) -> List[dict]:
-    """RefCOCO/+/g REC: convert the pixel ``bbox`` (x, y, w, h) to
-    normalized corner form (x1, y1, x2, y2) in [0, 1], and explode the
-    per-image referring expressions (``answer`` list) into one doc each
+    """RefCOCO/+/g REC: normalize the bbox and explode the per-image
+    referring expressions (``answer`` list) into one doc each
     (reference: utils_rec.py:11-44)."""
     out = []
     for doc in docs:
-        w = doc.get("image_width") or getattr(doc.get("image"), "width", None)
-        h = doc.get("image_height") or getattr(doc.get("image"), "height", None)
-        bbox = doc.get("bbox")
-        if bbox is not None and w and h and len(bbox) == 4:
-            x, y, bw, bh = bbox
-            bbox = [x / w, y / h, (x + bw) / w, (y + bh) / h]
+        bbox = _normalize_bbox(doc)
         answers = doc.get("answer")
         if not isinstance(answers, list):
             answers = [answers]
@@ -33,16 +41,7 @@ def refcoco_rec_preprocess(docs: List[dict]) -> List[dict]:
 def screenspot_rec_preprocess(docs: List[dict]) -> List[dict]:
     """ScreenSpot REC: normalize the pixel bbox (x, y, w, h) by the
     screenshot dimensions (reference: screenspot/utils_rec.py)."""
-    out = []
-    for doc in docs:
-        w = doc.get("image_width") or getattr(doc.get("image"), "width", None)
-        h = doc.get("image_height") or getattr(doc.get("image"), "height", None)
-        bbox = doc.get("bbox")
-        if bbox is not None and w and h and len(bbox) == 4:
-            x, y, bw, bh = bbox
-            bbox = [x / w, y / h, (x + bw) / w, (y + bh) / h]
-        out.append({**doc, "bbox": bbox})
-    return out
+    return [{**doc, "bbox": _normalize_bbox(doc)} for doc in docs]
 
 
 # ---------------------------------------------------------------------------
@@ -446,9 +445,13 @@ def ocrbench_process_results(doc: dict, result: str) -> dict:
         golds = [golds]
     pred = str(result).lower().strip().replace("\n", " ")
     if doc.get("dataset") == "HME100k":
-        pred = pred.replace(" ", "")
+        # LaTeX expressions are case-SENSITIVE (x vs X, \sum vs \Sum):
+        # the reference HME branch lowercases neither side, and a
+        # lowercased pred against a raw gold could never match a gold
+        # with any capital in it
+        pred_raw = str(result).strip().replace("\n", " ").replace(" ", "")
         score = float(any(str(g).strip().replace("\n", " ")
-                          .replace(" ", "") in pred for g in golds))
+                          .replace(" ", "") in pred_raw for g in golds))
     else:
         score = float(any(str(g).lower().strip().replace("\n", " ") in pred
                           for g in golds))
@@ -597,9 +600,14 @@ def _cmmmu_score(doc: dict, result: str) -> float:
             if answer.upper() in "ABCD" else ""
         return float(bool(opt) and opt in pred)
     if qtype == "判断":
-        # 对/错 verdict words (reference get_TF_prediction indicators)
+        # 对/错 verdict words (reference get_TF_prediction indicators).
+        # Strip the affirmative 没错 ("that's right") before probing for
+        # 错 — its substring would otherwise always read as a falsy
+        # verdict, scoring a correct 没错 answer as 错.
+        depred = pred.replace("没错", "")
         truthy = any(w in pred for w in ("对", "正确", "是的", "没错"))
-        falsy = any(w in pred for w in ("错", "不对", "不正确", "否"))
+        falsy = any(w in depred for w in ("错", "不正确", "否")) \
+            or "不对" in pred
         got = "对" if truthy and not falsy else ("错" if falsy else "")
         return float(got == answer)
     # 填空: normalized equality or containment of the gold answer
@@ -925,10 +933,15 @@ def olympiadbench_process_results(doc: dict, result: str) -> dict:
     pred = (pred.replace('"', "").replace("\n", "").replace(" ", "")
             .strip(".").strip("\u3002"))
     answers = doc.get("final_answer") or [""]
+    # multi-answer docs ship one final_answer entry per part and the
+    # prompt asks for "multiple answers connected with commas" — judging
+    # only answers[0] would arity-mismatch every correct multi-part
+    # prediction to 0; join the parts so judge() compares component-wise.
     # doc["error"] is the dataset's tolerance field — a string like
     # "1e-2" or comma-joined per-component "1e-2,1e-3"; judge() parses it
     # (None falls back to its 1e-8 default, matching the reference)
-    score = float(judge(str(answers[0]), pred, doc.get("error")))
+    ref = ",".join(str(a) for a in answers)
+    score = float(judge(ref, pred, doc.get("error")))
     return {"olympiadbench_acc": {"score": score}}
 
 

@@ -81,6 +81,10 @@ class _Request:
     constraint: Optional[str] = None
     # (trans_local, offset, start_local) installed at admission
     fsm: Optional[tuple] = None
+    # continuation of an out-of-pages requeue: resume the constraint DFA
+    # at this local state instead of dfa.start (the prompt now embeds the
+    # tokens already matched)
+    fsm_resume: Optional[int] = None
 
 
 @lru_cache(maxsize=8)
@@ -650,6 +654,8 @@ class ContinuousBatcher:
         The device pools update only the slot's span in place — a full
         re-upload costs ~80MB host->device per admission at 7B vocab."""
         allow_l, trans_l, start = self._fsm_tables(req.constraint)
+        if req.fsm_resume is not None:
+            start = req.fsm_resume     # continuation: DFA mid-match
         n = allow_l.shape[0]
         offset = 2 + slot * self.fsm_quota
         remap = np.where(trans_l[1:n] == 0, 0,
@@ -803,7 +809,16 @@ class ContinuousBatcher:
             ok = self.alloc.allocate_row(slot, T, headroom=self._headroom)
         if not ok:
             need = -(-(T + self._headroom) // self.page_size)
-            if need > self.pages_per_row:      # can never fit: fail it
+            if need > min(self.pages_per_row, self.alloc.n_allocatable):
+                # can never fit, even with the whole pool free: an
+                # explicit error, not a clean end-of-stream (and not an
+                # eternal front-of-line retry — the old pages_per_row-only
+                # check livelocked on pools smaller than one full row)
+                req.out_queue.put(_StreamError(
+                    f"request needs {need} KV pages but the pool can "
+                    f"serve at most "
+                    f"{min(self.pages_per_row, self.alloc.n_allocatable)} "
+                    f"per row; raise n_pages or shorten the prompt"))
                 req.out_queue.put(None)
             else:        # out of pages now: retry at the FRONT of the line
                 if self.index is not None:
@@ -848,8 +863,11 @@ class ContinuousBatcher:
         return jnp.asarray(drafts)
 
     def _ensure_pages(self):
-        """Grow each active row to cover the next chunk; rows that cannot be
-        extended (pool exhausted) are finished early — per-row, not pool-wide."""
+        """Grow each active row to cover the next chunk; rows that cannot
+        be extended (pool exhausted) are freed and requeued at the front
+        of the line with prompt+generated-so-far — per-row, not
+        pool-wide, and never a silent truncation that looks like a normal
+        finish (same contract as the dense _retire_all)."""
         lengths = np.asarray(self.lengths)
         for slot, req in enumerate(self.slots):
             if req is None:
@@ -864,11 +882,51 @@ class ContinuousBatcher:
                     ok = False
                     break
             if not ok:
-                req.out_queue.put(None)
                 self.slots[slot] = None
                 self.alloc.free_row(slot)
                 self.active = self.active.at[slot].set(False)
+                self._requeue_inflight(req, "out of KV pages mid-decode")
         self.tables = jnp.asarray(self.alloc.tables)
+
+    def _requeue_inflight(self, req: _Request, reason: str):
+        """Resume a mid-flight request through the front-of-line retry
+        with prompt+generated (its row is already freed).  A request that
+        can no longer fit gets an explicit error chunk."""
+        remaining = req.max_new_tokens - len(req.generated)
+        if remaining <= 0:
+            req.out_queue.put(None)
+            return
+        ids = np.concatenate(
+            [np.asarray(req.input_ids).reshape(-1).astype(np.int32),
+             np.asarray(req.generated, np.int32)])[None]
+        if not self.fits(ids, req.numtoks, req.pixel_values,
+                         req.image_size):
+            req.out_queue.put(_StreamError(
+                f"request aborted: {reason} and the continuation prompt "
+                f"no longer fits the pool prefill region"))
+            req.out_queue.put(None)
+            return
+        cont = _Request(req.rid, ids, req.pixel_values, req.numtoks,
+                        remaining, req.lora_id, out_queue=req.out_queue,
+                        emitted=req.emitted, image_size=req.image_size,
+                        constraint=req.constraint)
+        if req.constraint is not None and req.fsm is not None:
+            # resume the DFA after the tokens already emitted — starting
+            # over would re-match the regex against only the continuation
+            trans_l, _, start = req.fsm
+            s = start
+            for t in req.generated:
+                s = int(trans_l[s, int(t)])
+                if s == 0:
+                    break
+            if s == 0:     # cannot happen under masked decode; be loud
+                req.out_queue.put(_StreamError(
+                    "request aborted: constraint DFA state lost across "
+                    "an out-of-pages requeue"))
+                req.out_queue.put(None)
+                return
+            cont.fsm_resume = s
+        self._retry.append(cont)
 
     def _loop(self):
         try:

@@ -105,6 +105,7 @@ class PageAllocator:
         # happens in the kernel math), so an out-of-range sentinel would
         # produce out-of-bounds block indices.
         self.free: List[int] = list(range(1, n_pages))
+        self.n_allocatable = n_pages - 1
         self.tables = np.full((max_rows, max_pages_per_row), 0, np.int32)
         self.n_alloc = np.zeros(max_rows, np.int32)
 

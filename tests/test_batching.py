@@ -579,14 +579,15 @@ def test_paged_pool_pressure_retries_front_of_line(params, cfg):
                                eos_token_id=-1)
     # 39-token prompt + 4 vis tokens spliced = 42 -> 3 pages on admission
     # (headroom 3), growing to 4 by the end of an 8-token generation; a
-    # 4-page pool admits ONE row at a time and forces the others through
-    # the out-of-pages retry path while leaving room to finish.
+    # 4-allocatable-page pool (5 incl. the reserved trash page) admits
+    # ONE row at a time and forces the others through the out-of-pages
+    # retry path while leaving room to finish.
     base = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
     filler = np.arange(10, 44, dtype=np.int32)[None, :]
     batcher = ContinuousBatcher(params, cfg, max_batch=3, prefill_len=64,
                                 max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
                                 backend="paged", page_size=16,
-                                prefix_cache=True, n_pages=4)
+                                prefix_cache=True, n_pages=5)
     try:
         reqs, wants = [], []
         for i in range(3):
@@ -673,3 +674,31 @@ def test_paged_batcher_sliding_window_matches_generate():
     finally:
         b.shutdown()
     np.testing.assert_array_equal(got[: len(want)], want)
+
+
+def test_out_of_pages_mid_decode_is_loud(params, cfg):
+    """A row that outgrows a pool too small to ever re-admit it must end
+    with an explicit BatchError — never a clean end-of-stream that makes
+    a truncation look like a normal finish (regression: _ensure_pages
+    put None and the client saw 5-of-8 tokens as success)."""
+    from matryoshka_mm_tpu.serve.batching import BatchError, ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=48, decode_chunk=2,
+                               eos_token_id=-1)
+    ids, px = _inputs(0)   # 5 text + 4 visual = 9 spliced tokens
+    # 4-page pool = 3 allocatable: admission takes 1 page (9 + headroom),
+    # growth needs a 4th page the pool can never provide, and the
+    # continuation (prompt+generated) can't re-admit either
+    b = ContinuousBatcher(params, cfg, max_batch=1, prefill_len=64,
+                          max_new_tokens=48, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=16, n_pages=4)
+    try:
+        req = b.submit(ids, px, numtoks=4, max_new_tokens=48)
+        toks = []
+        with pytest.raises(BatchError, match="pages"):
+            for chunk in b.stream(req):
+                toks.append(chunk)
+        # the tokens streamed before the abort are still valid output
+        assert sum(t.size for t in toks) > 0
+    finally:
+        b.shutdown()

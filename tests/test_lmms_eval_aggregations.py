@@ -646,3 +646,72 @@ def test_llava_wild_relative_score():
     assert agg["conv"] == 75.0
     assert agg["detail"] == 90.0
     assert agg["all"] == round(100.0 * (7.5 / 9.0), 1)
+
+
+# ---------------------------------------------------------------------------
+# Review regressions: standalone-letter matching, normalization symmetry,
+# case-sensitive HME, CMMMU verdict words, multi-answer OlympiadBench
+# ---------------------------------------------------------------------------
+
+def test_multiple_choice_standalone_letter():
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import (
+        multiple_choice_index, multiple_choice_letter)
+
+    assert multiple_choice_letter("B", "B") == 1.0
+    assert multiple_choice_letter("B", "(B) blue") == 1.0
+    assert multiple_choice_letter("B", "B. Blue") == 1.0
+    assert multiple_choice_letter("C", "the answer is C.") == 1.0
+    # a free-form word must not read as its first letter's option
+    assert multiple_choice_letter("B", "Blue") == 0.0
+    assert multiple_choice_letter("B", "Because of gravity") == 0.0
+    assert multiple_choice_index("4", "E") == 1.0
+    assert multiple_choice_index("2", "(c)") == 1.0
+    assert multiple_choice_index("4", "eight") == 0.0
+    assert multiple_choice_index("6", "green") == 0.0
+
+
+def test_relaxed_accuracy_string_normalization_symmetric():
+    from matryoshka_mm_tpu.lmms_eval.api.metrics import relaxed_accuracy
+
+    # verbatim-correct non-numeric answers with ',' or trailing '%'
+    assert relaxed_accuracy("1,000 people", "1,000 people") == 1.0
+    assert relaxed_accuracy("high%", "high%") == 1.0
+    assert relaxed_accuracy("12", "12.5") == 1.0      # within 5%
+    assert relaxed_accuracy("12", "14") == 0.0
+
+
+def test_ocrbench_hme_case_sensitive():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        ocrbench_process_results)
+
+    doc = {"dataset": "HME100k", "answer": ["X=2"],
+           "question_type": "Handwritten Mathematical Expression Recognition"}
+    assert ocrbench_process_results(doc, "X=2")["ocrbench_accuracy"][
+        "score"] == 1.0
+    # LaTeX is case-sensitive: x=2 is a different expression
+    assert ocrbench_process_results(doc, "x=2")["ocrbench_accuracy"][
+        "score"] == 0.0
+
+
+def test_cmmmu_meicuo_is_affirmative():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import _cmmmu_score
+
+    assert _cmmmu_score({"type": "判断", "answer": "对"}, "没错") == 1.0
+    assert _cmmmu_score({"type": "判断", "answer": "错"}, "不对") == 1.0
+    assert _cmmmu_score({"type": "判断", "answer": "错"}, "错误") == 1.0
+    assert _cmmmu_score({"type": "判断", "answer": "对"}, "正确") == 1.0
+
+
+def test_olympiadbench_multi_answer_joined():
+    from matryoshka_mm_tpu.lmms_eval.tasks.task_utils import (
+        olympiadbench_process_results)
+
+    doc = {"source": "OE_MM_maths_en_COMP", "final_answer": ["$1$", "$2$"],
+           "error": None, "is_multiple_answer": True, "question": "q?",
+           "answer_type": "integers"}
+    good = olympiadbench_process_results(
+        doc, r"So the final answer is \boxed{1,2}.")
+    assert good["olympiadbench_acc"]["score"] == 1.0
+    bad = olympiadbench_process_results(
+        doc, r"So the final answer is \boxed{1,3}.")
+    assert bad["olympiadbench_acc"]["score"] == 0.0
