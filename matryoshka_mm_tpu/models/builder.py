@@ -214,8 +214,14 @@ class DebugTokenizer:
         return o
 
     def decode(self, ids, skip_special_tokens=True):
-        return " ".join(f"tok{i}" for i in ids
-                        if not (skip_special_tokens and i in (0, 1, 2)))
+        # decode MUST agree with convert_ids_to_tokens: constrained
+        # decoding masks token ids by their piece text, so the delivered
+        # text has to be the same pieces concatenated or a client could
+        # never observe that the output matches its regex/schema
+        pieces = self.convert_ids_to_tokens(
+            [i for i in ids
+             if not (skip_special_tokens and i in (0, 1, 2, 3))])
+        return "".join(pieces)
 
     def batch_decode(self, batch, skip_special_tokens=True):
         return [self.decode(x, skip_special_tokens) for x in batch]

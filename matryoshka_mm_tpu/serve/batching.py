@@ -85,6 +85,10 @@ class _Request:
     # at this local state instead of dfa.start (the prompt now embeds the
     # tokens already matched)
     fsm_resume: Optional[int] = None
+    # client-side early stop (stop string hit / disconnect): the
+    # scheduler retires the row at its next round instead of decoding the
+    # remaining budget into a stream nobody reads
+    cancelled: bool = False
 
 
 @lru_cache(maxsize=8)
@@ -394,6 +398,14 @@ class ContinuousBatcher:
                 return req
             self.pending.put(req)
         return req
+
+    def cancel(self, req: _Request):
+        """Stop decoding a request early (client stop-string hit or
+        disconnect).  Thread-safe: only flips a flag — the scheduler
+        thread retires the row (frees pages, ends the stream) at its
+        next emission or admission round.  Without this, an abandoned
+        stream keeps its slot decoding to max_new_tokens."""
+        req.cancelled = True
 
     def stream(self, req: _Request):
         """Yield np arrays of new token ids until the request finishes.
@@ -998,6 +1010,9 @@ class ContinuousBatcher:
                         req = self.pending.get_nowait()
                     except queue.Empty:
                         break
+                if req.cancelled:      # client stopped before admission
+                    req.out_queue.put(None)
+                    continue
                 slot = free.pop(0)
                 self._admitting.append(req)  # visible to the crash handler
                 if self.backend == "paged" and self.index is not None:
@@ -1081,6 +1096,17 @@ class ContinuousBatcher:
             active_np = np.asarray(self.active)
             for slot, req in enumerate(self.slots):
                 if req is None:
+                    continue
+                if req.cancelled:
+                    # client stopped mid-stream: retire the row now —
+                    # the tokens decoded this chunk are discarded, the
+                    # budget stops burning
+                    req.out_queue.put(None)
+                    self.slots[slot] = None
+                    self.active = self.active.at[slot].set(False)
+                    if self.backend == "paged":
+                        self.alloc.free_row(slot)
+                        self.tables = jnp.asarray(self.alloc.tables)
                     continue
                 row = toks_np[slot]
                 # -1 is the device-side "no token" sentinel (see the

@@ -110,11 +110,26 @@ class _Parser:
 
     def parse_repeat(self) -> Tuple[int, int]:
         frag = self.parse_atom()
+        quantified = False
         while True:
             c = self.peek()
+            if quantified and c in ("*", "+", "{"):
+                # a second quantifier would clone only the ATOM's source
+                # (self._last_atom_src), silently compiling e.g. a*{2} as
+                # a*a and a{2}{3} as a{4} — reject like Python re does
+                raise ValueError(
+                    "multiple repeat: quantifier follows quantifier; "
+                    "group the inner one, e.g. (a*){2}")
+            if quantified and c == "?":
+                # non-greedy marker: greediness is meaningless under
+                # full-match DFA semantics, accept and ignore
+                self.take()
+                continue
             if c == "*":
                 self.take()
                 frag = self._star(frag)
+                quantified = True
+                continue
             elif c == "+":
                 self.take()
                 # '+' without cloning: loop-back edge e -eps-> s forces at
@@ -125,6 +140,7 @@ class _Parser:
                 self.nfa.add(fe, _EPS, e)
                 self.nfa.add(fe, _EPS, fs)
                 frag = (s, e)
+                quantified = True
             elif c == "?":
                 self.take()
                 s, e = self.nfa.new_state(), self.nfa.new_state()
@@ -133,8 +149,10 @@ class _Parser:
                 self.nfa.add(fe, _EPS, e)
                 self.nfa.add(s, _EPS, e)
                 frag = (s, e)
+                quantified = True
             elif c == "{":
                 frag = self._bounded(frag)
+                quantified = True
             else:
                 return frag
 
@@ -365,7 +383,11 @@ def build_token_tables(dfa: CharDFA, vocab: Sequence[str], eos_id: int,
     special = set(int(i) for i in special_ids) | {int(eos_id)}
     for s in range(1, n):
         for t in range(V):
-            if t in special:
+            if t in special or not vocab[t]:
+                # empty pieces (unmapped/special vocab slots) advance the
+                # DFA zero characters — allowing them would create a
+                # self-loop the mask can never escape (greedy decode
+                # could emit that id forever without matching progress)
                 continue
             nxt = dfa.advance(s, vocab[t])
             if nxt != 0:
@@ -414,19 +436,32 @@ def _piece_to_text(t) -> str:
 
 
 def vocab_from_tokenizer(tokenizer) -> List[str]:
-    """Decoded piece per id — what emitting that id appends to the text."""
+    """Decoded piece per id — what emitting that id appends to the text.
+
+    Special tokens (<s>, <unk>, ...) map to "" (= never allowed by
+    build_token_tables): their literal piece text would otherwise be
+    consumed by the DFA as ordinary characters while
+    skip_special_tokens drops them from the client text, so the
+    delivered output would no longer full-match the constraint."""
     size = int(getattr(tokenizer, "vocab_size", None)
                or len(tokenizer.get_vocab()))
     toks = tokenizer.convert_ids_to_tokens(list(range(size)))
-    return [_piece_to_text(t) for t in toks]
+    special = set(int(i) for i in
+                  getattr(tokenizer, "all_special_ids", []) or [])
+    return ["" if i in special else _piece_to_text(t)
+            for i, t in enumerate(toks)]
 
 
 # ---------------------------------------------------------------------------
 # JSON mode: schema -> regex
 # ---------------------------------------------------------------------------
 
-# JSON forbids raw control characters inside strings
-_JSON_STRING = r'"[^"\\\t\n\r]{0,256}"'
+# JSON forbids raw control characters inside strings.  Unbounded `*` is
+# just as regular as a counted bound but compiles to a ~4-state DFA where
+# {0,256} built a 260-state counting chain — which blew past the
+# batcher's per-request FSM quota (max_fsm_states=64) for EVERY schema
+# containing a string field; output length is bounded by max_new_tokens.
+_JSON_STRING = r'"[^"\\\t\n\r]*"'
 # JSON forbids leading zeros: -?(0|[1-9][0-9]*), bounded for regularity
 _JSON_INT = r"-?(0|[1-9]\d{0,14})"
 _JSON_NUMBER = _JSON_INT + r"(\.\d{1,10})?"

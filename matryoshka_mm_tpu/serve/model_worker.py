@@ -153,7 +153,12 @@ class ModelWorker:
         r = requests.post(url, json=data)
         assert r.status_code == 200
 
-    def send_heart_beat(self):
+    def send_heart_beat(self, block: bool = True):
+        """``block=True`` (the dedicated heartbeat thread) retries until
+        the controller answers.  Request-context beats MUST pass
+        ``block=False``: they run on (or from) the aiohttp event loop,
+        and the retry-forever loop would freeze every endpoint for as
+        long as the controller is unreachable."""
         if self.no_register:
             return  # standalone worker: no controller to talk to
         logger.info(f"Send heart beat. Models: {[self.model_name]}. "
@@ -169,6 +174,8 @@ class ModelWorker:
                 break
             except requests.exceptions.RequestException as e:
                 logger.error(f"heart beat error: {e}")
+                if not block:
+                    return  # the 15s heartbeat thread will retry
             time.sleep(5)
         if not exist:
             self.register_to_controller()
@@ -229,7 +236,23 @@ class ModelWorker:
         top_p = float(params.get("top_p", 1.0))
         max_context_length = model.cfg.llama.max_position_embeddings
         max_new_tokens = min(int(params.get("max_new_tokens", 256)), 1024)
-        stop_str = params.get("stop", None)
+        # "stop" may be one string or a list (SGLang clients send lists);
+        # normalize to a tuple of non-empty strings
+        stop = params.get("stop", None)
+        if isinstance(stop, str):
+            stops = (stop,) if stop else ()
+        else:
+            stops = tuple(s for s in (stop or ()) if s)
+
+        def stop_cut(text: str):
+            """Index of the earliest stop-string hit in ``text``, else
+            None — generation must actually TERMINATE at the stop string
+            (and never leak it or anything after it), not just strip a
+            chunk that happens to end with it."""
+            hits = [text.find(s) for s in stops]
+            hits = [h for h in hits if h >= 0]
+            return min(hits) if hits else None
+
         do_sample = temperature > 0.001
 
         input_ids = np.asarray(
@@ -265,6 +288,11 @@ class ModelWorker:
             else:
                 px_arr = px_arr[0]    # (T_tiles, 3, H, W) single request
         elif px_arr is not None and px_arr.ndim != 4:
+            use_batcher = False
+        elif px_arr is not None and px_arr.shape[0] > 1:
+            # pad-mode multi-image stack: the pool would treat the frames
+            # as anyres tiles of one image (batcher.submit rejects it);
+            # the solo stream splices image i at sentinel i
             use_batcher = False
         numtoks = None
         if matryoshka_vis_token_scale:
@@ -314,14 +342,24 @@ class ModelWorker:
             acc = []
             try:
                 for chunk_toks in self.batcher.stream(req):
-                    acc.extend(int(t) for t in np.ravel(chunk_toks)
-                               if t not in (gen_cfg.pad_token_id,
-                                            gen_cfg.eos_token_id))
-                    generated_text = ori_prompt + tokenizer.decode(
-                        acc, skip_special_tokens=True)
-                    if stop_str and generated_text.endswith(stop_str):
-                        generated_text = generated_text[: -len(stop_str)]
-                    yield json.dumps({"text": generated_text,
+                    # no by-value filtering: the batcher's stream carries
+                    # only real tokens (-1 sentinel design) and decode's
+                    # skip_special_tokens hides eos — dropping ids equal
+                    # to pad would lose genuine content (id 0 is a real
+                    # piece for non-llama vocabs)
+                    acc.extend(int(t) for t in np.ravel(chunk_toks))
+                    new_text = tokenizer.decode(acc,
+                                                skip_special_tokens=True)
+                    cut = stop_cut(new_text)
+                    if cut is not None:
+                        # stop string hit: truncate before it, retire the
+                        # row (stop burning pool budget), end the stream
+                        self.batcher.cancel(req)
+                        yield json.dumps(
+                            {"text": ori_prompt + new_text[:cut],
+                             "error_code": 0}).encode() + b"\0"
+                        return
+                    yield json.dumps({"text": ori_prompt + new_text,
                                       "error_code": 0}).encode() + b"\0"
             except BatchError as e:
                 # aborted mid-stream (pool pressure): tell the client
@@ -339,9 +377,13 @@ class ModelWorker:
             new_text = tokenizer.decode(
                 [int(t) for t in ids[0] if t != gen_cfg.pad_token_id],
                 skip_special_tokens=True)
+            cut = stop_cut(new_text)
+            if cut is not None:
+                # abandoning the lazy stream generator stops the decode
+                yield json.dumps({"text": ori_prompt + new_text[:cut],
+                                  "error_code": 0}).encode() + b"\0"
+                return
             generated_text = ori_prompt + new_text
-            if stop_str and generated_text.endswith(stop_str):
-                generated_text = generated_text[: -len(stop_str)]
             yield json.dumps({"text": generated_text,
                               "error_code": 0}).encode() + b"\0"
 
@@ -378,12 +420,16 @@ def build_app(worker: ModelWorker):
         if model_semaphore is None:
             model_semaphore = asyncio.Semaphore(worker.limit_model_concurrency)
         await model_semaphore.acquire()
-        worker.send_heart_beat()
+        loop = asyncio.get_event_loop()
+        # heartbeats do blocking HTTP — keep them off the event loop, and
+        # non-blocking (single attempt) so an unreachable controller
+        # can't freeze the server (the 15s thread owns the retries)
+        await loop.run_in_executor(
+            None, lambda: worker.send_heart_beat(block=False))
 
         resp = web.StreamResponse()
         await resp.prepare(request)
         try:
-            loop = asyncio.get_event_loop()
             gen = worker.generate_stream_gate(params)
             while True:
                 chunk = await loop.run_in_executor(None, lambda: next(gen, None))
@@ -391,7 +437,9 @@ def build_app(worker: ModelWorker):
                     break
                 await resp.write(chunk)
         finally:
-            release_model_semaphore(fn=worker.send_heart_beat)
+            release_model_semaphore()
+            loop.run_in_executor(
+                None, lambda: worker.send_heart_beat(block=False))
         await resp.write_eof()
         return resp
 

@@ -63,6 +63,8 @@ def build_sglang_app(worker):
 
     @routes.post("/generate")
     async def generate(request):
+        from . import model_worker as _mw
+
         body = await request.json()
         try:
             params = _params_from_sglang(body)
@@ -71,6 +73,21 @@ def build_sglang_app(worker):
                 {"error": f"missing field: {e}"}, status=400)
         prompt = params["prompt"]
         loop = asyncio.get_event_loop()
+
+        # the SGLang-native route shares the worker-protocol semaphore:
+        # without it, concurrency here is unbounded (sampled requests
+        # each run a full solo decode) and queue_length/heartbeat load
+        # reporting never sees this traffic
+        if _mw.model_semaphore is None:
+            _mw.model_semaphore = asyncio.Semaphore(
+                worker.limit_model_concurrency)
+        await _mw.model_semaphore.acquire()
+        try:
+            return await _generate_inner(request, body, params, prompt, loop)
+        finally:
+            _mw.model_semaphore.release()
+
+    async def _generate_inner(request, body, params, prompt, loop):
         gen = worker.generate_stream_gate(params)
 
         def next_chunk():
@@ -139,7 +156,7 @@ class SGLangProxyWorker:
         self.limit_model_concurrency = 5
         self.context_len = 2048
 
-    def send_heart_beat(self):
+    def send_heart_beat(self, block: bool = True):
         pass
 
     def get_status(self):
@@ -148,18 +165,26 @@ class SGLangProxyWorker:
     def generate_stream(self, params):
         import requests
 
+        # forward the FULL sampling surface — silently dropping stop/
+        # regex/json_schema/lora/scale would give the client an
+        # unconstrained generation with no warning
+        sp = {"temperature": float(params.get("temperature", 0.0)),
+              "top_p": float(params.get("top_p", 1.0)),
+              "max_new_tokens": int(params.get("max_new_tokens", 256))}
+        for k in ("stop", "regex", "json_schema"):
+            if params.get(k) is not None:
+                sp[k] = params[k]
+        payload = {"text": params["prompt"],
+                   "image_data": params.get("images"),
+                   "stream": True, "sampling_params": sp}
+        if params.get("lora"):
+            payload["lora"] = params["lora"]
+        if params.get("matryoshka_vis_token_scale"):
+            payload["matryoshka_vis_token_scale"] = \
+                params["matryoshka_vis_token_scale"]
         try:
-            r = requests.post(
-                f"{self.runtime_url}/generate",
-                json={"text": params["prompt"],
-                      "image_data": params.get("images"),
-                      "stream": True,
-                      "sampling_params": {
-                          "temperature": float(params.get("temperature", 0.0)),
-                          "top_p": float(params.get("top_p", 1.0)),
-                          "max_new_tokens": int(params.get("max_new_tokens", 256)),
-                      }},
-                stream=True, timeout=120)
+            r = requests.post(f"{self.runtime_url}/generate", json=payload,
+                              stream=True, timeout=120)
             for line in r.iter_lines():
                 if not line or not line.startswith(b"data: "):
                     continue

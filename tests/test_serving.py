@@ -169,3 +169,78 @@ def test_web_server_logging_votes_moderation(tmp_path, monkeypatch):
                             chat["images"][0] + ".img")
     assert os.path.exists(archived)
     assert open(archived, "rb").read() == b"not-really-an-image"
+
+
+def test_sglang_stop_list_and_json_schema():
+    """Two regressions through the SGLang-native route: (1) a list-valued
+    "stop" (standard for SGLang clients) crashed str.endswith with a
+    TypeError; (2) any json_schema containing a string field compiled to
+    a 260-state DFA that blew the per-request FSM quota and was rejected
+    at submit."""
+    import asyncio
+    import re as _re
+
+    from aiohttp.test_utils import TestClient, TestServer
+
+    from matryoshka_mm_tpu.serve.model_worker import ModelWorker
+    from matryoshka_mm_tpu.serve.sglang_worker import build_sglang_app
+
+    worker = ModelWorker("http://localhost:1", "http://localhost:2", "t",
+                         True, "debug://tiny", None, None,
+                         continuous_batching=True, max_batch=2,
+                         kv_backend="paged")
+    app = build_sglang_app(worker)
+
+    async def drive():
+        client = TestClient(TestServer(app))
+        await client.start_server()
+        try:
+            r = await client.post("/generate", json={
+                "text": "USER: hi ASSISTANT:",
+                "sampling_params": {"temperature": 0.0, "max_new_tokens": 5,
+                                    "stop": ["\n###", "</s>"]}})
+            assert r.status == 200
+            assert (await r.json())["meta_info"]["error_code"] == 0
+
+            # a string-typed field proves the DFA fits the 64-state quota
+            # (the {0,256} bound compiled to 260 states and was rejected
+            # at submit); the property name/value must be spellable by
+            # the debug vocab ( ",.0123:ABCDx{} + yes/no/true/false)
+            from matryoshka_mm_tpu.serve.constrained import (
+                regex_for_json_schema)
+
+            # string-valued field: previously REJECTED at submit (260-
+            # state DFA > quota); now admitted and visibly masked.  An
+            # unbounded string value can eat the whole budget, so assert
+            # the output is a valid prefix, not a full match.
+            schema = {"type": "object", "properties": {
+                "A": {"type": "string"}, "B": {"type": "boolean"}}}
+            r = await client.post("/generate", json={
+                "text": "USER: emit json ASSISTANT:",
+                "sampling_params": {"temperature": 0.0,
+                                    "max_new_tokens": 48,
+                                    "json_schema": schema}})
+            assert r.status == 200
+            body = await r.json()
+            assert body["meta_info"]["error_code"] == 0
+            assert _re.match(r'\{ ?"A" ?: ?"', body["text"]), body["text"]
+
+            # bounded value space: the full match fits the budget
+            schema2 = {"type": "object",
+                       "properties": {"B": {"type": "boolean"}}}
+            r = await client.post("/generate", json={
+                "text": "USER: emit json ASSISTANT:",
+                "sampling_params": {"temperature": 0.0,
+                                    "max_new_tokens": 48,
+                                    "json_schema": schema2}})
+            body = await r.json()
+            assert body["meta_info"]["error_code"] == 0
+            assert _re.fullmatch(regex_for_json_schema(schema2),
+                                 body["text"]), body["text"]
+        finally:
+            await client.close()
+
+    try:
+        asyncio.run(drive())
+    finally:
+        worker.batcher.shutdown()
