@@ -40,7 +40,8 @@ def _interpret() -> bool:
 
 def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             q_ref, k_ref, v_ref, *refs, page_size: int, num_pages: int,
-            scale: float, kv_int8: bool = False, s_block: int = 1):
+            scale: float, kv_int8: bool = False, s_block: int = 1,
+            interpret: bool = False):
     """``s_block > 1``: the G axis carries G*S query rows (row r = g*S + s,
     query position row_len + r%S) — the speculative verify's intra-block
     causality rides the same online-softmax loop as single-token decode."""
@@ -67,24 +68,73 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         q = q_ref[0]                           # (Hkv, G*S, Dh)
         k = k_ref[0]                           # (page, Hkv, Dh) — unexpanded
         v = v_ref[0]
-        if kv_int8:
-            # int8 pages: convert on the VPU right after the (half-width)
-            # HBM read — the batched dots contract over dims Mosaic's
-            # mixed int8 feed can't take, and int8 in [-127,127] is exact
-            # in bf16
-            k = k.astype(jnp.bfloat16)
-            v = v.astype(jnp.bfloat16)
+        Hkv, GS, Dh = q.shape
 
-        # s[kh, g, t] = q[kh, g] . k[t, kh] — batched over kv heads, the
-        # query group rides as the left matrix rows (MXU-friendly)
+        if kv_int8:
+            # int8 pages.  The per-(slot, head) f32 scales CANNOT be
+            # loaded as a (page, Hkv) block — Hkv (32) is a sub-128 lane
+            # dim and Mosaic rejects the memref slice (caught on real
+            # hardware by scripts/tpu_kernel_check.py; interpret mode
+            # accepts it).  So the int8 path runs FLAT, exactly like
+            # ops/decode_attention.py: the page block is viewed as
+            # (page*Hkv, Dh) rows, one (R, Dh) x (Dh, page*Hkv) MXU
+            # matmul computes every query row against every kv row, the
+            # GQA diagonal mask NEG_INFs the cross-head products, and the
+            # scales arrive as lane-aligned flat (1, 1, page*Hkv) blocks
+            # multiplied onto the flat logits/probabilities.
+            R = Hkv * GS
+            F = page_size * Hkv
+            qf = (q.astype(jnp.float32) * scale).astype(jnp.bfloat16)
+            qf = qf.reshape(R, Dh)
+            kf = k.reshape(F, Dh)              # int8 rows, slot-major
+            vf = v.reshape(F, Dh).astype(jnp.bfloat16)
+            if interpret:
+                kf = kf.astype(jnp.bfloat16)   # mixed int8 feed is TPU-only
+            s = jax.lax.dot_general(
+                qf, kf, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (R, F)
+            s = s * ks_ref[0, 0][None, :]      # K dequant scale, per column
+
+            # flat col f: slot t = f // Hkv, kv head = f % Hkv;
+            # flat row r: kv head = r // GS, block offset s = r % s_block
+            row = jax.lax.broadcasted_iota(jnp.int32, (R, F), 0)
+            col = jax.lax.broadcasted_iota(jnp.int32, (R, F), 1)
+            pos = p * page_size + col // Hkv
+            mask = (col % Hkv) == (row // GS)
+            if s_block == 1:
+                mask &= pos < seq_len
+            else:
+                mask &= pos <= row_len_ref[b] + row % s_block
+            s = jnp.where(mask, s, NEG_INF)
+
+            m_prev = m_ref[:, :, 0:1].reshape(R, 1)
+            l_prev = l_ref[:, :, 0:1].reshape(R, 1)
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            pexp = jnp.where(mask, jnp.exp(s - m_new), 0.0)
+            l_new = l_prev * alpha + jnp.sum(pexp, axis=1, keepdims=True)
+            # fold the V dequant scale into the probabilities (masked
+            # entries are exactly 0, so cross-head products drop out and
+            # the PV matmul needs no spreading)
+            pv = jax.lax.dot_general(
+                (pexp * vs_ref[0, 0][None, :]).astype(jnp.bfloat16), vf,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)        # (R, Dh)
+            acc = acc_ref[:].reshape(R, Dh) * alpha + pv
+            acc_ref[:] = acc.reshape(Hkv, GS, Dh)
+            m_ref[:] = jnp.broadcast_to(m_new.reshape(Hkv, GS, 1),
+                                        m_ref.shape)
+            l_ref[:] = jnp.broadcast_to(l_new.reshape(Hkv, GS, 1),
+                                        l_ref.shape)
+            return
+
+        # bf16 pages: s[kh, g, t] = q[kh, g] . k[t, kh] — batched over kv
+        # heads, the query group rides as the left matrix rows
+        # (MXU-friendly, no over-compute)
         s = jax.lax.dot_general(
             q, k.transpose(1, 0, 2),
             (((2,), (2,)), ((0,), (0,))),
             preferred_element_type=jnp.float32) * scale   # (Hkv, G*S, page)
-        if kv_int8:
-            # per-(slot, head) dequant scale distributes onto the logits:
-            # sum_d q*(k_i8*sk) == (q @ k_i8^T) * sk
-            s = s * ks_ref[0].transpose(1, 0)[:, None, :]   # (Hkv, 1, page)
 
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
         if s_block == 1:
@@ -106,9 +156,6 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         pexp = jnp.where(mask, pexp, 0.0)
         l_new = l_prev * alpha + jnp.sum(pexp, axis=2, keepdims=True)
 
-        if kv_int8:
-            # fold the V dequant scale into the probabilities
-            pexp = pexp * vs_ref[0].transpose(1, 0)[:, None, :]
         # out[kh, g, d] += p[kh, g, t] v[t, kh, d]
         pv = jax.lax.dot_general(
             pexp.astype(v.dtype), v.transpose(1, 0, 2),
@@ -152,11 +199,17 @@ def paged_decode_attention(
     ]
     operands = [qg, k_pages, v_pages]
     if kv_int8:
-        sc_spec = pl.BlockSpec((1, page_size, Hkv),
+        # flat (n_pages, 1, page*Hkv) layout: the kernel multiplies the
+        # scales onto flat logits, and the lane dim (page*Hkv) is
+        # 128-aligned — a (page, Hkv) block is not loadable on TPU
+        sc_spec = pl.BlockSpec((1, 1, page_size * Hkv),
                                lambda b, p, tbl, rl: (tbl[b, p], 0, 0))
         in_specs += [sc_spec, sc_spec]
-        operands += [k_scale.astype(jnp.float32),
-                     v_scale.astype(jnp.float32)]
+        operands += [
+            k_scale.astype(jnp.float32).reshape(n_pages, 1,
+                                                page_size * Hkv),
+            v_scale.astype(jnp.float32).reshape(n_pages, 1,
+                                                page_size * Hkv)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -171,7 +224,8 @@ def paged_decode_attention(
         ],
     )
     kernel = functools.partial(_kernel, page_size=page_size, num_pages=P,
-                               scale=scale, kv_int8=kv_int8)
+                               scale=scale, kv_int8=kv_int8,
+                               interpret=_interpret())
     out = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -219,7 +273,7 @@ def paged_decode_attention_stacked(
         _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
                 *extra, out_ref, acc_ref, m_ref, l_ref,
                 page_size=page_size, num_pages=P, scale=scale,
-                kv_int8=kv_int8)
+                kv_int8=kv_int8, interpret=_interpret())
 
     page_spec = pl.BlockSpec(
         (1, 1, page_size, Hkv, Dh),
@@ -232,12 +286,17 @@ def paged_decode_attention_stacked(
     ]
     operands = [qg, k_all, v_all]
     if kv_int8:
+        # lane-aligned flat scales — see paged_decode_attention
         sc_spec = pl.BlockSpec(
-            (1, 1, page_size, Hkv),
+            (1, 1, 1, page_size * Hkv),
             lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0))
         in_specs += [sc_spec, sc_spec]
-        operands += [k_scale.astype(jnp.float32),
-                     v_scale.astype(jnp.float32)]
+        L = k_all.shape[0]
+        operands += [
+            k_scale.astype(jnp.float32).reshape(L, n_pages, 1,
+                                                page_size * Hkv),
+            v_scale.astype(jnp.float32).reshape(L, n_pages, 1,
+                                                page_size * Hkv)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,
@@ -302,7 +361,7 @@ def paged_verify_attention_stacked(
         _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
                 *extra, out_ref, acc_ref, m_ref, l_ref,
                 page_size=page_size, num_pages=P, scale=scale,
-                kv_int8=kv_int8, s_block=S)
+                kv_int8=kv_int8, s_block=S, interpret=_interpret())
 
     page_spec = pl.BlockSpec(
         (1, 1, page_size, Hkv, Dh),
@@ -315,12 +374,17 @@ def paged_verify_attention_stacked(
     ]
     operands = [qg, k_all, v_all]
     if kv_int8:
+        # lane-aligned flat scales — see paged_decode_attention
         sc_spec = pl.BlockSpec(
-            (1, 1, page_size, Hkv),
+            (1, 1, 1, page_size * Hkv),
             lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0))
         in_specs += [sc_spec, sc_spec]
-        operands += [k_scale.astype(jnp.float32),
-                     v_scale.astype(jnp.float32)]
+        L = k_all.shape[0]
+        operands += [
+            k_scale.astype(jnp.float32).reshape(L, n_pages, 1,
+                                                page_size * Hkv),
+            v_scale.astype(jnp.float32).reshape(L, n_pages, 1,
+                                                page_size * Hkv)]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=3,

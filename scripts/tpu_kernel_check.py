@@ -13,12 +13,15 @@ drives, at 7B-like shapes:
 Exits non-zero on any mismatch.  ~2 min warm.
 """
 
+import os
 import sys
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _quant(x):
