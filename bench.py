@@ -256,9 +256,11 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
         gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=8,
                                  eos_token_id=-1))
     try:
-        # precompile the batched group-prefill traces too: the first burst
-        # otherwise pays a multi-second jit compile that lands in TTFT p95
-        batcher.warmup(with_image=True, numtoks=144, batch_sizes=(2, 4))
+        # warm the FULL admission/decode trace set (solo + every group
+        # size + prefix-hit path): round 3's non-reproducible serving
+        # number came from eager-op compiles mid-load (12s/25s TTFT
+        # staircase) that the old prefill-only warmup missed
+        batcher.warmup(with_image=True, numtoks=144)
 
         rng = np.random.default_rng(0)
         reqs = []

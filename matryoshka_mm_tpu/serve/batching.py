@@ -299,6 +299,9 @@ class ContinuousBatcher:
         self._rid = 0
         self._lock = threading.Lock()
         self._stop = False
+        # warmup sets this to queue a whole burst before the scheduler may
+        # admit, forcing the grouped-admission path deterministically
+        self._hold_admission = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
@@ -421,45 +424,81 @@ class ContinuousBatcher:
 
     def warmup(self, with_image: bool = True,
                numtoks: Optional[int] = None,
-               batch_sizes: tuple = ()) -> float:
-        """Run one dummy request through the pool to trigger the prefill
-        and decode-chunk compiles before real traffic arrives.  Returns the
-        wall seconds spent (the cold-start cost the first user would pay).
+               batch_sizes: Optional[tuple] = None) -> float:
+        """Precompile every trace the serving load pattern can hit BEFORE
+        real traffic: a cold compile that lands mid-load shows up directly
+        in user-visible TTFT (round 3 measured a 12s/25s TTFT staircase
+        from exactly this).  Covers:
 
-        ``batch_sizes`` additionally precompiles the batched group-prefill
-        traces (power-of-two sizes, see _admit_group) so a burst of
-        arrivals doesn't pay a ~30s jit compile mid-traffic."""
+        * the solo b=1 prefill + decode-chunk traces (one real request);
+        * per batch size g (powers of two up to ``max_batch`` by default)
+          the FULL grouped-admission path — not just the (g, L) batched
+          prefill trace but also the eager host ops around it (the (g, V)
+          argmax token pick, the per-row cache split slices, the paged
+          import) that a direct ``_prefill_fn`` warmup misses and that
+          each cost a mid-load jit compile;
+        * with the prefix cache enabled, the cached-prefix hit path
+          (suffix-only prefill + new-page import), by resubmitting an
+          identical near-``L``-length prompt.
+
+        Grouping is forced deterministically: ``_hold_admission`` parks
+        the scheduler's admission loop while the g requests queue, so
+        they always land as ONE group of exactly g.  Returns wall seconds
+        spent (the cold-start cost the first users would otherwise pay).
+        """
         import time as _time
 
         from ..constants import IMAGE_TOKEN_INDEX
 
         t0 = _time.time()
-        ids = np.array([[5, IMAGE_TOKEN_INDEX if with_image else 7, 9]],
-                       np.int32)
-        px = None
-        if with_image:
-            s = self.cfg.vision.image_size
-            px = np.zeros((1, 3, s, s), np.float32)
-        req = self.submit(ids, px, numtoks=numtoks,
-                          max_new_tokens=self.chunk + 1)
-        for _ in self.stream(req):
-            pass
-        n = numtoks if numtoks is not None else self.cfg.vision.num_patches
-        for g in batch_sizes:
-            ids_g = jnp.zeros((g, self.L), jnp.int32).at[:, -2].set(
-                IMAGE_TOKEN_INDEX if with_image else 7)
-            mask_g = jnp.zeros((g, self.L), bool).at[:, -3:].set(True)
-            if with_image:
-                px_g = jnp.zeros((g, 3, self.cfg.vision.image_size,
-                                  self.cfg.vision.image_size), jnp.float32)
-                out = _prefill_fn(self.cfg, n, self.L, self.capacity)(
-                    self.params, ids_g, px_g, mask_g)
-            else:
-                from ..generate import _prefill_text_fn
+        if batch_sizes is None:
+            batch_sizes = tuple(g for g in (2, 4, 8, 16, 32, 64)
+                                if g <= self.max_batch)
+        s = self.cfg.vision.image_size
 
-                out = _prefill_text_fn(self.cfg, self.L, self.capacity)(
-                    self.params, ids_g, mask_g)
-            jax.block_until_ready(out[0])
+        def _make(i: int, text_len: int = 3):
+            ids = np.full((1, text_len), 9, np.int32)
+            ids[0, 0] = 5 + i
+            ids[0, 1] = IMAGE_TOKEN_INDEX if with_image else 7
+            px = None
+            if with_image:
+                # distinct pixel content per request: group members must
+                # MISS the prefix cache or they'd take the hit path and
+                # skip the grouped prefill this warmup exists to compile
+                px = np.zeros((1, 3, s, s), np.float32)
+                px[0, 0, 0, 0] = float(i)
+            return ids, px
+
+        def _drain(reqs):
+            for r in reqs:
+                for _ in self.stream(r):
+                    pass
+
+        ids, px = _make(0)
+        _drain([self.submit(ids, px, numtoks=numtoks,
+                            max_new_tokens=self.chunk + 1)])
+        if self.index is not None:
+            # prefix-hit path: a near-L prompt so full pages register
+            # (reg_n >= 1) and the cached prefix covers the image span,
+            # then an identical resubmit takes the suffix-prefill trace
+            n = (numtoks if numtoks is not None
+                 else self.cfg.vision.num_patches)
+            text_len = self.L - n + (1 if with_image else 0)
+            if text_len >= 3:
+                ids_p, px_p = _make(0, text_len=text_len)
+                _drain([self.submit(ids_p, px_p, numtoks=numtoks,
+                                    max_new_tokens=2)])
+                _drain([self.submit(ids_p, px_p, numtoks=numtoks,
+                                    max_new_tokens=2)])
+        for g in batch_sizes:
+            self._hold_admission = True
+            try:
+                _time.sleep(0.05)   # let any in-flight admission pass end
+                reqs = [self.submit(*_make(i + 1), numtoks=numtoks,
+                                    max_new_tokens=2) for i in range(g)]
+            finally:
+                self._hold_admission = False
+            _drain(reqs)
         return _time.time() - t0
 
     def shutdown(self):
@@ -998,8 +1037,11 @@ class ContinuousBatcher:
             # Prefix-cache hits admit immediately (suffix-only prefill);
             # the rest are grouped by batched-prefill compatibility and
             # admitted with one (G, L) prefill per group — see _admit_group.
+            # warmup parks this phase (_hold_admission) to queue a burst
+            # that must land as one group; decode of active rows goes on.
             admitted = False
-            free = [s for s in range(self.max_batch) if self.slots[s] is None]
+            free = ([] if self._hold_admission else
+                    [s for s in range(self.max_batch) if self.slots[s] is None])
             fallthrough = []            # (req, slot) pairs needing full prefill
             retry, self._retry = self._retry, []
             while free:
