@@ -25,11 +25,13 @@ bf16 at its kernel boundary before ``silu(g)*u``, while this kernel keeps
 the gate/up strips in f32 scratch and rounds only ``h = silu(g)*u`` to
 bf16 before the down dot — strictly tighter numerics, but NOT bit-exact
 vs the unfused pair whenever g or u is not bf16-representable.  The
-flip-the-default bar is therefore greedy-token agreement end-to-end
-(scripts/tpu_kernel_check.py check_tail_fusion, scripts/
-ab_gated_kernels.py), not elementwise equality.  The nibble unpack and
-excess-8 bias correction mirror ops/int4_matmul.py — a numerics fix
-there must land here too.
+nibble unpack and excess-8 bias correction mirror ops/int4_matmul.py —
+a numerics fix there must land here too.
+
+A further phase-fusion (o_proj + residuals + norms folded into the same
+grid, plus a norm+qkv companion) was built in round 3, hardware-validated
+in round 4, and DELETED: token-exact but zero end-to-end gain in two
+measurement rounds — see docs/Architecture.md "negative results".
 
 Reference analog: the CUDA path fuses nothing here — bitsandbytes
 dequantizes per-matmul (llava/model/builder.py:51-60); this design is
@@ -238,320 +240,6 @@ def quant_mlp_stacked(x: jnp.ndarray, gu_packed: jnp.ndarray,
       dn_packed,
       dn_scale.reshape(L, 1, n_dn).astype(jnp.float32))
     return out[0, :M]
-
-
-def _tail_kernel(idx_ref, hid_ref, aol_ref, aoh_ref, op_ref, os_ref, w2_ref,
-                 gup_ref, gus_ref, dnp_ref, dns_ref, o_ref,
-                 x2f_ref, x2b_ref, h2b_ref, gu_ref, h_ref, acc_ref, *,
-                 bits: int, n_o: int, bn_o: int, n_gu: int, bn_gu: int,
-                 n_dn_j: int, bk_dn: int, bn_dn: int, d_model: int,
-                 i_orig: int, khg: int, kh_dn: int, kh_dn_orig: int,
-                 eps: float, interpret: bool):
-    del idx_ref
-    t = pl.program_id(0)
-
-    # ---- phase 0: o-projection strips (full-K, one step per strip) ----
-    @pl.when(t < n_o)
-    def _():
-        if bits == 4:
-            v = _dot4(aol_ref[0], aoh_ref[0], op_ref[0], interpret)
-        else:
-            v = _dot8(aol_ref[0], op_ref[0], interpret)
-        x2f_ref[:, pl.dslice(t * bn_o, bn_o)] = v * os_ref[0]
-
-    # ---- boundary 1: attention residual + post-attention RMSNorm, all
-    # in VMEM.  Rounding points match the unfused path exactly: the o
-    # output rounds to bf16 (the unfused kernel's output dtype) before
-    # the bf16 residual add, and the norm runs the models/llama.py
-    # rms_norm recipe (f32 math, bf16 result). ----
-    @pl.when(t == n_o)
-    def _():
-        o_out = x2f_ref[:, :d_model].astype(jnp.bfloat16)
-        x2 = hid_ref[0] + o_out
-        x2b_ref[:] = jnp.zeros_like(x2b_ref)
-        x2b_ref[:, :d_model] = x2
-        xf = x2.astype(jnp.float32)
-        h2 = xf * jax.lax.rsqrt(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-        h2b_ref[:] = (h2 * w2_ref[0].astype(jnp.float32)).astype(
-            jnp.bfloat16)
-
-    # ---- phase 1: gate/up strips against the normed activation ----
-    @pl.when(jnp.logical_and(t >= n_o, t < n_o + n_gu))
-    def _():
-        g = t - n_o
-        if bits == 4:
-            v = _dot4(h2b_ref[:, :khg], h2b_ref[:, khg:2 * khg],
-                      gup_ref[0], interpret)
-        else:
-            v = _dot8(h2b_ref[:, :khg], gup_ref[0], interpret)
-        gu_ref[:, pl.dslice(g * bn_gu, bn_gu)] = v * gus_ref[0]
-
-    # ---- boundary 2: h = silu(gate) * up in the down geometry ----
-    @pl.when(t == n_o + n_gu)
-    def _():
-        h_ref[:] = jnp.zeros_like(h_ref)
-        g = gu_ref[:, :i_orig]
-        u = gu_ref[:, i_orig:2 * i_orig]
-        h = (jax.nn.silu(g) * u).astype(h_ref.dtype)
-        if bits == 4:
-            h_ref[:, :kh_dn_orig] = h[:, :kh_dn_orig]
-            h_ref[:, kh_dn:kh_dn + kh_dn_orig] = h[:, kh_dn_orig:i_orig]
-        else:
-            h_ref[:, :i_orig] = h
-
-    # ---- phase 2: down projection + the MLP residual on the way out ----
-    @pl.when(t >= n_o + n_gu)
-    def _():
-        td = t - n_o - n_gu
-        jd = td % n_dn_j
-        if bits == 4:
-            xl = h_ref[:, pl.dslice(jd * bk_dn, bk_dn)]
-            xh = h_ref[:, pl.dslice((jd + n_dn_j) * bk_dn, bk_dn)]
-            part = _dot4(xl, xh, dnp_ref[0], interpret)
-        else:
-            part = _dot8(h_ref[:, pl.dslice(jd * bk_dn, bk_dn)],
-                         dnp_ref[0], interpret)
-
-        @pl.when(jd == 0)
-        def _():
-            acc_ref[:] = part
-
-        @pl.when(jd > 0)
-        def _():
-            acc_ref[:] += part
-
-        @pl.when(jd == n_dn_j - 1)
-        def _():
-            res = x2b_ref[:, pl.dslice((td // n_dn_j) * bn_dn, bn_dn)]
-            o_ref[0] = res + (acc_ref[:] * dns_ref[0]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("bits", "d_model", "i_orig", "eps",
-                                    "interpret"))
-def quant_layer_tail_stacked(hidden: jnp.ndarray, attn_out: jnp.ndarray,
-                             o_packed: jnp.ndarray, o_scale: jnp.ndarray,
-                             gu_packed: jnp.ndarray, gu_scale: jnp.ndarray,
-                             dn_packed: jnp.ndarray, dn_scale: jnp.ndarray,
-                             ln2_w: jnp.ndarray, layer_idx: jnp.ndarray, *,
-                             bits: int, d_model: int, i_orig: int,
-                             eps: float,
-                             interpret: bool = False) -> jnp.ndarray:
-    """Whole decoder-layer tail in ONE kernel: ``o_proj -> attention
-    residual -> RMSNorm -> gate/up -> silu*mul -> down -> MLP residual``.
-
-    Extends :func:`quant_mlp_stacked` with an o-projection phase and the
-    two residual adds, eliminating (per layer, per decode step) one
-    pallas_call launch plus the XLA residual/norm fusions between the
-    attention output and the MLP — the remaining inter-kernel gaps the
-    profile shows after the MLP fusion.  ``hidden/attn_out (M, D)`` bf16
-    -> ``(M, N_dn)`` bf16 (caller slices ``[:, :d_model]``).  Check
-    :func:`quant_tail_eligible` first.
-    """
-    M, D = hidden.shape
-    L, n_o_rows, kho = o_packed.shape
-    _, n_gu_rows, khg = gu_packed.shape
-    _, n_dn, kh_dn = dn_packed.shape
-    hidden = hidden.astype(jnp.bfloat16)
-    attn_out = attn_out.astype(jnp.bfloat16)
-    mp = -(-M // 16) * 16
-    if mp != M:
-        hidden = jnp.pad(hidden, ((0, mp - M), (0, 0)))
-        attn_out = jnp.pad(attn_out, ((0, mp - M), (0, 0)))
-    bm = mp
-
-    bn_o = _pick_bn(n_o_rows, kho, bm)
-    n_o = n_o_rows // bn_o
-    bn_gu = _pick_bn(n_gu_rows, khg, bm)
-    n_gu = n_gu_rows // bn_gu
-    bk_dn = _pick_bk(kh_dn, bm)
-    bn_dn = _pick_bn(n_dn, bk_dn, bm)
-    n_dn_j = kh_dn // bk_dn
-    n_steps = n_o + n_gu + (n_dn // bn_dn) * n_dn_j
-    kh_dn_orig = i_orig // 2 if bits == 4 else i_orig
-    h_w = 2 * kh_dn if bits == 4 else kh_dn
-    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-
-    def o_n(t):
-        return jnp.minimum(t, n_o - 1)
-
-    def gu_n(t):
-        return jnp.clip(t - n_o, 0, n_gu - 1)
-
-    def dn_n(t):
-        return jnp.maximum(t - n_o - n_gu, 0) // n_dn_j
-
-    def dn_j(t):
-        return jnp.maximum(t - n_o - n_gu, 0) % n_dn_j
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, bm, D), lambda t, idx: (0, 0, 0)),
-            # attn_out in (lo, hi) halves for the int4 o dot (same array
-            # bound twice), or whole for int8
-            pl.BlockSpec((1, bm, kho), lambda t, idx: (0, 0, 0)),
-            pl.BlockSpec((1, bm, kho),
-                         lambda t, idx: (0, 0, 1 if bits == 4 else 0)),
-            pl.BlockSpec((1, bn_o, kho),
-                         lambda t, idx: (idx[0], o_n(t), 0)),
-            pl.BlockSpec((1, 1, bn_o),
-                         lambda t, idx: (idx[0], 0, o_n(t))),
-            pl.BlockSpec((1, D), lambda t, idx: (0, 0)),
-            # constant index maps before each phase => the next phase's
-            # first block is DMA'd while the current one streams
-            pl.BlockSpec((1, bn_gu, khg),
-                         lambda t, idx: (idx[0], gu_n(t), 0)),
-            pl.BlockSpec((1, 1, bn_gu),
-                         lambda t, idx: (idx[0], 0, gu_n(t))),
-            pl.BlockSpec((1, bn_dn, bk_dn),
-                         lambda t, idx: (idx[0], dn_n(t), dn_j(t))),
-            pl.BlockSpec((1, 1, bn_dn),
-                         lambda t, idx: (idx[0], 0, dn_n(t))),
-        ],
-        out_specs=pl.BlockSpec((1, bm, bn_dn),
-                               lambda t, idx: (0, 0, dn_n(t))),
-        scratch_shapes=[
-            pltpu.VMEM((bm, n_o_rows), jnp.float32),    # o strips
-            pltpu.VMEM((bm, n_dn), jnp.bfloat16),       # x2 residual
-            pltpu.VMEM((bm, d_model), jnp.bfloat16),    # normed activation
-            pltpu.VMEM((bm, n_gu_rows), jnp.float32),   # gate/up strips
-            pltpu.VMEM((bm, h_w), jnp.bfloat16),        # h, down geometry
-            pltpu.VMEM((bm, bn_dn), jnp.float32),       # down accumulator
-        ],
-    )
-    out = pl.pallas_call(
-        functools.partial(
-            _tail_kernel, bits=bits, n_o=n_o, bn_o=bn_o, n_gu=n_gu,
-            bn_gu=bn_gu, n_dn_j=n_dn_j, bk_dn=bk_dn, bn_dn=bn_dn,
-            d_model=d_model, i_orig=i_orig, khg=khg, kh_dn=kh_dn,
-            kh_dn_orig=kh_dn_orig, eps=eps, interpret=interpret),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, bm, n_dn), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(idx, hidden[None], attn_out[None], attn_out[None], o_packed,
-      o_scale.reshape(L, 1, n_o_rows).astype(jnp.float32),
-      ln2_w.reshape(1, D), gu_packed,
-      gu_scale.reshape(L, 1, n_gu_rows).astype(jnp.float32),
-      dn_packed,
-      dn_scale.reshape(L, 1, n_dn).astype(jnp.float32))
-    return out[0, :M]
-
-
-def _norm_qkv_kernel(idx_ref, hid_ref, w1_ref, qp_ref, qs_ref, o_ref,
-                     h2b_ref, *, bits: int, khq: int, eps: float,
-                     interpret: bool):
-    del idx_ref
-    t = pl.program_id(0)
-
-    # prologue: input RMSNorm once into VMEM (models/llama.py rms_norm
-    # recipe — f32 math, bf16 result)
-    @pl.when(t == 0)
-    def _():
-        xf = hid_ref[0].astype(jnp.float32)
-        h2 = xf * jax.lax.rsqrt(
-            jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
-        h2b_ref[:] = (h2 * w1_ref[0].astype(jnp.float32)).astype(
-            jnp.bfloat16)
-
-    # one output strip per step (full-K dot against the normed rows)
-    if bits == 4:
-        v = _dot4(h2b_ref[:, :khq], h2b_ref[:, khq:2 * khq], qp_ref[0],
-                  interpret)
-    else:
-        v = _dot8(h2b_ref[:, :khq], qp_ref[0], interpret)
-    o_ref[0] = (v * qs_ref[0]).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("bits", "d_model", "eps", "interpret"))
-def quant_norm_qkv_stacked(hidden: jnp.ndarray, ln1_w: jnp.ndarray,
-                           qkv_packed: jnp.ndarray, qkv_scale: jnp.ndarray,
-                           layer_idx: jnp.ndarray, *, bits: int,
-                           d_model: int, eps: float,
-                           interpret: bool = False) -> jnp.ndarray:
-    """Input RMSNorm + fused qkv projection in ONE kernel: folds the XLA
-    norm between the residual stream and the qkv matmul into the qkv
-    weight stream (companion of :func:`quant_layer_tail_stacked` — with
-    both enabled a decode layer is two pallas_calls + attention).
-    ``hidden (M, D)`` bf16 -> ``(M, N_qkv)`` bf16."""
-    M, D = hidden.shape
-    L, n_rows, khq = qkv_packed.shape
-    hidden = hidden.astype(jnp.bfloat16)
-    mp = -(-M // 16) * 16
-    if mp != M:
-        hidden = jnp.pad(hidden, ((0, mp - M), (0, 0)))
-    bm = mp
-    bn = _pick_bn(n_rows, khq, bm)
-    n_steps = n_rows // bn
-    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(n_steps,),
-        in_specs=[
-            pl.BlockSpec((1, bm, D), lambda t, idx: (0, 0, 0)),
-            pl.BlockSpec((1, D), lambda t, idx: (0, 0)),
-            pl.BlockSpec((1, bn, khq), lambda t, idx: (idx[0], t, 0)),
-            pl.BlockSpec((1, 1, bn), lambda t, idx: (idx[0], 0, t)),
-        ],
-        out_specs=pl.BlockSpec((1, bm, bn), lambda t, idx: (0, 0, t)),
-        scratch_shapes=[pltpu.VMEM((bm, d_model), jnp.bfloat16)],
-    )
-    out = pl.pallas_call(
-        functools.partial(_norm_qkv_kernel, bits=bits, khq=khq, eps=eps,
-                          interpret=interpret),
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, mp, n_rows), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(idx, hidden[None], ln1_w.reshape(1, D), qkv_packed,
-      qkv_scale.reshape(L, 1, n_rows).astype(jnp.float32))
-    return out[0, :M]
-
-
-def quant_norm_qkv_eligible(rows: int, qkv_shape, *, bits: int,
-                            d_model: int) -> bool:
-    """Static eligibility for the fused norm+qkv kernel: decode-narrow
-    rows, one full-K strip geometry, block divisors exist."""
-    if len(qkv_shape) != 3:
-        return False
-    _, n_rows, khq = qkv_shape
-    bm = -(-rows // 16) * 16
-    if bm > 32:
-        return False
-    want = d_model // 2 if bits == 4 else d_model
-    if khq != want or khq > 4096 or khq % 128 != 0:
-        return False
-    if d_model % 128 != 0:
-        return False
-    return _pick_bn(n_rows, khq, bm) > 0
-
-
-def quant_tail_eligible(rows: int, o_shape, gu_shape, dn_shape, *,
-                        bits: int, d_model: int, i_orig: int) -> bool:
-    """Static eligibility for the fused layer-tail kernel: the MLP-kernel
-    conditions plus a full-K o-projection phase over aligned geometry."""
-    if len(o_shape) != 3:
-        return False
-    if not quant_mlp_eligible(rows, gu_shape, dn_shape, bits=bits,
-                              d_model=d_model, i_orig=i_orig):
-        return False
-    _, n_o_rows, kho = o_shape
-    want_kho = d_model // 2 if bits == 4 else d_model
-    if kho != want_kho or kho > 4096 or kho % 128 != 0:
-        return False
-    if d_model % 128 != 0 or n_o_rows < d_model:
-        return False
-    bm = -(-rows // 16) * 16
-    return _pick_bn(n_o_rows, kho, bm) > 0
 
 
 def quant_mlp_eligible(rows: int, gu_shape, dn_shape, *, bits: int,

@@ -59,7 +59,20 @@ _BLOCK_BYTES = 2 * 1024 * 1024
 # half-row DMA spans) aren't rejected: 7B down_proj at (BK 2816, BN 1024)
 # measured 44.3 -> 14.3 us/layer vs the strided (512, 4096) blocks
 # (scripts/sweep_int4_variants.py, marginal per-layer slope).
-_BLOCK_BYTES_DECODE = 3 * 1024 * 1024
+# Env overrides (scripts/sweep_decode_blocks.py): read at import time.
+# Round-4 sweep on the chip (7B int4 b1 decode, tok/s): 3MB/bk4096 157.3,
+# 6MB/bk4096 153.0, 6MB/bk6144 151.4, 12MB/bk6144 148.2 — BIGGER blocks
+# regress monotonically (coarser double-buffer granularity: the first
+# block's fill and last block's drain stop hiding under compute), and the
+# "contiguous full-K down_proj" theory is disproven (the strided 2816-col
+# blocks already stream fine).  The defaults below are the measured
+# optimum; the envs remain for future sweeps on other parts.
+import os as _os
+
+_BLOCK_BYTES_DECODE = int(_os.environ.get("M3_BLOCK_BYTES_DECODE",
+                                          3 * 1024 * 1024))
+# Max lanes of a full-row decode BK span (7B down_proj full-K is 5632)
+_BK_MAX_DECODE = int(_os.environ.get("M3_BK_MAX_DECODE", 4096))
 # Scoped-VMEM budget passed to Mosaic (v5e has 128MB physical; the 16MB
 # default rejects block shapes whose double-buffers + nibble temps exceed
 # it even though they fit comfortably).
@@ -84,7 +97,7 @@ def _pick_bk(khalf: int, bm: int = 256) -> int:
     1024-column blocks."""
     if bm <= 32 and khalf % 128 == 0:
         for d in (1, 2, 4):
-            if khalf % d == 0 and khalf // d <= 4096 \
+            if khalf % d == 0 and khalf // d <= _BK_MAX_DECODE \
                     and (khalf // d) % 128 == 0:
                 return khalf // d
     for c in (1024, 512, 256, 128):
@@ -396,121 +409,3 @@ def int4_matmul_eligible(x_2d_rows: int, packed_shape, *,
     bm = min(-(-x_2d_rows // 16) * 16, 256)
     bk = _pick_bk(Khalf, bm)
     return (x_2d_rows <= max_rows and bk > 0 and _pick_bn(N, bk, bm) > 0)
-
-
-# ---------------------------------------------------------------------------
-# W4A8 variant — int8 activations feeding s8 x s8 -> s32 MXU dots.
-# W4A16 decode is convert-bound past ~650 GB/s (each packed byte implies
-# two int8->bf16 feed conversions); quantizing the activation row to int8
-# lets the MXU consume both operands natively.  Costs per-token activation
-# quantization error (absmax/127 per row), so this path is OPT-IN
-# (M3_W4A8=1) for serving configs that tolerate it; exactness-critical
-# paths keep W4A16.
-# ---------------------------------------------------------------------------
-
-def quantize_rows_int8(x: jnp.ndarray):
-    """Per-row absmax int8 quantization: ``x (M, K) -> (q int8, scale
-    (M, 1) f32)`` with ``x ~ q * scale``."""
-    x32 = x.astype(jnp.float32)
-    s = jnp.maximum(jnp.max(jnp.abs(x32), axis=-1, keepdims=True),
-                    1e-8) / 127.0
-    q = jnp.clip(jnp.round(x32 / s), -127, 127).astype(jnp.int8)
-    return q, s
-
-
-def _kernel_w4a8(x_lo_ref, x_hi_ref, p_ref, s_ref, xs_ref, rs_ref, o_ref,
-                 acc_ref, *, n_j: int, interpret: bool = False,
-                 j_axis: int = 1):
-    j = pl.program_id(j_axis)
-    pi = pltpu.bitcast(p_ref[:], jnp.int32)
-    lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
-    hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
-    dn = (((1,), (1,)), ((), ()))
-    if interpret:
-        # XLA interpret mode: s8 dots must widen explicitly
-        part = (jax.lax.dot_general(
-                    x_lo_ref[:].astype(jnp.int32), lo_b.astype(jnp.int32),
-                    dn, preferred_element_type=jnp.int32)
-                + jax.lax.dot_general(
-                    x_hi_ref[:].astype(jnp.int32), hi_b.astype(jnp.int32),
-                    dn, preferred_element_type=jnp.int32))
-    else:
-        part = (jax.lax.dot_general(x_lo_ref[:], lo_b, dn,
-                                    preferred_element_type=jnp.int32)
-                + jax.lax.dot_general(x_hi_ref[:], hi_b, dn,
-                                      preferred_element_type=jnp.int32))
-
-    def emit(acc):
-        corrected = (acc - 8 * rs_ref[:]).astype(jnp.float32)
-        o_ref[:] = (corrected * s_ref[:] * xs_ref[:]).astype(o_ref.dtype)
-
-    if n_j == 1:
-        emit(part)
-        return
-
-    @pl.when(j == 0)
-    def _():
-        acc_ref[:] = part
-
-    @pl.when(j > 0)
-    def _():
-        acc_ref[:] += part
-
-    @pl.when(j == n_j - 1)
-    def _():
-        emit(acc_ref[:])
-
-
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def int4_matmul_w4a8_stacked(x: jnp.ndarray, packed: jnp.ndarray,
-                             scale: jnp.ndarray, layer_idx: jnp.ndarray,
-                             *, interpret: bool = False) -> jnp.ndarray:
-    """Layer-indexed W4A8 fused matmul over a stacked ``(L, N, K/2)``
-    int4 leaf: the bf16 activation quantizes per row to int8 outside the
-    kernel, the excess-8 bias folds into an int32 per-row correction, and
-    the result rescales by ``w_scale * x_scale``."""
-    M, K = x.shape
-    L, N, Khalf = packed.shape
-    xq, xs = quantize_rows_int8(x)
-    xq, Mp, BM = _pad_rows(xq)
-    if Mp != M:
-        xs = jnp.pad(xs, ((0, Mp - M), (0, 0)), constant_values=1.0)
-    rowsum = jnp.sum(xq.astype(jnp.int32), axis=-1, keepdims=True)
-    BK = _pick_bk(Khalf, BM)
-    BN = _pick_bn(N, BK, BM)
-    n_j = Khalf // BK
-    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-
-    def kernel(idx_ref, x_lo_ref, x_hi_ref, p_ref, s_ref, xs_ref, rs_ref,
-               o_ref, acc_ref):
-        del idx_ref
-        _kernel_w4a8(x_lo_ref.at[0], x_hi_ref.at[0], p_ref.at[0],
-                     s_ref.at[0], xs_ref.at[0], rs_ref.at[0], o_ref.at[0],
-                     acc_ref, n_j=n_j, interpret=interpret, j_axis=2)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(Mp // BM, N // BN, n_j),
-        in_specs=[
-            pl.BlockSpec((1, BM, BK), lambda m, n, j, idx: (0, m, j)),
-            pl.BlockSpec((1, BM, BK),
-                         lambda m, n, j, idx, _nj=n_j: (0, m, j + _nj)),
-            pl.BlockSpec((1, BN, BK), lambda m, n, j, idx: (idx[0], n, j)),
-            pl.BlockSpec((1, 1, BN), lambda m, n, j, idx: (idx[0], 0, n)),
-            pl.BlockSpec((1, BM, 1), lambda m, n, j, idx: (0, m, 0)),
-            pl.BlockSpec((1, BM, 1), lambda m, n, j, idx: (0, m, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, BM, BN), lambda m, n, j, idx: (0, m, n)),
-        scratch_shapes=[pltpu.VMEM((BM, BN), jnp.int32)],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, Mp, N), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "parallel", "arbitrary"),
-            vmem_limit_bytes=_VMEM_LIMIT),
-        interpret=interpret,
-    )(idx, xq[None], xq[None], packed,
-      scale.reshape(L, 1, N).astype(jnp.float32), xs[None], rowsum[None])
-    return out[0, :M]

@@ -20,6 +20,22 @@ read per step per layer).
 Scope: full causal attention over the row (no sliding-window clipping —
 Mistral's 4096 window only matters for rows longer than the window, far
 beyond typical paged-pool capacities; the dense path handles those).
+
+int8-KV layout notes (advisor round 3):
+
+* the flat per-slot scale blocks are ``(1, 1, page_size*Hkv)`` — that
+  lane dim must fill whole 128-lane registers, so int8 pools require
+  ``page_size * Hkv % 128 == 0`` (checked at trace time on TPU; tiny
+  interpret-mode test configs are exempt because XLA-CPU accepts any
+  lane width);
+* the flat int8 QK/PV dots compute ``(Hkv*G*S) x (page*Hkv)`` products —
+  an Hkv-fold MXU over-compute versus the batched bf16 path (32x for
+  Hkv=32 models).  Decode is HBM-bound, so the extra FLOPs hide under
+  the half-width page reads for ``S = 1..k+1`` at serving shapes; if a
+  future caller drives large S (long verify blocks) the compute crosses
+  over roughly when ``S * Hkv`` approaches ``page_size`` — reshape the
+  scales to (page, Hkv) inside the kernel (Mosaic permitting) before
+  widening that path.
 """
 
 from __future__ import annotations
@@ -38,13 +54,24 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _check_int8_layout(page_size: int, Hkv: int) -> None:
+    """int8 pools load their per-slot scales as flat (1, 1, page*Hkv)
+    blocks whose lane dim must fill whole 128-lane registers.  Mosaic
+    rejects sub-128 lane widths on real TPUs while interpret mode accepts
+    them — so a misconfigured pool (small page_size x Hkv) would pass CPU
+    tests and die at Mosaic compile on hardware.  Fail loudly at trace
+    time instead (interpret-mode tiny test configs stay exempt)."""
+    if not _interpret() and (page_size * Hkv) % 128 != 0:
+        raise ValueError(
+            f"int8 paged KV needs page_size*Hkv divisible by 128, got "
+            f"page_size={page_size} x Hkv={Hkv} = {page_size * Hkv}; "
+            f"raise page_size (serve --page-size) or use bf16 KV")
+
+
 def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             q_ref, k_ref, v_ref, *refs, page_size: int, num_pages: int,
-            scale: float, kv_int8: bool = False, s_block: int = 1,
+            scale: float, kv_int8: bool = False,
             interpret: bool = False):
-    """``s_block > 1``: the G axis carries G*S query rows (row r = g*S + s,
-    query position row_len + r%S) — the speculative verify's intra-block
-    causality rides the same online-softmax loop as single-token decode."""
     if kv_int8:
         ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
     else:
@@ -59,13 +86,13 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
         m_ref[:] = jnp.full_like(m_ref, NEG_INF)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    seq_len = row_len_ref[b] + s_block         # includes the new block
+    seq_len = row_len_ref[b] + 1               # includes the new token
     # pages beyond the row's length contribute nothing
     run = p * page_size < seq_len
 
     @pl.when(run)
     def _compute():
-        q = q_ref[0]                           # (Hkv, G*S, Dh)
+        q = q_ref[0]                           # (Hkv, G, Dh)
         k = k_ref[0]                           # (page, Hkv, Dh) — unexpanded
         v = v_ref[0]
         Hkv, GS, Dh = q.shape
@@ -96,15 +123,11 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             s = s * ks_ref[0, 0][None, :]      # K dequant scale, per column
 
             # flat col f: slot t = f // Hkv, kv head = f % Hkv;
-            # flat row r: kv head = r // GS, block offset s = r % s_block
+            # flat row r: kv head = r // GS
             row = jax.lax.broadcasted_iota(jnp.int32, (R, F), 0)
             col = jax.lax.broadcasted_iota(jnp.int32, (R, F), 1)
             pos = p * page_size + col // Hkv
-            mask = (col % Hkv) == (row // GS)
-            if s_block == 1:
-                mask &= pos < seq_len
-            else:
-                mask &= pos <= row_len_ref[b] + row % s_block
+            mask = ((col % Hkv) == (row // GS)) & (pos < seq_len)
             s = jnp.where(mask, s, NEG_INF)
 
             m_prev = m_ref[:, :, 0:1].reshape(R, 1)
@@ -137,14 +160,7 @@ def _kernel(tables_ref, row_len_ref,           # scalar prefetch
             preferred_element_type=jnp.float32) * scale   # (Hkv, G*S, page)
 
         idx = jax.lax.broadcasted_iota(jnp.int32, s.shape, 2) + p * page_size
-        if s_block == 1:
-            mask = idx < seq_len
-        else:
-            # query r attends kv slots <= its own position row_len + r%S
-            qpos = (row_len_ref[b]
-                    + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    % s_block)
-            mask = idx <= qpos
+        mask = idx < seq_len
         s = jnp.where(mask, s, NEG_INF)
 
         m_prev = m_ref[:, :, 0:1]
@@ -189,6 +205,8 @@ def paged_decode_attention(
     G = H // Hkv
     qg = q.reshape(B, Hkv, G, Dh)
     kv_int8 = k_pages.dtype == jnp.int8
+    if kv_int8:
+        _check_int8_layout(page_size, Hkv)
 
     page_spec = pl.BlockSpec((1, page_size, Hkv, Dh),
                              lambda b, p, tbl, rl: (tbl[b, p], 0, 0, 0))
@@ -260,6 +278,8 @@ def paged_decode_attention_stacked(
     qg = q.reshape(B, Hkv, G, Dh)
     idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
     kv_int8 = k_all.dtype == jnp.int8
+    if kv_int8:
+        _check_int8_layout(page_size, Hkv)
 
     def kernel(idx_ref, tables_ref, row_len_ref, q_ref, k_ref, v_ref,
                *refs):
@@ -318,91 +338,3 @@ def paged_decode_attention_stacked(
     )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
       *operands)
     return out.reshape(B, H, Dh)
-
-
-def paged_verify_attention_stacked(
-    q: jnp.ndarray,             # (B, H, S, Dh) draft-block queries
-    k_all: jnp.ndarray,         # (L, n_pages, page, Hkv, Dh) stacked pools
-    v_all: jnp.ndarray,
-    layer_idx: jnp.ndarray,     # scalar i32
-    page_tables: jnp.ndarray,   # (B, P) int32
-    row_len: jnp.ndarray,       # (B,) tokens before the block
-    k_scale=None,               # (L, n_pages, page, Hkv) f32 — int8 KV
-    v_scale=None,
-) -> jnp.ndarray:
-    """Speculative-verify attention over pages: S query rows per request
-    (the draft block, already written into the row's pages at slots
-    [row_len, row_len+S)) with intra-block causality, reading pages in
-    place.  Replaces the gather fallback that materializes every row's
-    full KV view per layer (~2x(B*S_virt*Hkv*Dh) transient HBM per layer
-    at serving shapes).  Returns (B, H, S, Dh).
-
-    The S axis folds into the per-kv-head query rows (G*S), so the same
-    online-softmax kernel body serves decode (S=1) and verify."""
-    B, H, S, Dh = q.shape
-    _, n_pages, page_size, Hkv, _ = k_all.shape
-    P = page_tables.shape[1]
-    scale = Dh ** -0.5
-    G = H // Hkv
-    # (B, H, S, Dh) -> (B, Hkv, G*S, Dh): row r = g*S + s
-    qg = q.reshape(B, Hkv, G, S, Dh).reshape(B, Hkv, G * S, Dh)
-    idx = jnp.asarray(layer_idx, jnp.int32).reshape(1)
-    kv_int8 = k_all.dtype == jnp.int8
-
-    def kernel(idx_ref, tables_ref, row_len_ref, q_ref, k_ref, v_ref,
-               *refs):
-        del idx_ref
-        if kv_int8:
-            ks_ref, vs_ref, out_ref, acc_ref, m_ref, l_ref = refs
-            extra = (ks_ref.at[0], vs_ref.at[0])
-        else:
-            out_ref, acc_ref, m_ref, l_ref = refs
-            extra = ()
-        _kernel(tables_ref, row_len_ref, q_ref, k_ref.at[0], v_ref.at[0],
-                *extra, out_ref, acc_ref, m_ref, l_ref,
-                page_size=page_size, num_pages=P, scale=scale,
-                kv_int8=kv_int8, s_block=S, interpret=_interpret())
-
-    page_spec = pl.BlockSpec(
-        (1, 1, page_size, Hkv, Dh),
-        lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0, 0))
-    in_specs = [
-        pl.BlockSpec((1, Hkv, G * S, Dh),
-                     lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
-        page_spec,
-        page_spec,
-    ]
-    operands = [qg, k_all, v_all]
-    if kv_int8:
-        # lane-aligned flat scales — see paged_decode_attention
-        sc_spec = pl.BlockSpec(
-            (1, 1, 1, page_size * Hkv),
-            lambda b, p, idx, tbl, rl: (idx[0], tbl[b, p], 0, 0))
-        in_specs += [sc_spec, sc_spec]
-        L = k_all.shape[0]
-        operands += [
-            k_scale.astype(jnp.float32).reshape(L, n_pages, 1,
-                                                page_size * Hkv),
-            v_scale.astype(jnp.float32).reshape(L, n_pages, 1,
-                                                page_size * Hkv)]
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
-        grid=(B, P),
-        in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, Hkv, G * S, Dh),
-                               lambda b, p, idx, tbl, rl: (b, 0, 0, 0)),
-        scratch_shapes=[
-            pltpu.VMEM((Hkv, G * S, Dh), jnp.float32),
-            pltpu.VMEM((Hkv, G * S, 128), jnp.float32),
-            pltpu.VMEM((Hkv, G * S, 128), jnp.float32),
-        ],
-    )
-    out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, G * S, Dh), q.dtype),
-        interpret=_interpret(),
-    )(idx, page_tables.astype(jnp.int32), row_len.astype(jnp.int32),
-      *operands)
-    return out.reshape(B, Hkv, G, S, Dh).reshape(B, H, S, Dh)

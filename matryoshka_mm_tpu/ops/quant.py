@@ -479,20 +479,8 @@ def fused_int4_proj(x: jnp.ndarray, leaf) -> jnp.ndarray | None:
         # padded int8 leaf: zero weights pad the tail columns exactly
         x2 = jnp.pad(x2, ((0, 0), (0, kp - x2.shape[-1])))
     if stacked:
-        import os as _os
-
-        if is4 and _os.environ.get("M3_W4A8") == "1" and rows <= 32:
-            # opt-in W4A8: int8 activations feed s8xs8->s32 MXU dots —
-            # skips the per-byte int8->bf16 feed conversion that bounds
-            # W4A16 past ~650 GB/s, at the cost of per-row activation
-            # quantization error (ops/int4_matmul.py W4A8 section)
-            from .int4_matmul import int4_matmul_w4a8_stacked
-
-            y = int4_matmul_w4a8_stacked(x2, leaf[key], leaf["scale"],
-                                         leaf["_layer"])
-        else:
-            fn = int4_matmul_stacked if is4 else int8_matmul_stacked
-            y = fn(x2, leaf[key], leaf["scale"], leaf["_layer"])
+        fn = int4_matmul_stacked if is4 else int8_matmul_stacked
+        y = fn(x2, leaf[key], leaf["scale"], leaf["_layer"])
     else:
         fn = int4_matmul if is4 else int8_matmul
         y = fn(x2, leaf[key], leaf["scale"])
@@ -555,120 +543,6 @@ def fused_quant_mlp(x: jnp.ndarray, mlp: dict) -> jnp.ndarray | None:
         x.reshape(rows, D), gu[key], gu["scale"], dn[key], dn["scale"],
         gu["_layer"], bits=4 if is4 else 8, i_orig=i_orig)
     return y[:, :n_dn_orig].reshape(x.shape[:-1] + (n_dn_orig,))
-
-
-def fused_quant_layer_tail(hidden: jnp.ndarray, attn_out: jnp.ndarray,
-                           o_leaf, ln2_w: jnp.ndarray, mlp: dict,
-                           eps: float) -> jnp.ndarray | None:
-    """Whole layer-tail fused kernel: ``o_proj -> residual -> RMSNorm ->
-    MLP -> residual`` in ONE pallas invocation (ops/fused_mlp.py
-    quant_layer_tail_stacked) — on top of the fused-MLP savings it
-    removes the o-projection launch and the XLA residual/norm fusions
-    between attention output and MLP during decode.
-
-    Returns None when ineligible (caller falls back to the per-projection
-    path): needs stacked quantized o/gateup/down leaves of the SAME bit
-    width, no LoRA on any of them, bf16 activations, decode-narrow rows,
-    TPU backend.  Opt-in via ``M3_TAIL_KERNEL=1`` until hardware-
-    validated (scripts/tpu_kernel_check.py check_tail_fusion)."""
-    import os as _os
-
-    if not _FUSED_PROJ_ENABLED[-1]:
-        return None
-    if _os.environ.get("M3_TAIL_KERNEL", "0") != "1":
-        # opt-in until validated on hardware (scripts/tpu_kernel_check.py
-        # check_tail_fusion) — flip the default once the Mosaic compile of
-        # the multi-phase grids is proven on the chip
-        return None
-    gu, dn = mlp.get("gateup_proj"), mlp.get("down_proj")
-    if not (isinstance(o_leaf, dict) and isinstance(gu, dict)
-            and isinstance(dn, dict)):
-        return None
-    if any("_layer" not in l for l in (o_leaf, gu, dn)):
-        return None
-    if any("lora_a" in l for l in (o_leaf, gu, dn)):
-        return None
-    if hidden.dtype != jnp.bfloat16 or attn_out.dtype != jnp.bfloat16:
-        return None
-    is4 = Q4KEY in o_leaf
-    key = Q4KEY if is4 else QKEY
-    if any(key not in l or (Q4KEY in l) != is4 for l in (o_leaf, gu, dn)):
-        return None
-    if jax.default_backend() != "tpu":
-        return None
-    from .fused_mlp import quant_layer_tail_stacked, quant_tail_eligible
-
-    D = hidden.shape[-1]
-    if attn_out.shape[-1] != D:
-        return None
-    if "orig_shape" in o_leaf and o_leaf["orig_shape"].k != D:
-        return None
-    if "orig_shape" in dn:
-        i_orig = dn["orig_shape"].k
-    else:
-        i_orig = dn[key].shape[-1] * (2 if is4 else 1)
-    gu_n_orig = gu["orig_shape"].n if "orig_shape" in gu \
-        else gu[key].shape[-2]
-    if gu_n_orig != 2 * i_orig:
-        return None
-    rows = 1
-    for d in hidden.shape[:-1]:
-        rows *= d
-    if not quant_tail_eligible(rows, o_leaf[key].shape, gu[key].shape,
-                               dn[key].shape, bits=4 if is4 else 8,
-                               d_model=D, i_orig=i_orig):
-        return None
-    y = quant_layer_tail_stacked(
-        hidden.reshape(rows, D), attn_out.reshape(rows, D),
-        o_leaf[key], o_leaf["scale"], gu[key], gu["scale"],
-        dn[key], dn["scale"], ln2_w, gu["_layer"],
-        bits=4 if is4 else 8, d_model=D, i_orig=i_orig, eps=eps)
-    return y[:, :D].reshape(hidden.shape)
-
-
-def fused_quant_norm_qkv(hidden: jnp.ndarray, ln1_w: jnp.ndarray,
-                         qkv_leaf, eps: float) -> jnp.ndarray | None:
-    """Input-RMSNorm + qkv projection in one kernel (ops/fused_mlp.py
-    quant_norm_qkv_stacked).  Returns None when ineligible — same gating
-    rules as :func:`fused_quant_layer_tail` (stacked quantized leaf, no
-    LoRA, bf16, decode-narrow, TPU; opt-in via ``M3_TAIL_KERNEL=1``)."""
-    import os as _os
-
-    if not _FUSED_PROJ_ENABLED[-1]:
-        return None
-    if _os.environ.get("M3_TAIL_KERNEL", "0") != "1":
-        # opt-in until validated on hardware (scripts/tpu_kernel_check.py
-        # check_tail_fusion) — flip the default once the Mosaic compile of
-        # the multi-phase grids is proven on the chip
-        return None
-    if not isinstance(qkv_leaf, dict) or "_layer" not in qkv_leaf \
-            or "lora_a" in qkv_leaf:
-        return None
-    if hidden.dtype != jnp.bfloat16:
-        return None
-    is4 = Q4KEY in qkv_leaf
-    key = Q4KEY if is4 else QKEY
-    if key not in qkv_leaf:
-        return None
-    if jax.default_backend() != "tpu":
-        return None
-    from .fused_mlp import quant_norm_qkv_eligible, quant_norm_qkv_stacked
-
-    D = hidden.shape[-1]
-    if "orig_shape" in qkv_leaf and qkv_leaf["orig_shape"].k != D:
-        return None
-    rows = 1
-    for d in hidden.shape[:-1]:
-        rows *= d
-    if not quant_norm_qkv_eligible(rows, qkv_leaf[key].shape,
-                                   bits=4 if is4 else 8, d_model=D):
-        return None
-    y = quant_norm_qkv_stacked(
-        hidden.reshape(rows, D), ln1_w, qkv_leaf[key], qkv_leaf["scale"],
-        qkv_leaf["_layer"], bits=4 if is4 else 8, d_model=D, eps=eps)
-    n_orig = qkv_leaf["orig_shape"].n if "orig_shape" in qkv_leaf \
-        else y.shape[-1]
-    return y[:, :n_orig].reshape(hidden.shape[:-1] + (n_orig,))
 
 
 def tree_nbytes(tree) -> int:

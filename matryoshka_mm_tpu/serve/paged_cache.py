@@ -40,7 +40,6 @@ from ..models.llama import (
     rope_cos_sin,
 )
 from ..ops.attention import attention_reference
-from ..ops.quant import fused_quant_layer_tail, fused_quant_norm_qkv
 
 
 class PagedKVCache(NamedTuple):
@@ -202,10 +201,9 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     # the window silently attend to expired tokens and diverge from the
     # dense backend / HF reference).
     use_kernel = use_kernel and not cfg.sliding_window
-    # S>1 (speculative verify) routes through the S-block variant of the
-    # paged kernel when the caller enabled kernels; S==1 keeps the
-    # single-token kernel
-    use_verify_kernel = use_kernel and S > 1 and cfg.arch != "mpt"
+    # S>1 (speculative verify) always uses the gather path: the S-block
+    # paged-kernel variant was measured slower on hardware (round 4,
+    # docs/Architecture.md negative results) and deleted
     use_kernel = use_kernel and S == 1
 
     hidden = embed_tokens(params, tokens)                 # (B, S, D)
@@ -313,24 +311,16 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
         if cfg.arch == "mpt":
             return mpt_body(carry, (idx, lp, la_xs))
         a = lp["self_attn"]
-        # norm+qkv single-kernel decode path (ops/fused_mlp.py); side-band
-        # multi-LoRA (lora_pack) must keep the unfused mm() so the deltas
-        # apply — the leaf-level guards can't see la_xs
-        qkv = None if lora_pack is not None else fused_quant_norm_qkv(
-            h, lp["input_layernorm"], a.get("qkv_proj"), cfg.rms_norm_eps)
-        if qkv is not None:
-            q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
+        x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+        if "qkv_proj" in a:
+            # fused int4 layout (ops/quant.py): one kernel for q+k+v
+            qkv = mm(x, a["qkv_proj"], la_xs, None)
+            q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh],
+                                axis=-1)
         else:
-            x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-            if "qkv_proj" in a:
-                # fused int4 layout (ops/quant.py): one kernel for q+k+v
-                qkv = mm(x, a["qkv_proj"], la_xs, None)
-                q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh],
-                                    axis=-1)
-            else:
-                q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
-                k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
-                v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
+            q = mm(x, a["q_proj"], la_xs, ("self_attn", "q_proj"))
+            k = mm(x, a["k_proj"], la_xs, ("self_attn", "k_proj"))
+            v = mm(x, a["v_proj"], la_xs, ("self_attn", "v_proj"))
         q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
         k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
         v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
@@ -356,14 +346,6 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 q[:, :, 0, :], k_all, v_all, idx, tables, eff_len,
                 k_scale=ks_all, v_scale=vs_all)
             attn = attn.reshape(B, 1, H * Dh)
-        elif use_verify_kernel:
-            from ..ops.paged_attention import paged_verify_attention_stacked
-
-            eff_len = jnp.where(active, row_len, 0)
-            attn = paged_verify_attention_stacked(
-                q, k_all, v_all, idx, tables, eff_len,
-                k_scale=ks_all, v_scale=vs_all)      # (B, H, S, Dh)
-            attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         else:
             # gather each row's pages -> (B, S_virt, n_kv, Dh)
             k_rows = gather_rows(k_all, ks_all, idx, Hkv)
@@ -376,24 +358,25 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
                 sliding_window=cfg.sliding_window or None)
             attn = attn.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
         m = lp["mlp"]
-        # one-kernel layer tail (o_proj + residual + norm + MLP +
-        # residual); same multi-LoRA exclusion as the qkv fusion above
-        tail = None if lora_pack is not None else fused_quant_layer_tail(
-            h, attn, a.get("o_proj"), lp["post_attention_layernorm"], m,
-            cfg.rms_norm_eps)
-        if tail is not None:
-            return (tail, k_all, v_all, ks_all, vs_all), None
         h = h + mm(attn, a["o_proj"], la_xs, ("self_attn", "o_proj"))
 
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-        if "gateup_proj" in m:
-            gate, up = jnp.split(mm(x, m["gateup_proj"], la_xs, None),
-                                 2, axis=-1)
-        else:
-            gate = mm(x, m["gate_proj"], la_xs, ("mlp", "gate_proj"))
-            up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
-        h = h + mm(jax.nn.silu(gate) * up, m["down_proj"],
-                   la_xs, ("mlp", "down_proj"))
+        # whole-MLP single-kernel decode path (ops/fused_mlp.py) — the
+        # same default the dense decode uses; side-band multi-LoRA keeps
+        # the unfused mm() so the per-row deltas apply
+        from ..ops.quant import fused_quant_mlp
+
+        mlp_out = None if lora_pack is not None else fused_quant_mlp(x, m)
+        if mlp_out is None:
+            if "gateup_proj" in m:
+                gate, up = jnp.split(mm(x, m["gateup_proj"], la_xs, None),
+                                     2, axis=-1)
+            else:
+                gate = mm(x, m["gate_proj"], la_xs, ("mlp", "gate_proj"))
+                up = mm(x, m["up_proj"], la_xs, ("mlp", "up_proj"))
+            mlp_out = mm(jax.nn.silu(gate) * up, m["down_proj"],
+                         la_xs, ("mlp", "down_proj"))
+        h = h + mlp_out
         return (h, k_all, v_all, ks_all, vs_all), None
 
     # int4-packed layers scan over layer indices so the stacked packed

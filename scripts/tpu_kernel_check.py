@@ -157,94 +157,6 @@ def check_flash_int8():
     del _quantize_kv_slots
 
 
-def check_verify_kernel():
-    """S-block verify kernel vs gather: greedy tokens must agree.  Once
-    this passes ON HARDWARE, M3_SPEC_KERNEL=1 can become the default."""
-    import dataclasses
-    import os
-
-    from matryoshka_mm_tpu.generate import GenerationConfig
-    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
-    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
-    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
-
-    cfg = LlavaConfig.tiny_debug()
-    cfg = dataclasses.replace(
-        cfg, llama=dataclasses.replace(cfg.llama, hidden_size=256,
-                                       num_attention_heads=2,
-                                       num_key_value_heads=2,
-                                       intermediate_size=448))
-    params = init_llava_params(jax.random.PRNGKey(0), cfg)
-    rng = np.random.default_rng(0)
-    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9]], np.int32)
-    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
-    gen_cfg = GenerationConfig(max_new_tokens=12, decode_chunk=2,
-                               eos_token_id=-1)
-    outs = {}
-    for name, env in (("gather", "0"), ("kernel", "1")):
-        os.environ["M3_SPEC_KERNEL"] = env
-        b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
-                              max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
-                              backend="paged", page_size=8,
-                              speculative_k=4, use_kernel=True)
-        try:
-            r = b.submit(ids, px, numtoks=4, max_new_tokens=12)
-            outs[name] = np.concatenate(list(b.stream(r)))
-        finally:
-            b.shutdown()
-    os.environ.pop("M3_SPEC_KERNEL", None)
-    same = (outs["gather"] == outs["kernel"]).all()
-    print(f"spec verify kernel vs gather: match={same}")
-    assert same
-
-
-def check_tail_fusion():
-    """Phase-fused layer kernels (ops/fused_mlp.py quant_layer_tail /
-    quant_norm_qkv) vs the per-projection path: greedy decode tokens must
-    agree exactly under both M3_TAIL_KERNEL settings, for int4 and int8.
-    Validates Mosaic compilation of the multi-phase grids on hardware."""
-    import dataclasses
-    import os
-
-    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
-    from matryoshka_mm_tpu.generate import GenerationConfig, generate
-    from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
-    from matryoshka_mm_tpu.ops.quant import (quantize_llama_params_inplace,
-                                             quantize_llama_params_int4)
-
-    base_cfg = LlavaConfig.tiny_debug()
-    # fused-kernel-aligned geometry: D % 128, I % 128, H*Dh == D
-    base_cfg = dataclasses.replace(
-        base_cfg, llama=dataclasses.replace(
-            base_cfg.llama, hidden_size=256, num_attention_heads=2,
-            num_key_value_heads=2, intermediate_size=512))
-    rng = np.random.default_rng(3)
-    ids = np.array([[5, 17, IMAGE_TOKEN_INDEX, 42, 9, 23]], np.int32)
-    px = rng.standard_normal((1, 3, 56, 56)).astype(np.float32)
-    gen_cfg = GenerationConfig(max_new_tokens=16, decode_chunk=4,
-                               eos_token_id=-1)
-    for bits in (4, 8):
-        params = init_llava_params(jax.random.PRNGKey(0), base_cfg)
-        if bits == 4:
-            params["llama"] = quantize_llama_params_int4(params["llama"],
-                                                         inplace=True)
-        else:
-            params["llama"] = quantize_llama_params_inplace(params["llama"])
-        outs = {}
-        for env in ("0", "1"):
-            os.environ["M3_TAIL_KERNEL"] = env
-            jax.clear_caches()   # the env gate is baked at trace time
-            outs[env] = generate(params, base_cfg, ids, px,
-                                 matryoshka_vis_token_scale="ver=v0_numtoks=4",
-                                 gen_cfg=gen_cfg)
-        os.environ.pop("M3_TAIL_KERNEL", None)
-        same = (outs["0"] == outs["1"]).all()
-        print(f"tail fusion int{bits}: unfused={outs['0'][0][:6]}... "
-              f"match={same}")
-        assert same
-    jax.clear_caches()
-
-
 if __name__ == "__main__":
     dev = jax.devices()[0]
     print("device:", dev, dev.platform)
@@ -254,6 +166,4 @@ if __name__ == "__main__":
     check_paged_int8()
     check_spec_verify()
     check_flash_int8()
-    check_verify_kernel()
-    check_tail_fusion()
     print("ALL TPU KERNEL CHECKS PASSED")

@@ -151,51 +151,3 @@ def test_paged_attention_stacked_int8_kv():
         np.testing.assert_allclose(got, want, atol=2e-5)
 
 
-def test_paged_verify_attention_block():
-    """S-block verify kernel: intra-block causality over pages matches a
-    per-query masked reference (incl. GQA and int8 KV)."""
-    from matryoshka_mm_tpu.ops.paged_attention import (
-        paged_verify_attention_stacked)
-
-    rng = np.random.default_rng(9)
-    S, Hkv, L = 4, 2, 2
-    q = rng.standard_normal((B, H, S, Dh)).astype(np.float32) * 0.3
-    k_all = rng.standard_normal((L, NPAGES, PAGE, Hkv, Dh)).astype(np.float32)
-    v_all = rng.standard_normal((L, NPAGES, PAGE, Hkv, Dh)).astype(np.float32)
-    tables = np.arange(B * P).reshape(B, P).astype(np.int32)
-    row_len = np.asarray([21, 44], np.int32)   # block spans page boundary
-
-    for int8 in (False, True):
-        if int8:
-            kq, ks = _quant(k_all)
-            vq, vs = _quant(v_all)
-            args = (jnp.asarray(kq), jnp.asarray(vq))
-            kw = dict(k_scale=jnp.asarray(ks), v_scale=jnp.asarray(vs))
-            kd = kq.astype(np.float32) * ks[..., None]
-            vd = vq.astype(np.float32) * vs[..., None]
-        else:
-            args = (jnp.asarray(k_all), jnp.asarray(v_all))
-            kw = {}
-            kd, vd = k_all, v_all
-        for l in range(L):
-            got = np.asarray(paged_verify_attention_stacked(
-                jnp.asarray(q), *args, jnp.asarray(l, jnp.int32),
-                jnp.asarray(tables), jnp.asarray(row_len), **kw))
-            # reference: per-query position mask over gathered pages
-            for b in range(B):
-                k_rows = kd[l][tables[b]].reshape(P * PAGE, Hkv, Dh)
-                v_rows = vd[l][tables[b]].reshape(P * PAGE, Hkv, Dh)
-                for s in range(S):
-                    n = row_len[b] + s + 1
-                    want = attention_reference(
-                        jnp.asarray(q[b:b + 1, :, s:s + 1, :]),
-                        jnp.asarray(np.repeat(k_rows, H // Hkv, 1)[None]
-                                    .transpose(0, 2, 1, 3)),
-                        jnp.asarray(np.repeat(v_rows, H // Hkv, 1)[None]
-                                    .transpose(0, 2, 1, 3)),
-                        causal=False,
-                        kv_valid=jnp.asarray(
-                            (np.arange(P * PAGE) < n)[None]))
-                    np.testing.assert_allclose(
-                        got[b, :, s], np.asarray(want[0, :, 0]),
-                        atol=5e-3, err_msg=f"int8={int8} l={l} b={b} s={s}")

@@ -147,31 +147,6 @@ def test_spec_with_anyres_request(model):
     np.testing.assert_array_equal(run(4), run(0))
 
 
-def test_spec_verify_kernel_path(monkeypatch):
-    """The S-block verify kernel path (M3_SPEC_KERNEL=1, interpret mode on
-    CPU) emits exactly what the gather path emits.  Needs head_dim=128 —
-    the batcher's kernel gate requires lane-aligned heads, so the default
-    tiny config (Dh=16) silently falls back to gather."""
-    import dataclasses
-
-    cfg = LlavaConfig.tiny_debug()
-    cfg = dataclasses.replace(
-        cfg, llama=dataclasses.replace(cfg.llama, hidden_size=256,
-                                       num_attention_heads=2,
-                                       num_key_value_heads=2,
-                                       intermediate_size=448))
-    params = init_llava_params(jax.random.PRNGKey(0), cfg)
-    assert cfg.llama.head_dim == 128
-    reqs = _requests(n=2)
-    monkeypatch.setenv("M3_SPEC_KERNEL", "1")
-    got, stats = _run(params, cfg, reqs, spec_k=4, use_kernel=True)
-    monkeypatch.delenv("M3_SPEC_KERNEL")
-    want, _ = _run(params, cfg, reqs, spec_k=4)
-    for w, g in zip(want, got):
-        np.testing.assert_array_equal(g, w)
-    assert stats["tokens_emitted"] > stats["verify_steps"]
-
-
 def test_spec_with_gqa_decoder():
     """Speculation over a GQA decoder (Hkv < H, mistral-style grouping in
     the (B, S) verify core) matches vanilla."""
