@@ -60,6 +60,16 @@ class LlavaModel:
             max_new_tokens=max_new_tokens, temperature=temperature,
             top_p=top_p, do_sample=do_sample, eos_token_id=eos_token_id,
             pad_token_id=pad_token_id)
+        if getattr(self, "tp_engine", None) is not None \
+                and num_beams == 1 and not speculative:
+            # kernel-preserving tensor-parallel path (parallel/tp_decode):
+            # the engine raises with routing advice on the modes it does
+            # not cover (v2 combine, anyres, multi-image)
+            return self.tp_engine.generate(
+                input_ids, images, image_sizes=image_sizes,
+                attention_mask=attention_mask,
+                matryoshka_vis_token_scale=scale, gen_cfg=gen_cfg,
+                stopping_criteria=stopping_criteria)
         if num_beams != 1:
             # reference surface: HF generate(num_beams=N) behind the eval
             # scripts' --num-beams flag (beam search is deterministic;
@@ -270,10 +280,11 @@ def load_pretrained_model(
 
     import jax
 
-    if tp_size > 1 and quant_fuse and (load_8bit or load_4bit):
-        raise ValueError("tp_size>1 with quantized weights requires "
-                         "quant_fuse=False (fused Pallas decode kernels "
-                         "are not GSPMD-partitionable)")
+    if tp_size > 1 and (load_8bit or load_4bit):
+        # The TP engine shards the UNFUSED quantized layout exactly and
+        # re-fuses each device's local shard (parallel/tp_decode.py), so
+        # quantized TP keeps the fused Pallas decode kernels.
+        quant_fuse = False
 
     model_name = model_name or os.path.basename(model_path.rstrip("/"))
     image_processor = ClipImageProcessor()
@@ -287,11 +298,17 @@ def load_pretrained_model(
 
     def _model(params, cfg):
         cfg = _with_kv(cfg)
+        model = LlavaModel(params, cfg)
         if tp_size > 1:
-            from ..parallel.inference import shard_model_for_inference
+            # kernel-preserving TP (parallel/tp_decode.py): every device
+            # runs the single-chip code path — fused quantized matmuls and
+            # flash-decode attention included — on its local megatron
+            # shard.  The GSPMD placement (parallel/inference.py) remains
+            # available for the modes the engine rejects.
+            from ..parallel.tp_decode import TPEngine
 
-            params, cfg, _ = shard_model_for_inference(params, cfg, tp_size)
-        return LlavaModel(params, cfg)
+            model.tp_engine = TPEngine(params, cfg, tp_size)
+        return model
 
     # ---- debug configs (no weights on disk) ----
     if model_path.startswith("debug://"):

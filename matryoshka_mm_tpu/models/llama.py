@@ -31,9 +31,7 @@ import jax.numpy as jnp
 
 from ..ops.attention import attention
 from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
-                         fused_quant_layer_tail, fused_quant_mlp,
-                         fused_quant_norm_qkv, index_layer_tree,
-                         tree_has_int4)
+                         fused_quant_mlp, index_layer_tree, tree_has_int4)
 
 
 def _flash_decode_ok(impl: str, head_dim: int, batch: int,
@@ -115,10 +113,19 @@ class LlamaConfig:
     # — halves attention reads and doubles cache capacity; "" follows
     # `dtype`.  Opt-in (load_pretrained_model(kv_cache_dtype="int8")).
     kv_cache_dtype: str = ""
+    # Tensor-parallel execution under shard_map (parallel/tp_decode.py):
+    # the per-device local config scales num_attention_heads /
+    # num_key_value_heads by 1/tp, pins head_dim via ``head_dim_override``
+    # (the hidden_size//heads derivation breaks on local head counts) and
+    # names the mesh axis here so the layer body psums the K-sharded
+    # o_proj/down_proj partial products.  "" = single-device (no-op).
+    tp_axis: str = ""
+    head_dim_override: int = 0
 
     @property
     def head_dim(self) -> int:
-        return self.hidden_size // self.num_attention_heads
+        return self.head_dim_override or \
+            self.hidden_size // self.num_attention_heads
 
     @classmethod
     def vicuna_7b(cls, **kw):
@@ -358,24 +365,16 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     a = layer_params["self_attn"]
     window = cfg.sliding_window or None
 
-    # norm+qkv single-kernel decode path (folds the input RMSNorm into
-    # the qkv weight stream); None outside the fused inference layout
-    qkv = fused_quant_norm_qkv(hidden, layer_params["input_layernorm"],
-                               a.get("qkv_proj"), cfg.rms_norm_eps)
-    if qkv is not None:
+    x = rms_norm(hidden, layer_params["input_layernorm"], cfg.rms_norm_eps)
+    if "qkv_proj" in a:
+        # int4 fused layout (ops/quant.py _fuse_layer_projections):
+        # one kernel launch for q+k+v instead of three
+        qkv = proj(x, a["qkv_proj"])
         q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
     else:
-        x = rms_norm(hidden, layer_params["input_layernorm"],
-                     cfg.rms_norm_eps)
-        if "qkv_proj" in a:
-            # int4 fused layout (ops/quant.py _fuse_layer_projections):
-            # one kernel launch for q+k+v instead of three
-            qkv = proj(x, a["qkv_proj"])
-            q, k, v = jnp.split(qkv, [H * Dh, H * Dh + Hkv * Dh], axis=-1)
-        else:
-            q = proj(x, a["q_proj"])
-            k = proj(x, a["k_proj"])
-            v = proj(x, a["v_proj"])
+        q = proj(x, a["q_proj"])
+        k = proj(x, a["k_proj"])
+        v = proj(x, a["v_proj"])
     q = q.reshape(B, S, H, Dh).transpose(0, 2, 1, 3)
     k = k.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
@@ -457,13 +456,14 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
 
     attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
     m = layer_params["mlp"]
-    tail = fused_quant_layer_tail(
-        hidden, attn_out, a.get("o_proj"),
-        layer_params["post_attention_layernorm"], m, cfg.rms_norm_eps)
-    if tail is not None:
-        # one-kernel layer tail (o_proj + residual + norm + MLP + residual)
-        return tail, (cache_k, cache_v, cache_ks, cache_vs)
-    hidden = hidden + proj(attn_out, a["o_proj"])
+    # Tensor-parallel (cfg.tp_axis under shard_map): o_proj/down_proj
+    # contract over the sharded head/ffn dim, so their outputs are partial
+    # sums — psum before the residual add.  The whole-MLP fusion composes
+    # fine (its partial output psums before the residual).
+    o_out = proj(attn_out, a["o_proj"])
+    if cfg.tp_axis:
+        o_out = jax.lax.psum(o_out, cfg.tp_axis)
+    hidden = hidden + o_out
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
     mlp_out = fused_quant_mlp(x, m)   # whole-MLP single-kernel decode path
@@ -475,6 +475,8 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             gate = proj(x, m["gate_proj"])
             up = proj(x, m["up_proj"])
         mlp_out = proj(jax.nn.silu(gate) * up, m["down_proj"])
+    if cfg.tp_axis:
+        mlp_out = jax.lax.psum(mlp_out, cfg.tp_axis)
     hidden = hidden + mlp_out
     return hidden, (cache_k, cache_v, cache_ks, cache_vs)
 
