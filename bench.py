@@ -329,6 +329,98 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
         batcher.shutdown()
 
 
+def _serving_sustained_bench(params, cfg, roof_tok_s=None):
+    """Sustained-load serving: 64 requests, Poisson arrivals, 256 new
+    tokens each — measures steady-state continuous batching (occupancy,
+    aggregate tok/s, and the fraction of the raw batched decode roof),
+    not the ramp/drain transients the burst bench (18 x 64) is dominated
+    by.  The arrival rate is set ~20% above the roof-implied service
+    rate so the pool saturates and stays saturated."""
+    import dataclasses
+
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+    from matryoshka_mm_tpu.generate import GenerationConfig
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    cfg = dataclasses.replace(
+        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
+    n_requests, max_new = 64, 256
+    # arrival rate: saturate the measured b8 roof (fallback 600 tok/s)
+    lam = 1.2 * (roof_tok_s or 600.0) / max_new
+    batcher = ContinuousBatcher(
+        params, cfg, max_batch=8, prefill_len=256, max_new_tokens=max_new,
+        chunk=16, backend="paged", prefix_cache=True,
+        gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=16,
+                                 eos_token_id=-1))
+    try:
+        batcher.warmup(with_image=True, numtoks=144)
+        batcher.occupancy = {"rounds": 0, "active_rows": 0}
+
+        rng = np.random.default_rng(0)
+        arrivals = np.cumsum(rng.exponential(1.0 / lam, n_requests))
+        reqs = []
+        for i in range(n_requests):
+            ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
+            ids[0, 3] = IMAGE_TOKEN_INDEX
+            px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
+            reqs.append((ids, px))
+
+        results = [None] * n_requests
+
+        def worker(i, t_submit):
+            t0 = time.perf_counter()
+            req = batcher.submit(reqs[i][0], reqs[i][1], numtoks=144,
+                                 max_new_tokens=max_new)
+            ttft, n_tok = None, 0
+            for chunk in batcher.stream(req):
+                if ttft is None:
+                    ttft = time.perf_counter() - t0
+                n_tok += int(np.asarray(chunk).size)
+            results[i] = {"ttft_s": ttft, "n_tok": n_tok,
+                          "latency_s": time.perf_counter() - t0}
+
+        threads = []
+        t0 = time.perf_counter()
+        for i in range(n_requests):
+            dt = arrivals[i] - (time.perf_counter() - t0)
+            if dt > 0:
+                time.sleep(dt)
+            th = threading.Thread(target=worker, args=(i, arrivals[i]))
+            th.start()
+            threads.append(th)
+            _BEAT[0] = time.time()
+        for th in threads:
+            th.join()
+            _BEAT[0] = time.time()
+        wall = time.perf_counter() - t0
+        ok = [r for r in results if r is not None]
+        total_tok = sum(r["n_tok"] for r in ok)
+        occ = batcher.occupancy
+        occupancy = (occ["active_rows"] / (occ["rounds"] * batcher.max_batch)
+                     if occ["rounds"] else 0.0)
+        ttfts = sorted(r["ttft_s"] for r in ok)
+        agg = total_tok / wall
+        out = {
+            "requests": n_requests, "max_new_tokens": max_new,
+            "arrival_rate_req_s": round(lam, 2),
+            "wall_s": round(wall, 1), "ok": len(ok),
+            "throughput_tok_s": round(agg, 1),
+            "occupancy": round(occupancy, 3),
+            "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 2),
+            "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 2),
+            "note": "Poisson arrivals at 1.2x the roof-implied service "
+                    "rate; paged int8-KV pool + prefix cache + int8 "
+                    "fused decode; occupancy = mean active rows / "
+                    "max_batch over decode rounds",
+        }
+        if roof_tok_s:
+            out["roof_tok_s_b8"] = roof_tok_s
+            out["fraction_of_roof"] = round(agg / roof_tok_s, 3)
+        return out
+    finally:
+        batcher.shutdown()
+
+
 def _cpu_reference_tok_s(cfg, n_steps: int = 2):
     """Measured CPU-host reference: the IDENTICAL jitted decode graph
     (embed -> stacked-layer scan -> lm_head, _decode_chunk_fn) run on the
@@ -532,31 +624,6 @@ def main():
     _batched_decode("int8_kv8_decode_tok_s_b8", 8, k8 + " + int8 KV",
                     bcfg=cfg_kv8)
 
-    # Env-gated decode-kernel candidates (round 3, opt-in pending hardware
-    # validation): timed here under the same protocol so the round
-    # artifact carries the speed half of the flip-the-default decision
-    # even when no interactive tunnel window exists.  The exactness half
-    # is scripts/tpu_kernel_check.py + scripts/ab_gated_kernels.py.  The
-    # gates are read at TRACE time and _decode_chunk_fn is lru_cached, so
-    # each combo must drop the decode cache (prefill graphs are
-    # gate-independent: both gates need rows <= 32, ops/fused_mlp.py).
-    def _gated_decode(tag, B, kernel, env, bcfg=None):
-        from matryoshka_mm_tpu.generate import _decode_chunk_fn as _dcf
-        try:
-            os.environ.update(env)
-            _dcf.cache_clear()
-            _batched_decode(tag, B, kernel, bcfg=bcfg)
-        except Exception as e:  # noqa: BLE001
-            results[tag] = {"error": str(e)[:200]}
-        finally:
-            for k in env:
-                os.environ.pop(k, None)
-            _dcf.cache_clear()
-
-    tail = {"M3_TAIL_KERNEL": "1"}
-    _gated_decode("int8_tail_decode_tok_s_b1", 1,
-                  k8 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
-
     # --------------------------------------------------------------
     # 3a) serving: continuous batching under concurrency, int8 weights
     # --------------------------------------------------------------
@@ -569,6 +636,14 @@ def main():
                                                         speculative_k=4)
     except Exception as e:  # noqa: BLE001
         results["serving_speculative"] = {"error": str(e)[:200]}
+    try:
+        # steady-state serving: occupancy + fraction-of-roof vs the raw
+        # batched decode measurement above (same int8+kv8 config)
+        _STALL_S[0] = max(_STALL_S[0], 1800.0)
+        results["serving_sustained"] = _serving_sustained_bench(
+            params, cfg, roof_tok_s=results.get("int8_kv8_decode_tok_s_b8"))
+    except Exception as e:  # noqa: BLE001
+        results["serving_sustained"] = {"error": str(e)[:200]}
     del params
 
     # --------------------------------------------------------------
@@ -589,18 +664,6 @@ def main():
                    (8, "int4_kv8_decode_tok_s_b8")):
         _batched_decode(tag, B, k4 + " + int8 KV", bcfg=cfg_kv8)
 
-    # gated candidates on the int4 flagship config (see the int8 block
-    # above for the caching/trace-time mechanics)
-    w4a8 = {"M3_W4A8": "1"}
-    _gated_decode("int4_tail_decode_tok_s_b1", 1,
-                  k4 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
-    _gated_decode("int4_w4a8_decode_tok_s_b1", 1,
-                  k4 + " + int8 activations on s8xs8 MXU dots (M3_W4A8, "
-                       "approximate)", w4a8)
-    _gated_decode("int4_tail_w4a8_decode_tok_s_b1", 1,
-                  k4 + " + M3_TAIL_KERNEL + M3_W4A8", {**tail, **w4a8})
-    _gated_decode("int4_tail_decode_tok_s_b8", 8,
-                  k4 + " + fused layer-tail/norm+qkv (M3_TAIL_KERNEL)", tail)
     del params
 
     results["scales"] = scale_metrics

@@ -295,6 +295,10 @@ class ContinuousBatcher:
         # admissions by path: solo b=1 prefills vs rows sharing a batched
         # group prefill (plus prefix-cache hits in self.stats when enabled)
         self.admit_stats = {"solo": 0, "grouped": 0}
+        # batch-occupancy accounting, updated once per decode round by the
+        # scheduler: mean(active_rows/max_batch) over rounds is the
+        # sustained-load utilization the serving bench reports
+        self.occupancy = {"rounds": 0, "active_rows": 0}
         self.error: Optional[BaseException] = None
         self._rid = 0
         self._lock = threading.Lock()
@@ -1009,19 +1013,17 @@ class ContinuousBatcher:
 
     def _loop_inner(self):
         if self.spec_k > 0:
-            import os
-
             from .paged_cache import _paged_spec_verify_fn
 
-            # the S-block verify kernel is implemented and interpret-
-            # tested but not yet validated against Mosaic on hardware
-            # (scripts/tpu_kernel_check.py covers it); opt in with
-            # M3_SPEC_KERNEL=1 — the gather fallback is the safe default
-            spec_kernel = (self.use_kernel
-                           and os.environ.get("M3_SPEC_KERNEL") == "1")
+            # the verify step always takes the gather path: an S-block
+            # paged kernel variant was hardware-validated in round 4 but
+            # measured SLOWER than the gather (34.7 vs 28.4 ms/verify at
+            # 7B B=8 k=4 — the flat layout's Hkv-fold MXU over-compute
+            # crosses over once S*Hkv >> page_size) and was deleted; see
+            # docs/Architecture.md "negative results"
             decode = _paged_spec_verify_fn(
                 self.cfg, self.gen_cfg, self.spec_k, self.pages_per_row,
-                self.page_size, use_kernel=spec_kernel)
+                self.page_size, use_kernel=False)
         elif self.backend == "paged":
             from .paged_cache import _paged_pool_decode_fn
 
@@ -1136,6 +1138,9 @@ class ContinuousBatcher:
                      self.active, self.budget, sub)
             toks_np = np.asarray(toks)
             active_np = np.asarray(self.active)
+            self.occupancy["rounds"] += 1
+            self.occupancy["active_rows"] += sum(
+                1 for r in self.slots if r is not None)
             for slot, req in enumerate(self.slots):
                 if req is None:
                     continue

@@ -21,6 +21,8 @@ from functools import partial
 import numpy as np
 import requests
 
+from typing import Optional
+
 from ..constants import (
     DEFAULT_IM_END_TOKEN,
     DEFAULT_IM_START_TOKEN,
@@ -38,6 +40,38 @@ worker_id = str(uuid.uuid4())[:6]
 logger = build_logger("model_worker", f"model_worker_{worker_id}.log")
 global_counter = 0
 model_semaphore = None
+
+
+def resolve_auto_kv_dtype(cfg, weights_bytes: int, max_batch: int,
+                          capacity: int, hbm_bytes: Optional[int] = None,
+                          workspace_bytes: int = 2 << 30) -> str:
+    """Pick the KV-cache dtype from pool pressure (``--kv-cache-dtype
+    auto``).
+
+    int8 KV doubles the pages a byte budget holds but costs measured
+    decode throughput (round 3 on one v5e, 7B: int8 weights b8
+    673.6 -> 562.5 tok/s with int8 KV, ~17%; int4 b1 155.9 -> 150.3) —
+    so it should be ON only when the bf16 pool would not fit next to the
+    weights.  Returns "int8" when the bf16 pool for (max_batch x
+    capacity) slots exceeds the HBM left after weights + compile/actbuf
+    workspace, else "" (bf16 KV).
+
+    ``hbm_bytes`` defaults to the device's reported limit (16GB v5e
+    fallback when the platform reports none).
+    """
+    if hbm_bytes is None:
+        try:
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            hbm_bytes = int(stats.get("bytes_limit", 0)) or (16 << 30)
+        except Exception:   # platform without memory_stats (e.g. tunnel)
+            hbm_bytes = 16 << 30
+    l = cfg.llama
+    pool_bf16 = (2 * l.num_hidden_layers * max_batch * capacity
+                 * l.num_key_value_heads * l.head_dim * 2)
+    budget = hbm_bytes - weights_bytes - workspace_bytes
+    return "int8" if pool_bf16 > budget else ""
 
 
 def heart_beat_worker(worker):
@@ -73,14 +107,38 @@ class ModelWorker:
 
         self.device = device
         logger.info(f"Loading the model {self.model_name} on worker {worker_id} ...")
+        auto_kv = kv_cache_dtype == "auto"
         (self.tokenizer, self.model, self.image_processor,
          self.context_len) = load_pretrained_model(
             model_path, model_base, self.model_name, load_8bit, load_4bit,
             device=device, use_flash_attn=use_flash_attn,
-            kv_cache_dtype=kv_cache_dtype, tp_size=tp_size,
+            kv_cache_dtype="" if auto_kv else kv_cache_dtype,
+            tp_size=tp_size,
             # multi-LoRA targets per-projection leaves: keep the
             # unfused quantized layout when adapters are configured
             quant_fuse=not lora_adapters)
+        if auto_kv:
+            # pool-pressure policy (resolve_auto_kv_dtype): int8 KV only
+            # when the bf16 pool won't fit next to the loaded weights —
+            # int8 halves pool bytes but costs ~17% b8 throughput
+            import dataclasses
+
+            from ..ops.quant import tree_nbytes
+
+            cap = ((pool_prefill_len or
+                    (min(self.model.cfg.tokenizer_model_max_length, 1024)
+                     + self.model.cfg.vision.num_patches)) + pool_max_new
+                   if continuous_batching else self.context_len + 1024)
+            rows = max_batch if continuous_batching else \
+                limit_model_concurrency
+            picked = resolve_auto_kv_dtype(
+                self.model.cfg, tree_nbytes(self.model.params), rows, cap)
+            logger.info(f"kv-cache-dtype auto -> {picked or 'bf16'} "
+                        f"(rows={rows}, capacity={cap})")
+            if picked:
+                self.model.cfg = dataclasses.replace(
+                    self.model.cfg, llama=dataclasses.replace(
+                        self.model.cfg.llama, kv_cache_dtype=picked))
         if tp_size > 1 and continuous_batching:
             raise ValueError(
                 "--tp-size serves through the solo generate path; the "
@@ -368,12 +426,24 @@ class ModelWorker:
                                   "error_code": e.code}).encode() + b"\0"
             return
 
-        for ids in stream_generate(
-                model.params, model.cfg, input_ids,
-                np.asarray(pixel_values, np.float32) if pixel_values is not None else None,
+        engine = getattr(model, "tp_engine", None)
+        px_np = (np.asarray(pixel_values, np.float32)
+                 if pixel_values is not None else None)
+        if engine is not None:
+            # tensor-parallel worker: stream through the shard_mapped
+            # decode (kernels intact); the engine raises with routing
+            # advice on modes it does not cover
+            stream = engine.stream_generate(
+                input_ids, px_np, image_sizes=image_sizes,
+                matryoshka_vis_token_scale=matryoshka_vis_token_scale,
+                gen_cfg=gen_cfg)
+        else:
+            stream = stream_generate(
+                model.params, model.cfg, input_ids, px_np,
                 image_sizes=image_sizes,
                 matryoshka_vis_token_scale=matryoshka_vis_token_scale,
-                gen_cfg=gen_cfg):
+                gen_cfg=gen_cfg)
+        for ids in stream:
             new_text = tokenizer.decode(
                 [int(t) for t in ids[0] if t != gen_cfg.pad_token_id],
                 skip_special_tokens=True)
@@ -514,10 +584,13 @@ def main():
                              "(GSPMD over a (1, tp) mesh) — the reference's "
                              "multi-GPU device_map=auto; solo generate path")
     parser.add_argument("--kv-cache-dtype", type=str, default="",
-                        choices=["", "int8"],
+                        choices=["", "int8", "auto"],
                         help="int8: KV slots stored int8 with per-slot "
                              "scales — half the KV HBM per token (2x pages "
-                             "per byte budget under --kv-backend paged)")
+                             "per byte budget under --kv-backend paged) at "
+                             "a measured ~17%% b8 throughput cost; auto: "
+                             "int8 only when the bf16 pool won't fit next "
+                             "to the weights (resolve_auto_kv_dtype)")
     args = parser.parse_args()
     logger.info(f"args: {args}")
 
