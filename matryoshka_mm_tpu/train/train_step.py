@@ -28,6 +28,7 @@ from typing import Dict, NamedTuple, Optional, Tuple
 import jax
 import jax.numpy as jnp
 
+from ..constants import IGNORE_INDEX
 from ..kvconfig import parse_kv_from_string, parse_list
 from ..ops.pooling import matryoshka_pool
 from ..ops.splice import splice_multimodal
@@ -78,45 +79,82 @@ def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
     gating_prob = router_forward(params, cfg, outs,
                                  text_embed=batch.text_embed)
 
-    # ---- pool + splice per scale, left-aligned into a shared buffer ----
+    # ---- scale -> buffer-length buckets ------------------------------
+    # Distillation objectives need every scale in ONE left-padded buffer
+    # (teacher/student logits align token-for-token at the right edge);
+    # the per-token-CE path has no cross-scale coupling, so each scale
+    # runs at (near-)native length instead.  A uniform K-scale buffer
+    # wastes real MXU work padding the small scales up to the 576-token
+    # capacity — ~16% of decoder FLOPs at T=2048 — which is exactly the
+    # round-3 train-MFU gap (VERDICT #6).  Scales whose capacities are
+    # within 5% share a forward (fewer kernels, same rounding), so the
+    # default [1, 9, 36, 144, 576] runs as three forwards:
+    # [1, 9, 36] @ cap(36), [144], [576].
+    if need_logits or out_len is not None:
+        buckets = [(buf_len, list(range(K)))]
+    else:
+        buckets, anchor = [], None
+        for i in sorted(range(K), key=lambda j: scales[j]):
+            cap = splice_capacity(cfg, T, scales[i])
+            if buckets and cap <= int(anchor * 1.05):
+                prev_cap, members = buckets[-1]
+                buckets[-1] = (max(prev_cap, cap), members + [i])
+            else:
+                buckets.append((cap, [i]))
+                anchor = cap
+
+    # ---- pool + splice per scale, left-aligned per bucket; one LLM
+    # forward per bucket ------------------------------------------------
     text = embed_tokens(params["llama"], batch.input_ids)
-    spliced_all = []
-    for n in scales:
-        pooled = matryoshka_pool(feats, n)
-        if cfg.preset.projector_loc == "after_pooling":
-            pooled = apply_projector(params["mm_projector"], cfg.mm_projector_type, pooled)
-        spliced_all.append(splice_multimodal(
-            batch.input_ids, text, pooled[:, None],
-            labels=batch.labels, attn_mask=batch.attn_mask,
-            out_len=buf_len, padding_side="left"))
-
-    embeds = jnp.concatenate([s.embeds for s in spliced_all], axis=0)       # (K*B, L, D)
-    pos = jnp.concatenate([s.position_ids for s in spliced_all], axis=0)
-    mask = jnp.concatenate([s.attn_mask for s in spliced_all], axis=0)
-    labels = jnp.stack([s.labels for s in spliced_all], axis=0)             # (K, B, L)
-
-    # ---- one LLM forward for all scales ----
-    hidden, _ = llama_forward(params["llama"], cfg.llama, embeds,
-                              position_ids=pos, attn_valid=mask)
-    hidden = hidden.reshape(K, B, buf_len, -1)
-
     lm_head_w = params["llama"].get("lm_head", params["llama"]["embed_tokens"])
-    ce_list, valid_list = [], []
-    for k in range(K):
-        ce_k, valid_k = L.chunked_token_cross_entropy(
-            hidden[k], lm_head_w, labels[k])
-        ce_list.append(ce_k)
-        valid_list.append(valid_k)
-    ce = jnp.stack(ce_list)          # (K, B, L-1)
-    valid = jnp.stack(valid_list)
+    labels_all = [None] * K
+    ce_all = [None] * K
+    valid_all = [None] * K
+    logits_all = [None] * K
+    for cap, members in buckets:
+        spliced = []
+        for i in members:
+            pooled = matryoshka_pool(feats, scales[i])
+            if cfg.preset.projector_loc == "after_pooling":
+                pooled = apply_projector(params["mm_projector"],
+                                         cfg.mm_projector_type, pooled)
+            spliced.append(splice_multimodal(
+                batch.input_ids, text, pooled[:, None],
+                labels=batch.labels, attn_mask=batch.attn_mask,
+                out_len=cap, padding_side="left"))
+        embeds = jnp.concatenate([s.embeds for s in spliced], axis=0)
+        pos = jnp.concatenate([s.position_ids for s in spliced], axis=0)
+        mask = jnp.concatenate([s.attn_mask for s in spliced], axis=0)
+
+        hidden, _ = llama_forward(params["llama"], cfg.llama, embeds,
+                                  position_ids=pos, attn_valid=mask)
+        hidden = hidden.reshape(len(members), B, cap, -1)
+
+        # left-pad every per-scale output back to the global buf_len so
+        # the stacked (K, B, L) shapes are bucket-independent; content is
+        # right-aligned (padding_side="left"), pads carry IGNORE/0/False
+        # so every downstream reduction is unchanged
+        lpad = buf_len - cap
+        for g, i in enumerate(members):
+            ce_i, valid_i = L.chunked_token_cross_entropy(
+                hidden[g], lm_head_w, spliced[g].labels)
+            labels_all[i] = jnp.pad(spliced[g].labels, ((0, 0), (lpad, 0)),
+                                    constant_values=IGNORE_INDEX)
+            ce_all[i] = jnp.pad(ce_i, ((0, 0), (lpad, 0)))
+            valid_all[i] = jnp.pad(valid_i, ((0, 0), (lpad, 0)))
+            if need_logits:
+                logits_all[i] = lm_head(params["llama"], hidden[g])
+
+    labels = jnp.stack(labels_all)   # (K, B, L)
+    ce = jnp.stack(ce_all)           # (K, B, L-1)
+    valid = jnp.stack(valid_all)
 
     losses_lm = jnp.stack([
         _unreduced_from_ce(ce[k], valid[k], cfg.preset.lm_loss_type)
         for k in range(K)
     ], axis=1)  # (B, K)
 
-    logits = (lm_head(params["llama"], hidden.reshape(K * B, buf_len, -1))
-              .reshape(K, B, buf_len, -1) if need_logits else None)
+    logits = jnp.stack(logits_all) if need_logits else None
     return logits, labels, gating_prob, losses_lm, ce, valid
 
 

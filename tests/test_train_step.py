@@ -35,6 +35,31 @@ def test_multiscale_forward_shapes():
     assert gp is None
 
 
+def test_bucketed_forward_matches_uniform_buffer():
+    """The CE path buckets scales into near-native buffer lengths (the
+    round-4 train-MFU fix); forcing the single uniform buffer via
+    ``out_len`` must give the same per-scale losses — the buffers differ
+    only in left-padding, which every reduction masks out."""
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    from matryoshka_mm_tpu.models.llava import splice_capacity
+
+    buf_len = splice_capacity(cfg, batch.input_ids.shape[1],
+                              max(cfg.tokscale_list))
+    _, lab_b, _, lm_b, ce_b, va_b = multiscale_forward(
+        params, cfg, batch, need_logits=False)
+    _, lab_u, _, lm_u, ce_u, va_u = multiscale_forward(
+        params, cfg, batch, need_logits=False, out_len=buf_len)
+    assert ce_b.shape == ce_u.shape and lab_b.shape == lab_u.shape
+    np.testing.assert_array_equal(np.asarray(lab_b), np.asarray(lab_u))
+    np.testing.assert_array_equal(np.asarray(va_b), np.asarray(va_u))
+    np.testing.assert_allclose(np.asarray(ce_b), np.asarray(ce_u),
+                               rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(lm_b), np.asarray(lm_u),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_m3_loss_plain_equals_mean_of_scales():
     """Without MoE, loss == mean over scales of per-scale LM loss
     (llava_llama.py:327-329 with K divisor)."""
