@@ -647,7 +647,7 @@ def main():
     del params
 
     # --------------------------------------------------------------
-    # 3b) int4 weights (split-half excess-8 packed): the fused Pallas
+    # 3b) int4 weights (split-half e8m packed): the fused Pallas
     # dequant-matmul (ops/int4_matmul.py) streams packed bytes straight
     # to the MXU — fastest single-stream decode AND smallest footprint
     # (3.6GB for the 7B LM frees HBM for bigger KV pools / batch)
@@ -656,7 +656,7 @@ def main():
 
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     params["llama"] = quantize_llama_params_int4(params["llama"], inplace=True)
-    k4 = "pallas_fused_int4 (split-half excess-8, ops/int4_matmul.py)"
+    k4 = "pallas_fused_int4 (split-half e8m, ops/int4_matmul.py)"
     for B, tag in ((1, "int4_decode_tok_s_b1"), (4, "int4_decode_tok_s_b4"),
                    (8, "int4_decode_tok_s_b8")):
         _batched_decode(tag, B, k4)

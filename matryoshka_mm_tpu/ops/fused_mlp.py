@@ -54,35 +54,37 @@ _DN = (((1,), (1,)), ((), ()))
 
 
 def _unpack4(p_block, interpret: bool):
-    """Packed int4 block -> (lo, hi) excess-8 nibble operands.
+    """Packed int4 block -> (lo_e8, hi16) operands (e8m layout).
 
-    TPU: two int32 mask/shift ops over four bytes per lane, nibbles fed to
-    the MXU as int8 ("mixed" feed, see ops/int4_matmul.py).  Interpreter:
-    portable f32 arithmetic unpack (bitcast reshaping is TPU-only)."""
+    TPU: TWO int32 AND ops over four bytes per lane, nibbles fed to the
+    MXU as int8 ("mixed" feed); the high nibble reads in place as
+    ``16 * w_hi`` — see ops/int4_matmul.py.  Interpreter: portable f32
+    arithmetic unpack (bitcast reshaping is TPU-only)."""
     if interpret:
         c = p_block.astype(jnp.float32)
         cu = jnp.where(c < 0, c + 256.0, c)
-        hi = jnp.floor(cu * (1.0 / 16.0))
-        return (cu - 16.0 * hi).astype(jnp.bfloat16), hi.astype(jnp.bfloat16)
+        hi_n = jnp.floor(cu * (1.0 / 16.0))
+        hi16 = 16.0 * jnp.where(hi_n >= 8.0, hi_n - 16.0, hi_n)
+        return (cu - 16.0 * hi_n).astype(jnp.bfloat16), hi16.astype(jnp.bfloat16)
     pi = pltpu.bitcast(p_block, jnp.int32)
     lo = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
-    hi = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
+    hi = pltpu.bitcast(pi & (-0x0F0F0F10), jnp.int8)     # 0xF0F0F0F0
     return lo, hi
 
 
 def _dot4(xl, xh, p_block, interpret: bool):
     """f32 block product of the split-half activations with a packed int4
-    block, excess-8 bias folded as the per-row correction (see
-    ``ops/int4_matmul.py excess8_part`` — hoisting the correction into
-    XLA-side ops measured ~1% slower end-to-end; the in-kernel reduction
-    hides under the weight DMA)."""
+    block: excess-8 bias of the low half folded as the per-row correction,
+    hi dot scaled by the exact 1/16 (see ``ops/int4_matmul.py
+    excess8_part`` — hoisting the correction into XLA-side ops measured
+    ~1% slower end-to-end; the in-kernel reduction hides under the weight
+    DMA)."""
     lo, hi = _unpack4(p_block, interpret)
     return (jax.lax.dot_general(xl, lo, _DN,
                                 preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(xh, hi, _DN,
-                                  preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(xl.astype(jnp.float32)
-                            + xh.astype(jnp.float32), axis=1,
+            + 0.0625 * jax.lax.dot_general(xh, hi, _DN,
+                                           preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(xl.astype(jnp.float32), axis=1,
                             keepdims=True))
 
 

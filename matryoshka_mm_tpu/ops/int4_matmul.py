@@ -21,16 +21,24 @@ kernel reads the activation block twice per byte block — once at column
 ``j*BK`` and once at ``K/2 + j*BK`` — via two BlockSpecs over the same
 array, so no nibble interleave/concat shuffle ever happens.
 
-Both nibbles are stored excess-8 (ops/quant.py), so the split is two
-int32 mask/shift ops over four bytes per lane plus an int8->bf16 convert
-(~1 VPU op/byte) — no sign-extension select.  The constant -8 bias is
-linear in the activations and is folded into a per-row correction
-(``-8 * rowsum(x)``) outside the matmul.  Rejected alternatives, measured
-on v5e: int8 vector shifts (Mosaic: unsupported), int32-widened shift
-unpack (156 GB/s), f32 floor/fma arithmetic unpack (371 GB/s); the
-bitcast form with the int8 nibbles fed straight to the MXU (_UNPACK =
-"mixed") reaches ~680 GB/s of packed bytes inside the decode scan
-(int8: ~720).
+Nibbles are stored in the mixed "e8m" convention (ops/quant.py): low
+nibble excess-8, high nibble two's-complement in place.  The split is
+then TWO int32 AND ops over four bytes per lane (~0.5 VPU ops/byte) —
+``word & 0x0F0F0F0F`` is the excess-8 low half (its constant -8 bias is
+linear in the activations and folds into a per-row ``-8 * rowsum(x_lo)``
+correction) and ``word & 0xF0F0F0F0`` bitcast to int8 is exactly
+``16 * w_hi``, whose 1/16 folds into one scalar multiply on the hi-dot
+result.  Rejected alternatives, measured on v5e: int8 vector shifts
+(Mosaic: unsupported), int32-widened shift unpack (156 GB/s), f32
+floor/fma arithmetic unpack (371 GB/s), both-nibbles-excess-8 with a
+third ``(word >> 4) & mask`` op.  Honest A/B of that last one: op-count
+arithmetic predicted the 3-op unpack sat at the VPU/DMA crossover, but
+on hardware the 2-op e8m form moved end-to-end b1 decode only ~+1.5
+tok/s (~157 -> ~158.5) and per-kernel times barely changed — the stream
+was
+already effectively DMA/overhead-bound, not VPU-bound.  e8m is kept
+because it is strictly fewer ops, bit-exact (validated on chip against
+dequantize+matmul), and never worse.
 
 Activations stay bf16 (W4A16): the result is bit-identical to
 ``dequantize_array`` + matmul up to f32 accumulation order (int4 values
@@ -130,22 +138,32 @@ def _pick_bn(n: int, bk: int, bm: int = 256) -> int:
 
 
 def _unpack_block(p_block, interpret: bool):
-    """Packed byte block -> (lo, hi) excess-8 nibble dot operands."""
+    """Packed byte block -> (lo_e8, hi16) dot operands.
+
+    e8m layout (ops/quant.py): ``lo_e8`` is the excess-8 low nibble;
+    ``hi16`` is the high nibble read IN PLACE as int8, which equals
+    exactly ``16 * w_hi`` because that nibble is stored two's-complement
+    in the byte's top bits.  The caller folds the 1/16 into one scalar
+    multiply on the hi-dot result."""
     if interpret:
         # Portable unpack for the CPU interpreter (pltpu.bitcast reshaping
         # is TPU-only there): arithmetic in f32 on the signed byte.
         c = p_block.astype(jnp.float32)
         cu = jnp.where(c < 0, c + 256.0, c)        # unsigned byte value
-        hi_e = jnp.floor(cu * (1.0 / 16.0))        # excess-8 high nibble
-        lo_e = cu - 16.0 * hi_e                    # excess-8 low nibble
-        return lo_e.astype(jnp.bfloat16), hi_e.astype(jnp.bfloat16)
-    # Nibble extraction as int32 mask/shift over FOUR bytes per lane
-    # (~0.75 VPU ops/byte): both nibbles are stored excess-8 so no
-    # sign-extension select is needed; the constant -8 bias is folded
-    # into a per-row correction computed OUTSIDE the kernel.
+        hi_n = jnp.floor(cu * (1.0 / 16.0))        # raw high nibble
+        lo_e = cu - 16.0 * hi_n                    # excess-8 low nibble
+        hi16 = 16.0 * jnp.where(hi_n >= 8.0, hi_n - 16.0, hi_n)
+        return lo_e.astype(jnp.bfloat16), hi16.astype(jnp.bfloat16)
+    # Nibble extraction as TWO int32 AND ops over four bytes per lane
+    # (~0.5 VPU ops/byte): no shift, no sign-extension select.  The
+    # constant -8 bias of the low half is folded into a per-row
+    # correction; the high half needs none (two's-complement is exact).
+    # The previous both-excess-8 layout cost a third op per word
+    # ((word >> 4) & mask); dropping it measured only ~+1.5 tok/s
+    # end-to-end (see module docstring) — kept as strictly cheaper.
     pi = pltpu.bitcast(p_block, jnp.int32)         # (BN, BK/4) words
     lo_b = pltpu.bitcast(pi & 0x0F0F0F0F, jnp.int8)
-    hi_b = pltpu.bitcast((pi >> 4) & 0x0F0F0F0F, jnp.int8)
+    hi_b = pltpu.bitcast(pi & (-0x0F0F0F10), jnp.int8)   # 0xF0F0F0F0
     if _UNPACK == "bf16":
         lo_b = lo_b.astype(jnp.bfloat16)
         hi_b = hi_b.astype(jnp.bfloat16)
@@ -153,11 +171,13 @@ def _unpack_block(p_block, interpret: bool):
 
 
 def excess8_part(x_lo, x_hi, p_block, interpret: bool):
-    """One grid step of the split-half excess-8 product, as a single f32
-    expression: the two nibble dots plus the per-row bias fold-out
-    (``-8 * sum_k(x_lo + x_hi)``, each half cast to f32 BEFORE adding so
-    no pair rounds back to bf16).  Kept in ONE expression — separate
-    ``acc +=`` statements cost extra scratch read-modify-writes per step.
+    """One grid step of the split-half e8m product, as a single f32
+    expression: the low-half excess-8 dot plus its per-row bias fold-out
+    (``-8 * sum_k(x_lo)``) plus the high-half dot scaled by 1/16 (the
+    stored operand is ``16 * w_hi``; 0.0625 is exact in f32, and scaling
+    the f32 dot RESULT keeps every product bit-identical to an unscaled
+    ``x_hi @ w_hi``).  Kept in ONE expression — separate ``acc +=``
+    statements cost extra scratch read-modify-writes per step.
 
     The bias term must join the f32 accumulator (not the bf16 output):
     the biased dot is ~8*sum(x) larger than the result, so a post-cast
@@ -169,10 +189,9 @@ def excess8_part(x_lo, x_hi, p_block, interpret: bool):
     dn = (((1,), (1,)), ((), ()))
     return (jax.lax.dot_general(x_lo, lo_b, dn,
                                 preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(x_hi, hi_b, dn,
-                                  preferred_element_type=jnp.float32)
-            - 8.0 * jnp.sum(x_lo.astype(jnp.float32)
-                            + x_hi.astype(jnp.float32), axis=1,
+            + 0.0625 * jax.lax.dot_general(x_hi, hi_b, dn,
+                                           preferred_element_type=jnp.float32)
+            - 8.0 * jnp.sum(x_lo.astype(jnp.float32), axis=1,
                             keepdims=True))
 
 

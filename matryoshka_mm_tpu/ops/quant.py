@@ -212,17 +212,26 @@ def _quantize_2d_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
     interleaved (2i, 2i+1) layout would need a stack+reshape shuffle that
     dominates decode time on the VPU.
 
-    Both nibbles are stored **excess-8** (value + 8, in [1, 15]): the
-    fused kernel (ops/int4_matmul.py) then extracts them with two int32
-    mask/shift ops over four bytes at a time and no sign-extension select,
-    folding the constant -8 bias into a per-row correction outside the
-    matmul."""
+    Mixed-convention nibbles ("e8m"): the LOW nibble is stored excess-8
+    (value + 8, in [1, 15]) and the HIGH nibble is stored two's-complement
+    in place.  The fused kernel (ops/int4_matmul.py) then extracts both
+    operands with just TWO int32 AND ops over four bytes at a time —
+    ``word & 0x0F0F0F0F`` is the excess-8 low half (constant -8 bias
+    folded into a per-row correction) and ``word & 0xF0F0F0F0`` bitcast
+    to int8 is *exactly* ``16 * w_hi`` (the two's-complement nibble sits
+    in the byte's top bits, so the int8 reading scales it by 16 with the
+    sign intact); the 1/16 folds into one scalar multiply on the hi-dot
+    result.  The earlier both-excess-8 layout needed a third VPU op
+    (``(word >> 4) & mask``) per word; the hardware A/B gain was small
+    (~+1.5 tok/s b1 end-to-end — the kernels were already DMA/overhead
+    bound, see ops/int4_matmul.py) but never negative, so the cheaper
+    form is the format."""
     scale = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=-1, keepdims=True) / 7.0
     scale = jnp.maximum(scale, 1e-8)
     q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -7, 7).astype(jnp.int8)
     half = q.shape[-1] // 2
     lo = (q[..., :half] + 8).astype(jnp.uint8)
-    hi = (q[..., half:] + 8).astype(jnp.uint8)
+    hi = q[..., half:].astype(jnp.uint8)        # two's-complement nibble
     packed = ((hi & 0xF) << 4) | (lo & 0xF)
     return {Q4KEY: packed.astype(jnp.int8), "scale": scale.astype(jnp.float32)}
 
@@ -252,17 +261,19 @@ def quantize_array_int4(w: jnp.ndarray) -> Dict[str, jnp.ndarray]:
 
 def _unpack_int4(packed: jnp.ndarray):
     """(.., out, in/2) packed bytes -> signed (lo, hi) int8 halves
-    (excess-8 storage: subtract the bias)."""
+    (e8m storage: low nibble excess-8, high nibble two's-complement)."""
     u = packed.astype(jnp.uint8)
     lo = (u & 0xF).astype(jnp.int8) - 8
-    hi = ((u >> 4) & 0xF).astype(jnp.int8) - 8
+    hi_n = ((u >> 4) & 0xF).astype(jnp.int8)
+    hi = jnp.where(hi_n >= 8, hi_n - 16, hi_n)
     return lo, hi
 
 
-# Byte whose two excess-8 nibbles both decode to weight 0 — used to pad
+# Byte whose two e8m nibbles both decode to weight 0 (low nibble
+# excess-8 zero = 8, high nibble two's-complement zero = 0) — used to pad
 # packed leaves up to kernel-friendly tile multiples with EXACT math (a
 # zero weight contributes nothing regardless of the activation value).
-PAD_BYTE = 0x88 - 256  # int8 bit pattern of 0x88
+PAD_BYTE = 0x08
 
 import dataclasses as _dataclasses
 

@@ -92,12 +92,20 @@ def _shard_quant_cols(leaf, tp):
     if QKEY in leaf:
         return {QKEY: _stack_cols(leaf[QKEY], tp),
                 "scale": _replicate(leaf["scale"], tp)}
+    # decode to SIGNED values before reordering: the e8m layout stores
+    # the low nibble excess-8 and the high nibble two's-complement, so a
+    # column moving between nibble positions must be re-encoded, not
+    # bit-copied
     u = leaf[Q4KEY].astype(jnp.uint8)
-    lo, hi = u & 0xF, (u >> 4) & 0xF            # excess-8 nibbles
-    logical = jnp.concatenate([lo, hi], axis=-1)  # (…, N, K) column order
+    lo = (u & 0xF).astype(jnp.int8) - 8
+    hi_n = ((u >> 4) & 0xF).astype(jnp.int8)
+    hi = jnp.where(hi_n >= 8, hi_n - 16, hi_n)
+    logical = jnp.concatenate([lo, hi], axis=-1)  # (…, N, K) signed values
     parts = _stack_cols(logical, tp)              # (tp, …, N, K/tp)
     half = parts.shape[-1] // 2
-    repacked = ((parts[..., half:] & 0xF) << 4) | (parts[..., :half] & 0xF)
+    lo_e8 = (parts[..., :half] + 8).astype(jnp.uint8) & 0xF
+    hi_2c = parts[..., half:].astype(jnp.uint8) & 0xF
+    repacked = (hi_2c << 4) | lo_e8
     return {Q4KEY: repacked.astype(jnp.int8),
             "scale": _replicate(leaf["scale"], tp)}
 
