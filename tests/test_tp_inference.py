@@ -63,14 +63,21 @@ def test_tp_generate_matches_single_device(params, cfg, tp):
 
 
 def test_load_pretrained_model_tp():
-    """tp_size plumbs through the public loader (device_map=auto parity)."""
+    """tp_size plumbs through the public loader (device_map=auto parity).
+
+    Round 4: tp_size>1 routes generate() through the kernel-preserving
+    TPEngine (parallel/tp_decode.py) — attn_impl is NOT forced to
+    "reference" anymore, and the engine's decode params are genuinely
+    split across the tp mesh."""
     from matryoshka_mm_tpu.models.builder import load_pretrained_model
 
     tok, model, proc, ctx = load_pretrained_model(
         "debug://tiny", None, "tiny", tp_size=2)
-    assert model.cfg.llama.attn_impl == "reference"
+    assert model.cfg.llama.attn_impl == "auto"          # kernels kept
+    assert model.tp_engine is not None
+    assert model.tp_engine.tp == 2
     devsets = {tuple(sorted(d.id for d in leaf.sharding.device_set))
-               for leaf in jax.tree.leaves(model.params)}
+               for leaf in jax.tree.leaves(model.tp_engine.tp_params)}
     assert any(len(ds) == 2 for ds in devsets)
 
     ids, px = _inputs()
@@ -80,9 +87,17 @@ def test_load_pretrained_model_tp():
     assert np.asarray(out).shape[0] == 1
 
 
-def test_tp_quant_guard():
+def test_tp_quant_loads():
+    """Round 4: quantized TP no longer raises — the engine shards the
+    unfused quantized layout and re-fuses per-device shards (the round-3
+    quant_fuse ValueError guard is gone by design)."""
     from matryoshka_mm_tpu.models.builder import load_pretrained_model
 
-    with pytest.raises(ValueError, match="quant_fuse"):
-        load_pretrained_model("debug://tiny", None, "tiny",
-                              tp_size=2, load_8bit=True)
+    tok, model, proc, ctx = load_pretrained_model(
+        "debug://tiny", None, "tiny", tp_size=2, load_8bit=True)
+    assert model.tp_engine is not None
+    ids, px = _inputs()
+    out = model.generate(jax.numpy.asarray(ids), jax.numpy.asarray(px),
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         max_new_tokens=4, eos_token_id=-1)
+    assert np.asarray(out).shape[0] == 1
