@@ -300,6 +300,10 @@ class ContinuousBatcher:
         # sustained-load utilization the serving bench reports
         self.occupancy = {"rounds": 0, "active_rows": 0}
         self.error: Optional[BaseException] = None
+        # opt-in scheduler event log (perf diagnosis): set
+        # ``batcher.events = []`` and every admission / decode round /
+        # retry appends ``(t, kind, detail)``; None (default) costs nothing
+        self.events: Optional[List[tuple]] = None
         self._rid = 0
         self._lock = threading.Lock()
         self._stop = False
@@ -308,6 +312,10 @@ class ContinuousBatcher:
         self._hold_admission = False
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
+
+    def _ev(self, kind: str, **detail):
+        if self.events is not None:
+            self.events.append((time.perf_counter(), kind, detail))
 
     # ---- client API ----
     def _vis_tokens(self, numtoks: Optional[int], pixel_values=None,
@@ -404,6 +412,7 @@ class ContinuousBatcher:
                 req.out_queue.put(None)
                 return req
             self.pending.put(req)
+        self._ev("submit", rid=req.rid)
         return req
 
     def cancel(self, req: _Request):
@@ -635,6 +644,7 @@ class ContinuousBatcher:
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
         self._finish_admit(req, slot, first, lengths[0])
+        self._ev("admit_prefix", rid=req.rid, slot=slot, pages=H)
         return True
 
     def _finish_admit(self, req: _Request, slot: int, first, length):
@@ -728,6 +738,7 @@ class ContinuousBatcher:
             handled = self._try_admit_prefix(req, slot)
             if handled is not None:
                 return handled
+        t0 = time.perf_counter()
         n = req.numtoks if req.numtoks is not None else self.cfg.vision.num_patches
         if req.pixel_values is not None and (req.pixel_values.shape[0] > 1
                                              or req.image_size is not None):
@@ -768,6 +779,8 @@ class ContinuousBatcher:
             self._insert_dense(slot, cache)
         self._finish_admit(req, slot, first, lengths[0])
         self.admit_stats["solo"] += 1
+        self._ev("admit_solo", rid=req.rid, slot=slot,
+                 ms=(time.perf_counter() - t0) * 1e3)
         return True
 
     def _admit_group(self, members) -> bool:
@@ -782,6 +795,7 @@ class ContinuousBatcher:
         reference worker's per-request generation threads never batch
         prefill at all: llava/serve/model_worker.py:240-268).
         Per-row pool insertion and failure handling are unchanged."""
+        t0 = time.perf_counter()
         reqs = [r for r, _ in members]
         params = self._params_for(reqs[0])
         ids_p, mask = self._pad_ids(reqs)
@@ -817,6 +831,8 @@ class ContinuousBatcher:
             self._finish_admit(req, slot, first[g:g + 1], lengths[g])
             self.admit_stats["grouped"] += 1
             ok_any = True
+        self._ev("admit_group", rids=[r.rid for r in reqs],
+                 ms=(time.perf_counter() - t0) * 1e3)
         return ok_any
 
     @staticmethod
@@ -879,6 +895,7 @@ class ContinuousBatcher:
                 if self.index is not None:
                     self.stats["admit_retries"] += 1
                 self._retry.append(req)
+                self._ev("retry_pages", rid=req.rid)
             return False
         self.paged = import_prefill(self.paged, cache, self.L - T,
                                     self.alloc.tables[slot],
@@ -944,6 +961,7 @@ class ContinuousBatcher:
         self.tables = jnp.asarray(self.alloc.tables)
 
     def _requeue_inflight(self, req: _Request, reason: str):
+        self._ev("requeue", rid=req.rid, reason=reason)
         """Resume a mid-flight request through the front-of-line retry
         with prompt+generated (its row is already freed).  A request that
         can no longer fit gets an explicit error chunk."""
@@ -1095,6 +1113,7 @@ class ContinuousBatcher:
                     time.sleep(0.005)
                 continue
 
+            t_round = time.perf_counter()
             rng, sub = jax.random.split(rng)
             if self.spec_k > 0:
                 self._ensure_pages()
@@ -1138,6 +1157,9 @@ class ContinuousBatcher:
                      self.active, self.budget, sub)
             toks_np = np.asarray(toks)
             active_np = np.asarray(self.active)
+            self._ev("decode_round",
+                     ms=(time.perf_counter() - t_round) * 1e3,
+                     rows=sum(1 for r in self.slots if r is not None))
             self.occupancy["rounds"] += 1
             self.occupancy["active_rows"] += sum(
                 1 for r in self.slots if r is not None)

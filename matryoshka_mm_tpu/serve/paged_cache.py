@@ -425,30 +425,45 @@ def _paged_decode_fn(cfg: LlamaConfig, max_pages: int, page_size: int,
     return step
 
 
-@lru_cache(maxsize=32)
-def _compact_pages_fn(n_p: int, page_size: int, paged_int8: bool):
-    @jax.jit
-    def f(k, v, ks, vs, pad):
-        # k/v: (n_layers, 1, S, Hkv, Dh) left-padded solo prefill caches
-        # (+ (n_layers, 1, S, Hkv) scales when the dense cache is int8);
-        # valid tokens live at [pad, pad+T).  Roll them to the front and
-        # carve the first n_p pages.
+@lru_cache(maxsize=8)
+def _import_prefill_fn(n_pt: int, page_size: int, paged_int8: bool,
+                       dense_int8: bool):
+    """One donated jit for the whole prefill import: compact + quantize +
+    scatter.  Traced on the FULL row width ``n_pt`` (= pages_per_row), not
+    the request's page count — the old per-``n_p`` traces meant every new
+    prompt-length bucket paid a mid-load compile that landed directly in
+    a user's TTFT (round-4 diagnosis: a 7.4s first-admission staircase the
+    warmup's shorter prompts could not cover).  Donating the pool also
+    replaces the previous FOUR eager whole-pool ``.at[].set`` copies per
+    row (~1.6GB of pure copy traffic each admission) with in-place
+    dynamic-update scatters."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def f(paged: PagedKVCache, k, v, ks, vs, pad, idx):
         n_layers, _, S, Hkv, Dh = k.shape
-        T = n_p * page_size
-        kr = jnp.roll(k[:, 0], -pad, axis=1)[:, :T]
-        vr = jnp.roll(v[:, 0], -pad, axis=1)[:, :T]
-        kr = kr.reshape(n_layers, n_p, page_size, Hkv, Dh)
-        vr = vr.reshape(n_layers, n_p, page_size, Hkv, Dh)
-        if not paged_int8:
-            return kr, vr, None, None
-        if ks is not None:              # int8 dense: scales ride along
-            ksr = jnp.roll(ks[:, 0], -pad, axis=1)[:, :T]
-            vsr = jnp.roll(vs[:, 0], -pad, axis=1)[:, :T]
-            return (kr, vr, ksr.reshape(n_layers, n_p, page_size, Hkv),
-                    vsr.reshape(n_layers, n_p, page_size, Hkv))
-        kr, ksr = _quantize_pages(kr)   # bf16 dense -> quantize into pages
-        vr, vsr = _quantize_pages(vr)
-        return kr, vr, ksr, vsr
+        T = n_pt * page_size
+        kr = jnp.roll(k[:, 0], -pad, axis=1)[:, :T].reshape(
+            n_layers, n_pt, page_size, Hkv, Dh)
+        vr = jnp.roll(v[:, 0], -pad, axis=1)[:, :T].reshape(
+            n_layers, n_pt, page_size, Hkv, Dh)
+        ksr = vsr = None
+        if paged_int8:
+            if dense_int8:
+                ksr = jnp.roll(ks[:, 0], -pad, axis=1)[:, :T].reshape(
+                    n_layers, n_pt, page_size, Hkv)
+                vsr = jnp.roll(vs[:, 0], -pad, axis=1)[:, :T].reshape(
+                    n_layers, n_pt, page_size, Hkv)
+            else:
+                kr, ksr = _quantize_pages(kr)
+                vr, vsr = _quantize_pages(vr)
+        return PagedKVCache(
+            k=paged.k.at[:, idx].set(kr.astype(paged.k.dtype)),
+            v=paged.v.at[:, idx].set(vr.astype(paged.v.dtype)),
+            k_scale=paged.k_scale if ksr is None
+            else paged.k_scale.at[:, idx].set(ksr),
+            v_scale=paged.v_scale if vsr is None
+            else paged.v_scale.at[:, idx].set(vsr),
+        )
 
     return f
 
@@ -460,21 +475,21 @@ def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
     ``dense`` is a (B=1) cache whose valid tokens occupy [pad, pad+T);
     after compaction token i lands in page i // page_size at offset
     i % page_size.  Slots past T hold rolled-around pad garbage, masked
-    out by ``row_len`` at decode time."""
+    out by ``row_len`` at decode time.
+
+    The import always writes the full ``row_table`` worth of pages so the
+    jit trace is independent of the request's page count ``n_p`` (kept
+    for API compatibility): table entries past the row's allocation are
+    the allocator's reserved trash page 0, so the garbage tail scatters
+    into dead storage."""
     _check_dense_dtype(paged, dense)
-    paged_int8 = paged.k_scale is not None
-    k_pages, v_pages, ks, vs = _compact_pages_fn(
-        n_p, page_size, paged_int8)(
-        dense.k, dense.v, dense.k_scale, dense.v_scale, jnp.int32(pad))
-    idx = jnp.asarray(np.asarray(row_table[:n_p], np.int32))
-    return PagedKVCache(
-        k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
-        v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
-        k_scale=paged.k_scale if ks is None
-        else paged.k_scale.at[:, idx].set(ks),
-        v_scale=paged.v_scale if vs is None
-        else paged.v_scale.at[:, idx].set(vs),
-    )
+    n_pt = min(len(row_table), dense.k.shape[2] // page_size)
+    idx = jnp.asarray(np.asarray(row_table[:n_pt], np.int32))
+    return _import_prefill_fn(
+        n_pt, page_size, paged.k_scale is not None,
+        dense.k_scale is not None)(
+        paged, dense.k, dense.v, dense.k_scale, dense.v_scale,
+        jnp.int32(pad), idx)
 
 
 @lru_cache(maxsize=8)

@@ -99,6 +99,13 @@ def chunked_token_cross_entropy(hidden: jnp.ndarray, lm_head_w,
     h = h.reshape(B, n_chunks, chunk, D).transpose(1, 0, 2, 3)
     l = l.reshape(B, n_chunks, chunk).transpose(1, 0, 2)
 
+    # jax.checkpoint on the body: WITHOUT it the scan's backward saves the
+    # (B, chunk, V) f32 logprobs of EVERY chunk as residuals — the full
+    # (B, S, V) logits memory this function exists to avoid (measured
+    # ~2.7GB at the K=5/T=2048 bench shape).  Rematerializing costs one
+    # extra lm_head matmul per chunk in the bwd; the analytic softmax
+    # gradient (softmax - onehot) then flows through the recomputed chunk.
+    @jax.checkpoint
     def body(carry, hl):
         hc, lc = hl
         logits = proj(hc, lm_head_w).astype(jnp.float32)   # (B, chunk, V)
