@@ -89,6 +89,10 @@ class _Request:
     # scheduler retires the row at its next round instead of decoding the
     # remaining budget into a stream nobody reads
     cancelled: bool = False
+    # host copy of the row length right after prefill: lets the pipelined
+    # decode loop compute page needs without fetching device lengths
+    # (row_len == len0 + len(generated) - 1 for every processed round)
+    len0: int = 0
 
 
 @lru_cache(maxsize=8)
@@ -138,10 +142,13 @@ class ContinuousBatcher:
                  prefix_cache: bool = False, adapters: Optional[dict] = None,
                  speculative_k: int = 0, spec_ngram: int = 3,
                  fsm_vocab: Optional[list] = None, max_fsm_states: int = 64,
-                 n_pages: Optional[int] = None):
+                 n_pages: Optional[int] = None, pipeline_rounds: bool = True):
         self.params = params
         self.cfg = cfg
         self.max_batch = max_batch
+        # escape hatch (and A/B lever) for the software-pipelined decode
+        # loop; only the paged non-speculative scheduler pipelines
+        self.pipeline_rounds = pipeline_rounds
         self.L = _round_up(prefill_len, 64)
         self.capacity = self.L + max_new_tokens
         self.gen_cfg = gen_cfg or GenerationConfig(decode_chunk=chunk)
@@ -652,6 +659,7 @@ class ContinuousBatcher:
         request immediately (first token is EOS, or the budget was 1 —
         activating such a row would over-emit past the budget)."""
         first_tok = int(np.asarray(first)[0])
+        req.len0 = int(np.asarray(length))   # same sync point as `first`
         req.out_queue.put(np.asarray(first))
         req.emitted += 1
         req.generated.append(first_tok)
@@ -934,17 +942,29 @@ class ContinuousBatcher:
             drafts[slot] = _ngram_propose(ids, self.spec_k, self.spec_ngram)
         return jnp.asarray(drafts)
 
-    def _ensure_pages(self):
+    def _ensure_pages(self, pipelined: bool = False):
         """Grow each active row to cover the next chunk; rows that cannot
         be extended (pool exhausted) are freed and requeued at the front
         of the line with prompt+generated-so-far — per-row, not
         pool-wide, and never a silent truncation that looks like a normal
-        finish (same contract as the dense _retire_all)."""
-        lengths = np.asarray(self.lengths)
+        finish (same contract as the dense _retire_all).
+
+        ``pipelined``: compute row lengths host-side instead of fetching
+        ``self.lengths`` — that fetch would block on the round still in
+        flight and serialize the pipelined decode loop.  The host view
+        (post-prefill length + tokens emitted) lags the device by the
+        unprocessed in-flight round, so one extra ``chunk`` of margin is
+        added (over-provisions by at most one page per row)."""
+        if not pipelined:
+            lengths = np.asarray(self.lengths)
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
-            need = int(lengths[slot]) + self._headroom
+            if pipelined:
+                cur = req.len0 + len(req.generated) - 1 + self.chunk
+            else:
+                cur = int(lengths[slot])
+            need = cur + self._headroom
             ok = True
             while self.alloc.capacity(slot) < need:
                 if not self.alloc.extend_row(slot):
@@ -1052,6 +1072,21 @@ class ContinuousBatcher:
         else:
             decode = _pool_decode_fn(self.cfg, self.gen_cfg, self.chunk)
         rng = jax.random.PRNGKey(0)
+        # Software-pipeline the paged decode rounds: dispatch round k+1
+        # before fetching round k's tokens, so the ~tens-of-ms host round
+        # trip (result fetch + stream demux + dispatch through the device
+        # tunnel) overlaps the device compute instead of serializing with
+        # it (round-4 profile: 133ms device vs 208ms wall per round).
+        # Safe because (a) inactive rows neither read nor write pages
+        # (paged_attention scatters them to the trash page), (b) state
+        # mutations between rounds (.at[].set merges, prefill imports)
+        # enqueue on the device stream AFTER the in-flight round, and
+        # (c) _process_round skips rows finalized since their snapshot.
+        # Speculative decoding stays serial: its drafts are proposed from
+        # host history, which pipelining would leave one round stale.
+        pipelined = (self.backend == "paged" and self.spec_k == 0
+                     and self.pipeline_rounds)
+        inflight = None     # (toks, active, slots snapshot, dispatch time)
         while not self._stop:
             # Admit as many pending requests as there are free slots.
             # Prefix-cache hits admit immediately (suffix-only prefill);
@@ -1108,6 +1143,35 @@ class ContinuousBatcher:
                         for req, _ in chunk:
                             self._admitting.remove(req)
 
+            if pipelined:
+                new_inflight = None
+                if any(r is not None for r in self.slots):
+                    self._ensure_pages(pipelined=True)
+                if any(r is not None for r in self.slots):
+                    t_round = time.perf_counter()
+                    rng, sub = jax.random.split(rng)
+                    if self.fsm_vocab is not None:
+                        (self.paged, self.tokens, self.lengths, self.budget,
+                         self.active, toks, self.fsm_state) = decode(
+                             self.params, self.paged, self.tables,
+                             self.lengths, self.tokens, self.budget,
+                             self.active, sub, self.lora_pack, self.lora_idx,
+                             self.fsm_allow, self.fsm_trans, self.fsm_state)
+                    else:
+                        (self.paged, self.tokens, self.lengths, self.budget,
+                         self.active, toks, _) = decode(
+                             self.params, self.paged, self.tables,
+                             self.lengths, self.tokens, self.budget,
+                             self.active, sub, self.lora_pack, self.lora_idx)
+                    new_inflight = (toks, self.active, list(self.slots),
+                                    t_round)
+                if inflight is not None:
+                    self._process_round(*inflight)
+                elif new_inflight is None and not admitted:
+                    time.sleep(0.005)
+                inflight = new_inflight
+                continue
+
             if not bool(np.asarray(self.active).any()):
                 if not admitted:
                     time.sleep(0.005)
@@ -1155,42 +1219,55 @@ class ContinuousBatcher:
                  self.active, toks) = decode(
                      self.params, self.pool, self.tokens, self.lengths,
                      self.active, self.budget, sub)
-            toks_np = np.asarray(toks)
-            active_np = np.asarray(self.active)
-            self._ev("decode_round",
-                     ms=(time.perf_counter() - t_round) * 1e3,
-                     rows=sum(1 for r in self.slots if r is not None))
-            self.occupancy["rounds"] += 1
-            self.occupancy["active_rows"] += sum(
-                1 for r in self.slots if r is not None)
-            for slot, req in enumerate(self.slots):
-                if req is None:
-                    continue
-                if req.cancelled:
-                    # client stopped mid-stream: retire the row now —
-                    # the tokens decoded this chunk are discarded, the
-                    # budget stops burning
-                    req.out_queue.put(None)
-                    self.slots[slot] = None
-                    self.active = self.active.at[slot].set(False)
-                    if self.backend == "paged":
-                        self.alloc.free_row(slot)
-                        self.tables = jnp.asarray(self.alloc.tables)
-                    continue
-                row = toks_np[slot]
-                # -1 is the device-side "no token" sentinel (see the
-                # decode fns) — filtering by value would also drop real
-                # pad-id tokens and desync host history from the cache
-                row = row[row >= 0]
-                if row.size:
-                    req.out_queue.put(row)
-                    req.emitted += row.size
-                    req.generated.extend(int(t) for t in row)
-                if not active_np[slot]:
-                    req.out_queue.put(None)
-                    self.slots[slot] = None
-                    if self.backend == "paged":
-                        self.alloc.free_row(slot)
+            self._process_round(toks, self.active, list(self.slots), t_round)
+
+    def _process_round(self, toks, active, snap, t_dispatch):
+        """Fetch a dispatched round's results and demux them to clients.
+
+        ``snap`` is the slot->request mapping AT DISPATCH TIME: under the
+        pipelined loop a snapshot row may have been finalized since
+        (finished/cancelled in the previous round's processing, requeued
+        by _ensure_pages, or its slot re-admitted to a new request) — the
+        ``self.slots[slot] is req`` guard skips those; the round carried
+        only -1 sentinel lanes for them (inactive device-side), or, for a
+        freed-while-in-flight row, wrote into pages whose next owner's
+        prefill import is already enqueued behind this round."""
+        toks_np = np.asarray(toks)      # blocks until the round completes
+        active_np = np.asarray(active)
+        self._ev("decode_round",
+                 ms=(time.perf_counter() - t_dispatch) * 1e3,
+                 rows=sum(1 for r in snap if r is not None))
+        self.occupancy["rounds"] += 1
+        self.occupancy["active_rows"] += sum(
+            1 for r in snap if r is not None)
+        for slot, req in enumerate(snap):
+            if req is None or self.slots[slot] is not req:
+                continue
+            if req.cancelled:
+                # client stopped mid-stream: retire the row now —
+                # the tokens decoded this chunk are discarded, the
+                # budget stops burning
+                req.out_queue.put(None)
+                self.slots[slot] = None
+                self.active = self.active.at[slot].set(False)
+                if self.backend == "paged":
+                    self.alloc.free_row(slot)
+                    self.tables = jnp.asarray(self.alloc.tables)
+                continue
+            row = toks_np[slot]
+            # -1 is the device-side "no token" sentinel (see the
+            # decode fns) — filtering by value would also drop real
+            # pad-id tokens and desync host history from the cache
+            row = row[row >= 0]
+            if row.size:
+                req.out_queue.put(row)
+                req.emitted += row.size
+                req.generated.extend(int(t) for t in row)
+            if not active_np[slot]:
+                req.out_queue.put(None)
+                self.slots[slot] = None
+                if self.backend == "paged":
+                    self.alloc.free_row(slot)
 
     def _retire_all(self, reason: str):
         """Dense pool write region exhausted: reset it and re-admit every

@@ -702,3 +702,71 @@ def test_out_of_pages_mid_decode_is_loud(params, cfg):
         assert sum(t.size for t in toks) > 0
     finally:
         b.shutdown()
+
+
+def test_pipelined_rounds_match_serial(params, cfg):
+    """The software-pipelined decode loop (dispatch round k+1 before
+    fetching round k) must be invisible to clients: identical greedy
+    streams to the serial loop under staggered admissions (late joiner
+    lands while a round is in flight), with all pages freed at drain."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=10, decode_chunk=2,
+                               eos_token_id=-1)
+    streams = {}
+    for pipelined in (False, True):
+        b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                              max_new_tokens=16, gen_cfg=gen_cfg, chunk=2,
+                              backend="paged", page_size=16,
+                              pipeline_rounds=pipelined)
+        try:
+            ids1, px1 = _inputs(1)
+            ids2, px2 = _inputs(2)
+            ids3, px3 = _inputs(3)
+            r1 = b.submit(ids1, px1, numtoks=4, max_new_tokens=10)
+            r2 = b.submit(ids2, px2, numtoks=4, max_new_tokens=6)
+            # r3 joins once r2's slot frees — mid-stream, rounds in flight
+            toks2 = np.concatenate(list(b.stream(r2)))
+            r3 = b.submit(ids3, px3, numtoks=4, max_new_tokens=8)
+            toks1 = np.concatenate(list(b.stream(r1)))
+            toks3 = np.concatenate(list(b.stream(r3)))
+            streams[pipelined] = (toks1, toks2, toks3)
+            assert len(b.alloc.free) == b.max_batch * b.pages_per_row
+        finally:
+            b.shutdown()
+    for a, s in zip(streams[True], streams[False]):
+        np.testing.assert_array_equal(a, s)
+
+
+def test_pipelined_cancel_mid_flight(params, cfg):
+    """Cancelling a request while a pipelined round is in flight retires
+    the row exactly once and the other stream is unaffected."""
+    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
+
+    gen_cfg = GenerationConfig(max_new_tokens=64, decode_chunk=2,
+                               eos_token_id=-1)
+    b = ContinuousBatcher(params, cfg, max_batch=2, prefill_len=64,
+                          max_new_tokens=64, gen_cfg=gen_cfg, chunk=2,
+                          backend="paged", page_size=16)
+    try:
+        ids1, px1 = _inputs(1)
+        ids2, px2 = _inputs(2)
+        r1 = b.submit(ids1, px1, numtoks=4, max_new_tokens=64)
+        r2 = b.submit(ids2, px2, numtoks=4, max_new_tokens=12)
+        got1 = []
+        for chunk in b.stream(r1):
+            got1.append(chunk)
+            if sum(t.size for t in got1) >= 4:
+                b.cancel(r1)
+                break
+        # drain whatever the scheduler still emits post-cancel
+        for _ in b.stream(r1):
+            pass
+        toks2 = np.concatenate(list(b.stream(r2)))
+        want2 = generate(params, cfg, ids2, px2,
+                         matryoshka_vis_token_scale="ver=v0_numtoks=4",
+                         gen_cfg=gen_cfg)[0]
+        np.testing.assert_array_equal(toks2[:12], want2[:12])
+        assert len(b.alloc.free) == b.max_batch * b.pages_per_row
+    finally:
+        b.shutdown()
