@@ -105,6 +105,14 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"
     remat: bool = False
+    # rematerialization policy for the training-mode layer scan when
+    # ``remat`` is set.  "" = full remat (save only layer boundaries,
+    # recompute everything in the backward — minimum memory).
+    # "dots" = jax.checkpoint_policies.dots_with_no_batch_dims_saveable:
+    # matmul outputs are saved, the backward recomputes only the cheap
+    # elementwise tail (norms/rope/activations) — costs ~2 bytes/param-row
+    # of extra activation memory per layer, skips most recompute FLOPs.
+    remat_policy: str = ""
     attn_impl: str = "auto"
     arch: str = "llama"
     sliding_window: int = 0          # 0 = disabled
@@ -605,7 +613,16 @@ def llama_forward(
 
             xs = params["layers"]
         if cfg.remat:
-            body = jax.checkpoint(body)
+            if cfg.remat_policy == "dots":
+                body = jax.checkpoint(
+                    body, policy=jax.checkpoint_policies
+                    .dots_with_no_batch_dims_saveable)
+            elif cfg.remat_policy:
+                raise ValueError(
+                    f"unknown remat_policy={cfg.remat_policy!r} "
+                    f"(expected '' or 'dots')")
+            else:
+                body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, xs)
         new_cache = None
     else:

@@ -159,3 +159,42 @@ def test_freeze_groups():
                            np.asarray(state1.params["router"]["fc1"]["kernel"]))
     np.testing.assert_array_equal(np.asarray(params["llama"]["lm_head"]),
                                   np.asarray(state1.params["llama"]["lm_head"]))
+
+
+def test_remat_policy_dots_matches_full_remat():
+    """remat_policy="dots" (save matmul outputs, recompute elementwise)
+    must be numerically invisible: same loss and gradients as full remat
+    (models/llama.py llama_forward remat branch)."""
+    import dataclasses
+
+    cfg0 = LlavaConfig.tiny_debug()
+    batch = _batch(cfg0, T=24)
+    outs = {}
+    for pol in ("", "dots"):
+        cfg = dataclasses.replace(
+            cfg0, llama=dataclasses.replace(cfg0.llama, remat=True,
+                                            remat_policy=pol))
+        params = init_llava_params(jax.random.PRNGKey(0), cfg)
+        loss, grads = jax.jit(
+            jax.value_and_grad(lambda p, c=cfg: m3_loss(p, c, batch)[0])
+        )(params)
+        outs[pol] = (float(loss), grads)
+    assert abs(outs[""][0] - outs["dots"][0]) < 1e-5
+    diffs = jax.tree.map(
+        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                           - b.astype(jnp.float32)))),
+        outs[""][1], outs["dots"][1])
+    assert max(jax.tree.leaves(diffs)) < 1e-4
+
+
+def test_remat_policy_unknown_is_loud():
+    import dataclasses
+
+    cfg0 = LlavaConfig.tiny_debug()
+    cfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(cfg0.llama, remat=True,
+                                        remat_policy="typo"))
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    with pytest.raises(ValueError, match="remat_policy"):
+        jax.jit(lambda p: m3_loss(p, cfg, batch)[0])(params)
