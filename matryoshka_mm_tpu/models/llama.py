@@ -28,6 +28,7 @@ from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 
 from ..ops.attention import attention
 from ..ops.quant import (dequantize_array as _w, fused_int4_proj,
@@ -112,6 +113,12 @@ class LlamaConfig:
     # matmul outputs are saved, the backward recomputes only the cheap
     # elementwise tail (norms/rope/activations) — costs ~2 bytes/param-row
     # of extra activation memory per layer, skips most recompute FLOPs.
+    # "names:<tag,...>" = save_only_these_names over checkpoint_name tags
+    # (attn_q/attn_k/attn_v/attn_o at the layer level, flash_out/flash_lse
+    # inside the flash fwd rule); "names:attn" = all six — the backward
+    # skips the qkv/o projections and the O(T^2) flash forward but still
+    # recomputes the wide gate/up MLP intermediates (~20KB/token/layer
+    # saved vs "dots"'s ~55KB, which OOMs at the K=5/T=2048 bench shape).
     remat_policy: str = ""
     attn_impl: str = "auto"
     arch: str = "llama"
@@ -388,6 +395,18 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     v = v.reshape(B, S, Hkv, Dh).transpose(0, 2, 1, 3)
     q = apply_rope(q, cos, sin)
     k = apply_rope(k, cos, sin)
+    if cache_k is None:
+        # Name the attention-side dot outputs for the selective remat
+        # policy (remat_policy="names:...") — saving q/k/v (and o below)
+        # lets the rematted backward skip re-running the qkv projections
+        # while the wide gate/up MLP intermediates still recompute.
+        # ~20KB/token/layer in bf16 vs ~55KB for the full dots policy,
+        # which OOMs at the bench shape (B=2, T=2048, K=5 scales).
+        # Identity outside such a policy (incl. the cache/decode path,
+        # which never hits this branch).
+        q = checkpoint_name(q, "attn_q")
+        k = checkpoint_name(k, "attn_k")
+        v = checkpoint_name(v, "attn_v")
 
     if cache_k is not None:
         # Write the S new entries at slots [write_idx, write_idx + S) of
@@ -471,6 +490,9 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
     o_out = proj(attn_out, a["o_proj"])
     if cfg.tp_axis:
         o_out = jax.lax.psum(o_out, cfg.tp_axis)
+    if cache_k is None:
+        # post-psum so the collective itself is not re-run in the backward
+        o_out = checkpoint_name(o_out, "attn_o")
     hidden = hidden + o_out
 
     x = rms_norm(hidden, layer_params["post_attention_layernorm"], cfg.rms_norm_eps)
@@ -617,10 +639,21 @@ def llama_forward(
                 body = jax.checkpoint(
                     body, policy=jax.checkpoint_policies
                     .dots_with_no_batch_dims_saveable)
+            elif cfg.remat_policy.startswith("names:"):
+                # selective remat: save only the listed checkpoint_name
+                # tags (see _layer_forward "attn_*" and the flash fwd
+                # rule's "flash_out"/"flash_lse").  "names:attn" is
+                # shorthand for the full attention-side set.
+                names = cfg.remat_policy[len("names:"):]
+                if names == "attn":
+                    names = "attn_q,attn_k,attn_v,attn_o,flash_out,flash_lse"
+                body = jax.checkpoint(
+                    body, policy=jax.checkpoint_policies
+                    .save_only_these_names(*names.split(",")))
             elif cfg.remat_policy:
                 raise ValueError(
                     f"unknown remat_policy={cfg.remat_policy!r} "
-                    f"(expected '' or 'dots')")
+                    f"(expected '', 'dots', or 'names:<tag,...>')")
             else:
                 body = jax.checkpoint(body)
         hidden, _ = jax.lax.scan(body, hidden, xs)

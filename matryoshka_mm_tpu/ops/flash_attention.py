@@ -30,6 +30,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -39,6 +40,8 @@ from jax.experimental.pallas import tpu as pltpu
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_K = 512
 NEG_INF = -1e30
+LOG2E = 1.4426950408889634   # log2(e): softmax runs in the exp2 domain
+LN2 = 0.6931471805599453     # so the scale multiply folds into one fma
 
 
 def _interpret() -> bool:
@@ -57,14 +60,22 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
                 acc_ref, m_ref, l_ref, *, scale: float, causal: bool,
                 block_q: int, block_k: int, num_kv_blocks: int,
                 window: int = 0, q_offset: int = 0):
-    iq = pl.program_id(2)
-    ik = pl.program_id(3)
+    # grid (B, H, ik, iq) — q blocks INNERMOST: consecutive grid steps
+    # touch different (acc, m, l) slices, so their updates pipeline
+    # instead of serializing on one running accumulator, and the k/v
+    # windows stay resident across the whole inner sweep (the q block is
+    # half the DMA bytes of k+v).  Every q block's state lives in the
+    # scratch at slice [iq*block_q : (iq+1)*block_q).
+    ik = pl.program_id(2)
+    iq = pl.program_id(3)
+    row = pl.ds(iq * block_q, block_q)
 
     @pl.when(ik == 0)
     def _init():
-        acc_ref[:] = jnp.zeros_like(acc_ref)
-        m_ref[:] = jnp.full_like(m_ref, NEG_INF)
-        l_ref[:] = jnp.zeros_like(l_ref)
+        acc_ref[row, :] = jnp.zeros((block_q, acc_ref.shape[1]), jnp.float32)
+        m_ref[row, :] = jnp.full((block_q, m_ref.shape[1]), NEG_INF,
+                                 jnp.float32)
+        l_ref[row, :] = jnp.zeros((block_q, l_ref.shape[1]), jnp.float32)
 
     run = True if not causal else (
         ik * block_k <= q_offset + iq * block_q + block_q - 1)
@@ -74,42 +85,66 @@ def _fwd_kernel(q_ref, k_ref, v_ref, kvmask_ref, out_ref, lse_ref,
         q = q_ref[0, 0]                       # (BQ, Dh)
         k = k_ref[0, 0]                       # (BK, Dh)
         v = v_ref[0, 0]
+        c = scale * LOG2E
+        # unscaled logits; the scale multiply folds into the exp2 fma
+        # below (one pass instead of a scale pass + an exp pass), and
+        # max(s*c) == max(s)*c moves the fold to the (BQ,1) row max
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale  # (BQ, BK)
+            preferred_element_type=jnp.float32)          # (BQ, BK)
 
+        def update(sm, m_cur):
+            # m/l/lse run in the exp2-of-scaled-logits domain
+            m_prev = m_ref[row, 0:1]          # (BQ, 1)
+            l_prev = l_ref[row, 0:1]
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)
+            p = jnp.exp2(sm * c - m_new)      # (BQ, BK) f32, fma+exp2
+            l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+            acc_ref[row, :] = acc_ref[row, :] * alpha + jax.lax.dot_general(
+                p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            m_ref[row, :] = jnp.broadcast_to(m_new, (block_q, m_ref.shape[1]))
+            l_ref[row, :] = jnp.broadcast_to(l_new, (block_q, l_ref.shape[1]))
+
+        # mask construction (two iotas, compares, select) is VPU work on
+        # every (BQ, BK) element — run it only on blocks that need it:
+        # causal-diagonal blocks, window edges, and partially-valid kv
         kv_ok = kvmask_ref[0, 0] != 0         # (BK,)
-        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal or window:
-            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                    + iq * block_q + q_offset)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            if causal:
-                mask = mask & (cols <= rows)
-            if window:
-                mask = mask & (rows - cols < window)
-        s = jnp.where(mask, s, NEG_INF)
+        unmasked = jnp.all(kv_ok)
+        if causal:
+            unmasked &= ik * block_k + block_k - 1 <= q_offset + iq * block_q
+        if window:
+            unmasked &= (q_offset + iq * block_q + block_q - 1
+                         - ik * block_k) < window
 
-        m_prev = m_ref[:, 0:1]                # (BQ, 1)
-        l_prev = l_ref[:, 0:1]
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)                # (BQ, BK) f32
-        l_new = l_prev * alpha + jnp.sum(p, axis=1, keepdims=True)
+        @pl.when(unmasked)
+        def _fast():
+            update(s, jnp.max(s, axis=1, keepdims=True) * c)
 
-        acc_ref[:] = acc_ref[:] * alpha + jax.lax.dot_general(
-            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        m_ref[:] = jnp.broadcast_to(m_new, m_ref.shape)
-        l_ref[:] = jnp.broadcast_to(l_new, l_ref.shape)
+        @pl.when(jnp.logical_not(unmasked))
+        def _masked():
+            mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+            if causal or window:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + iq * block_q + q_offset)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                        + ik * block_k)
+                if causal:
+                    mask = mask & (cols <= rows)
+                if window:
+                    mask = mask & (rows - cols < window)
+            sm = jnp.where(mask, s, NEG_INF)
+            update(sm, jnp.max(sm, axis=1, keepdims=True) * c)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
-        l = l_ref[:, 0:1]
+        l = l_ref[row, 0:1]
         safe_l = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = (acc_ref[:] / safe_l).astype(out_ref.dtype)
-        lse_ref[0, 0, 0] = (m_ref[:, 0] + jnp.log(safe_l[:, 0]))
+        out_ref[0, 0] = (acc_ref[row, :] / safe_l).astype(out_ref.dtype)
+        # convert the exp2-domain running max back to the natural-log lse
+        # the rest of the stack (bwd, ring merges, decode) consumes
+        lse_ref[0, 0, 0] = (m_ref[row, 0] * LN2 + jnp.log(safe_l[:, 0]))
 
 
 def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
@@ -121,7 +156,9 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
     # their (B, Hkv, Sk, Dh) layout directly — never expanded in HBM
     group = H // k.shape[1]
 
-    grid = (B, H, nq, nk)
+    # q blocks innermost (see _fwd_kernel): per-q-block state is stacked
+    # in one scratch, k/v windows stay resident across the inner sweep
+    grid = (B, H, nk, nq)
     kernel = functools.partial(
         _fwd_kernel, scale=scale, causal=causal, block_q=block_q,
         block_k=block_k, num_kv_blocks=nk, window=window, q_offset=q_offset)
@@ -130,25 +167,25 @@ def _fwd_call(q, k, v, kv_mask, *, scale, causal, block_q, block_k, window=0,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
             pl.BlockSpec((1, 1, block_k, Dh),
-                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
+                         lambda b, h, ik, iq: (b, h // group, ik, 0)),
             pl.BlockSpec((1, 1, block_k, Dh),
-                         lambda b, h, iq, ik: (b, h // group, ik, 0)),
-            pl.BlockSpec((1, 1, block_k), lambda b, h, iq, ik: (b, 0, ik)),
+                         lambda b, h, ik, iq: (b, h // group, ik, 0)),
+            pl.BlockSpec((1, 1, block_k), lambda b, h, ik, iq: (b, 0, ik)),
         ],
         out_specs=[
-            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, iq, ik: (b, h, iq, 0)),
-            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, iq, ik: (b, h, 0, iq)),
+            pl.BlockSpec((1, 1, block_q, Dh), lambda b, h, ik, iq: (b, h, iq, 0)),
+            pl.BlockSpec((1, 1, 1, block_q), lambda b, h, ik, iq: (b, h, 0, iq)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((B, H, Sq, Dh), q.dtype),
             jax.ShapeDtypeStruct((B, H, 1, Sq), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((block_q, Dh), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
-            pltpu.VMEM((block_q, 128), jnp.float32),
+            pltpu.VMEM((nq * block_q, Dh), jnp.float32),
+            pltpu.VMEM((nq * block_q, 128), jnp.float32),
+            pltpu.VMEM((nq * block_q, 128), jnp.float32),
         ],
         interpret=_interpret(),
     )(q, k, v, kv_mask)
@@ -178,32 +215,53 @@ def _bwd_dq_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, 0]                # (BQ,)
+        lse2 = lse_ref[0, 0, 0] * LOG2E       # (BQ,) natural lse -> exp2
         delta = delta_ref[0, 0, 0]            # (BQ,)
+        c = scale * LOG2E
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        kv_ok = kvmask_ref[0, 0] != 0
-        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal or window:
-            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                    + iq * block_q + q_offset)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            if causal:
-                mask = mask & (cols <= rows)
-            if window:
-                mask = mask & (rows - cols < window)
-        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)        # (BQ, BK)
+                                preferred_element_type=jnp.float32)
+        # p via one fma+exp2 (scale folds in); ds left UNSCALED — the
+        # `* scale` moves to the (BQ, Dh) accumulator at finalize
+        p = jnp.exp2(s * c - lse2[:, None])                        # (BQ, BK)
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale                     # (BQ, BK)
-        dq_acc[:] += jax.lax.dot_general(
-            ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+        kv_ok = kvmask_ref[0, 0] != 0
+        unmasked = jnp.all(kv_ok)
+        if causal:
+            unmasked &= ik * block_k + block_k - 1 <= q_offset + iq * block_q
+        if window:
+            unmasked &= (q_offset + iq * block_q + block_q - 1
+                         - ik * block_k) < window
+
+        @pl.when(unmasked)
+        def _fast():
+            ds = p * (dp - delta[:, None])                         # (BQ, BK)
+            dq_acc[:] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(jnp.logical_not(unmasked))
+        def _masked():
+            mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+            if causal or window:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + iq * block_q + q_offset)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                        + ik * block_k)
+                if causal:
+                    mask = mask & (cols <= rows)
+                if window:
+                    mask = mask & (rows - cols < window)
+            ds = jnp.where(mask, p * (dp - delta[:, None]), 0.0)
+            dq_acc[:] += jax.lax.dot_general(
+                ds.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
 
     @pl.when(ik == num_kv_blocks - 1)
     def _finalize():
-        dq_ref[0, 0] = dq_acc[:].astype(dq_ref.dtype)
+        dq_ref[0, 0] = (dq_acc[:] * scale).astype(dq_ref.dtype)
 
 
 def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
@@ -230,38 +288,56 @@ def _bwd_dkv_kernel(q_ref, k_ref, v_ref, kvmask_ref, do_ref, lse_ref, delta_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0]
-        lse = lse_ref[0, 0, 0]
+        lse2 = lse_ref[0, 0, 0] * LOG2E
         delta = delta_ref[0, 0, 0]
+        c = scale * LOG2E
 
         s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale
-        kv_ok = kvmask_ref[0, 0] != 0
-        mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
-        if causal or window:
-            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
-                    + iq * block_q + q_offset)
-            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + ik * block_k
-            if causal:
-                mask = mask & (cols <= rows)
-            if window:
-                mask = mask & (rows - cols < window)
-        p = jnp.where(mask, jnp.exp(s - lse[:, None]), 0.0)
-
-        # dV += P^T @ dO
-        dv_acc[:] += jax.lax.dot_general(
-            p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+                                preferred_element_type=jnp.float32)
+        p_raw = jnp.exp2(s * c - lse2[:, None])   # fma+exp2, scale folded
         dp = jax.lax.dot_general(do, v, (((1,), (1,)), ((), ())),
                                  preferred_element_type=jnp.float32)
-        ds = p * (dp - delta[:, None]) * scale
-        # dK += dS^T @ Q
-        dk_acc[:] += jax.lax.dot_general(
-            ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+
+        kv_ok = kvmask_ref[0, 0] != 0
+        unmasked = jnp.all(kv_ok)
+        if causal:
+            unmasked &= ik * block_k + block_k - 1 <= q_offset + iq * block_q
+        if window:
+            unmasked &= (q_offset + iq * block_q + block_q - 1
+                         - ik * block_k) < window
+
+        def accumulate(p):
+            # dV += P^T @ dO ; dK += dS^T @ Q (dS unscaled; the `* scale`
+            # lands on the (BK, Dh) accumulator at finalize)
+            dv_acc[:] += jax.lax.dot_general(
+                p.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+            ds = p * (dp - delta[:, None])
+            dk_acc[:] += jax.lax.dot_general(
+                ds.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32)
+
+        @pl.when(unmasked)
+        def _fast():
+            accumulate(p_raw)
+
+        @pl.when(jnp.logical_not(unmasked))
+        def _masked():
+            mask = jnp.broadcast_to(kv_ok[None, :], s.shape)
+            if causal or window:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + iq * block_q + q_offset)
+                cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                        + ik * block_k)
+                if causal:
+                    mask = mask & (cols <= rows)
+                if window:
+                    mask = mask & (rows - cols < window)
+            accumulate(jnp.where(mask, p_raw, 0.0))
 
     @pl.when(jnp.logical_and(g == group - 1, iq == num_q_blocks - 1))
     def _finalize():
-        dk_ref[0, 0] = dk_acc[:].astype(dk_ref.dtype)
+        dk_ref[0, 0] = (dk_acc[:] * scale).astype(dk_ref.dtype)
         dv_ref[0, 0] = dv_acc[:].astype(dv_ref.dtype)
 
 
@@ -355,6 +431,13 @@ def _flash_fwd(q, k, v, kv_mask, scale, causal, block_q, block_k, window,
     out, lse = _fwd_call(q, k, v, kv_mask, scale=scale, causal=causal,
                          block_q=block_q, block_k=block_k, window=window,
                          q_offset=q_offset)
+    # Name the two fwd-only residuals so a `save_only_these_names` remat
+    # policy (LlamaConfig.remat_policy="names:..flash_out,flash_lse")
+    # can pin them: with out+lse saved, the backward of a rematted layer
+    # calls _bwd_call directly instead of re-running this O(T^2) forward
+    # kernel.  Outside such a policy checkpoint_name is an identity.
+    out = checkpoint_name(out, "flash_out")
+    lse = checkpoint_name(lse, "flash_lse")
     return out, (q, k, v, kv_mask, out, lse)
 
 

@@ -162,15 +162,16 @@ def test_freeze_groups():
 
 
 def test_remat_policy_dots_matches_full_remat():
-    """remat_policy="dots" (save matmul outputs, recompute elementwise)
-    must be numerically invisible: same loss and gradients as full remat
-    (models/llama.py llama_forward remat branch)."""
+    """remat_policy="dots" / "names:attn" (save selected dot outputs,
+    recompute the rest) must be numerically invisible: same loss and
+    gradients as full remat (models/llama.py llama_forward remat branch)."""
     import dataclasses
 
     cfg0 = LlavaConfig.tiny_debug()
     batch = _batch(cfg0, T=24)
     outs = {}
-    for pol in ("", "dots"):
+    policies = ("", "dots", "names:attn", "names:attn_q,flash_lse")
+    for pol in policies:
         cfg = dataclasses.replace(
             cfg0, llama=dataclasses.replace(cfg0.llama, remat=True,
                                             remat_policy=pol))
@@ -179,12 +180,13 @@ def test_remat_policy_dots_matches_full_remat():
             jax.value_and_grad(lambda p, c=cfg: m3_loss(p, c, batch)[0])
         )(params)
         outs[pol] = (float(loss), grads)
-    assert abs(outs[""][0] - outs["dots"][0]) < 1e-5
-    diffs = jax.tree.map(
-        lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                           - b.astype(jnp.float32)))),
-        outs[""][1], outs["dots"][1])
-    assert max(jax.tree.leaves(diffs)) < 1e-4
+    for pol in policies[1:]:
+        assert abs(outs[""][0] - outs[pol][0]) < 1e-5, pol
+        diffs = jax.tree.map(
+            lambda a, b: float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                               - b.astype(jnp.float32)))),
+            outs[""][1], outs[pol][1])
+        assert max(jax.tree.leaves(diffs)) < 1e-4, pol
 
 
 def test_remat_policy_unknown_is_loud():
