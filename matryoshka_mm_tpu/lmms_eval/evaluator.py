@@ -42,7 +42,16 @@ def simple_evaluate(
         kwargs["matryoshka_vis_token_scale"] = matryoshka_vis_token_scale
 
     lm = get_model(model)(**kwargs)
+    try:
+        return _evaluate(lm, tasks, limit, seed, log_samples)
+    finally:
+        # adapters owning external resources (e.g. llava_sglang's
+        # in-process serving worker) release them here
+        if hasattr(lm, "close"):
+            lm.close()
 
+
+def _evaluate(lm, tasks, limit, seed, log_samples) -> Dict[str, Any]:
     results: Dict[str, Any] = {"results": {}, "configs": {}, "samples": {}}
     for task_name in tasks or []:
         task = ConfigurableTask(get_task(task_name))

@@ -1,1 +1,1 @@
-from . import gpt4v, llava  # noqa: F401  (register adapters)
+from . import gpt4v, llava, llava_sglang  # noqa: F401  (register adapters)

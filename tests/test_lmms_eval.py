@@ -417,3 +417,65 @@ def test_gpt4v_adapter_live_smoke():
                     idx=0, task_name="smoke", doc_id=0)
     out = lm.generate_until([inst])
     assert isinstance(out[0], str) and out[0]
+
+
+def test_llava_sglang_adapter_end_to_end(tmp_path):
+    """Evaluate a toy VQA task THROUGH the serving stack: harness ->
+    llava_sglang adapter -> HTTP /generate -> sglang_worker (paged
+    continuous batcher) -> debug model.  Reference bar:
+    lmms-eval/lmms_eval/models/llava_sglang.py (runtime + thread fan-out).
+    """
+    import json as _json
+
+    from PIL import Image
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    Image.new("RGB", (64, 64), (0, 120, 40)).save(img_dir / "g.jpg")
+    docs = [
+        {"question": "What color?", "answer": "green", "image": "g.jpg"},
+        {"question": "How many dogs?", "answer": "0", "image": "g.jpg"},
+        {"question": "Indoors or outdoors?", "answer": "outdoors",
+         "image": "g.jpg"},
+    ]
+    dpath = tmp_path / "docs.json"
+    with open(dpath, "w") as f:
+        _json.dump(docs, f)
+
+    from matryoshka_mm_tpu.lmms_eval.api.registry import register_task
+    from matryoshka_mm_tpu.lmms_eval.evaluator import simple_evaluate
+
+    register_task("toy_vqa_sglang", {
+        "task": "toy_vqa_sglang",
+        "dataset_path": str(dpath),
+        "doc_to_visual": "image",
+        "doc_to_text": "{question}",
+        "doc_to_target": "answer",
+        "dataset_kwargs": {"image_folder": str(img_dir)},
+        "generation_kwargs": {"max_new_tokens": 4, "temperature": 0.0},
+        "metric_list": [{"metric": "exact_match"}],
+    })
+
+    results = simple_evaluate(
+        model="llava_sglang",
+        model_args="pretrained=debug://tiny,parallel=3,max_batch=2",
+        tasks=["toy_vqa_sglang"],
+        matryoshka_vis_token_scale="ver=v0_numtoks=4",
+        log_samples=True,
+    )
+    agg = results["results"]["toy_vqa_sglang"]
+    assert agg["samples"] == 3
+    assert 0.0 <= agg["exact_match"] <= 1.0
+    # every sample produced a real (string) response through the wire
+    for s in results["samples"]["toy_vqa_sglang"]:
+        assert isinstance(s["resps"][0], str)
+
+
+def test_llava_sglang_adapter_loglikelihood_unsupported():
+    from matryoshka_mm_tpu.lmms_eval.api.registry import get_model
+    import pytest as _pytest
+
+    cls = get_model("llava_sglang")
+    lm = cls.__new__(cls)          # no worker spin-up needed for this
+    with _pytest.raises(NotImplementedError):
+        lm.loglikelihood([])
