@@ -45,7 +45,12 @@ class _Heartbeat(dict):
 
 
 def _emit(results, error=None):
-    """Print the one bench JSON line (partial if `error`)."""
+    """Print the one bench JSON line (partial if `error`).
+
+    The full structured output is ALSO written to BENCH_DETAIL.json next
+    to this file: the driver's artifact keeps only a tail of stdout, which
+    round 4 showed can truncate the sections the verdict needs (ADVICE
+    r4) — the detail file preserves the whole record for the repo."""
     scales = results.get("scales") or {}
     headline = (scales.get("144") or {}).get("decode_tok_s")
     cpu = results.get("cpu_reference_decode_tok_s")
@@ -58,6 +63,13 @@ def _emit(results, error=None):
     }
     if error:
         line["error"] = error
+    try:
+        detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   "BENCH_DETAIL.json")
+        with open(detail_path, "w") as f:
+            json.dump(line, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(line), flush=True)
 
 
@@ -489,6 +501,23 @@ def main():
     platform = dev.platform
     results = _Heartbeat({"device": str(dev), "platform": platform})
     _start_watchdog(results)
+
+    # --------------------------------------------------------------
+    # 0) HBM bandwidth calibration: a bare Pallas read/copy kernel with
+    # no compute (ops/hbm_probe.py).  Independent check of the ~640 GB/s
+    # "practical DMA ceiling" the int4-at-92%-of-light claim rests on
+    # (docs/Architecture.md): if the bare kernel matched the 819 GB/s
+    # nameplate, the decode kernels would have headroom after all.
+    # --------------------------------------------------------------
+    if platform != "cpu":
+        try:
+            from matryoshka_mm_tpu.ops.hbm_probe import (hbm_copy_gb_s,
+                                                         hbm_read_gb_s)
+
+            results["hbm_read_gb_s"] = round(hbm_read_gb_s(), 1)
+            results["hbm_copy_gb_s"] = round(hbm_copy_gb_s(), 1)
+        except Exception as e:  # noqa: BLE001
+            results["hbm_probe_error"] = str(e)[:200]
 
     # --------------------------------------------------------------
     # 1) ViT-L/14-336 encode throughput (images/sec)

@@ -89,10 +89,17 @@ class _Request:
     # scheduler retires the row at its next round instead of decoding the
     # remaining budget into a stream nobody reads
     cancelled: bool = False
-    # host copy of the row length right after prefill: lets the pipelined
-    # decode loop compute page needs without fetching device lengths
-    # (row_len == len0 + len(generated) - 1 for every processed round)
+    # host copy of the row length right after prefill (== the spliced
+    # prompt length, computed host-side — no device fetch): lets the
+    # pipelined decode loop compute page needs without fetching device
+    # lengths (row_len == len0 + len(generated) - 1 for every processed
+    # round)
     len0: int = 0
+    # deferred-admission marker: the prefill's first token is still a
+    # device future (not yet in ``generated``/the client stream); the
+    # scheduler resolves it after the next round dispatch — see
+    # _activate_rows/_resolve_pending
+    pending: bool = False
 
 
 @lru_cache(maxsize=8)
@@ -290,6 +297,16 @@ class ContinuousBatcher:
             self.lora_pack, self.lora_names = pack_adapters(adapters)
             self.lora_idx = jnp.zeros((max_batch,), jnp.int32)
 
+        # deferred first tokens: [(first_device_array, [(req, slot), ...])]
+        # — fetched once per admission group AFTER the next decode round
+        # is dispatched, so admissions never stall the device pipeline
+        self._pending_first: List[tuple] = []
+        # page-table device mirror refresh is batched to one upload per
+        # decode dispatch (allocator changes only set this flag)
+        self._tables_dirty = False
+        # set by the scheduler loop: paged non-speculative scheduling
+        # admits asynchronously (first-token fetch deferred)
+        self._defer_admit = False
         self.pending: "queue.Queue[_Request]" = queue.Queue()
         # out-of-pages retries and retire continuations go HERE, not back
         # into pending: a tail requeue would let later arrivals jump ahead
@@ -640,7 +657,7 @@ class ContinuousBatcher:
             self.paged = import_page_range(
                 self.paged, dense, H, n_new,
                 self.alloc.tables[slot][H:n_total], self.page_size)
-        self.tables = jnp.asarray(self.alloc.tables)
+        self._tables_dirty = True
         reg_n = T // self.page_size
         if reg_n > H:
             self.index.register(hashes[H:reg_n],
@@ -650,16 +667,87 @@ class ContinuousBatcher:
         self.stats["prefix_pages_reused"] += H
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
-        self._finish_admit(req, slot, first, lengths[0])
+        self._complete_admit(req, slot, first, T)
         self._ev("admit_prefix", rid=req.rid, slot=slot, pages=H)
         return True
 
-    def _finish_admit(self, req: _Request, slot: int, first, length):
-        """Emit the prefill token and either activate the row or finish the
+    def _complete_admit(self, req: _Request, slot: int, first, host_len: int):
+        """Activate an admitted request: asynchronously under the paged
+        pipelined scheduler (first token stays a device future), else
+        through the synchronous finish.  Constrained requests always
+        finish synchronously (the DFA advance needs the token value) and
+        so do budget-1 requests (activating them would over-emit)."""
+        if (self._defer_admit and req.constraint is None
+                and req.max_new_tokens > 1 and not req.cancelled):
+            self._activate_rows([(req, slot)], first[0:1], [host_len])
+        else:
+            self._finish_admit(req, slot, first[0:1], host_len)
+
+    def _activate_rows(self, members, first_sel, host_lens):
+        """Activate admitted rows WITHOUT any host sync (round-5 fix for
+        the sustained-serving stall: the old per-admission first-token
+        fetch blocked the scheduler behind the in-flight decode round +
+        the prefill, leaving the device idle ~45% of a saturated window).
+
+        Device-side state updates only; ``first_sel`` (G,) stays a device
+        future that :meth:`_resolve_pending` fetches AFTER the next round
+        is dispatched.  An EOS first token deactivates its row on device
+        (``first != eos``); the row is then retired by the next round's
+        processing, exactly like a row that hits EOS mid-decode."""
+        sel = jnp.asarray(np.asarray([s for _, s in members], np.int32))
+        self.tokens = self.tokens.at[sel].set(first_sel)
+        self.lengths = self.lengths.at[sel].set(
+            jnp.asarray(np.asarray(host_lens, np.int32)))
+        self.budget = self.budget.at[sel].set(jnp.asarray(np.asarray(
+            [r.max_new_tokens - 1 for r, _ in members], np.int32)))
+        self.active = self.active.at[sel].set(
+            first_sel != self.gen_cfg.eos_token_id)
+        if self.lora_idx is not None:
+            self.lora_idx = self.lora_idx.at[sel].set(
+                jnp.asarray(np.asarray([self.lora_names.get(r.lora_id, 0)
+                                        for r, _ in members], np.int32)))
+        if self.fsm_vocab is not None:
+            # deferred admissions are never constrained: free state
+            self.fsm_state = self.fsm_state.at[sel].set(1)
+        for i, (req, slot) in enumerate(members):
+            req.len0 = int(host_lens[i])
+            req.pending = True
+            req.slot = slot
+            self.slots[slot] = req
+        self._pending_first.append((first_sel, members))
+
+    def _resolve_pending(self):
+        """Fetch and emit deferred first tokens — one host fetch per
+        admission group, issued only after the next decode round was
+        dispatched, so the wait overlaps device decode instead of
+        stalling it.  Emission always precedes the row's retirement: a
+        row admitted at iteration n is first processed with round n's
+        results at iteration n+1, while this runs at the end of n."""
+        pend, self._pending_first = self._pending_first, []
+        for first_arr, members in pend:
+            vals = np.asarray(first_arr)
+            for i, (req, _slot) in enumerate(members):
+                req.pending = False
+                tok = int(vals[i])
+                req.out_queue.put(np.asarray([tok], np.int32))
+                req.emitted += 1
+                req.generated.append(tok)
+
+    def _sync_tables(self):
+        """Refresh the device page-table mirror at most once per decode
+        dispatch (allocator mutations only mark it dirty)."""
+        if self._tables_dirty:
+            self.tables = jnp.asarray(self.alloc.tables)
+            self._tables_dirty = False
+
+    def _finish_admit(self, req: _Request, slot: int, first, length: int):
+        """Synchronous admission finish (host-syncs on the prefill): emit
+        the prefill token and either activate the row or finish the
         request immediately (first token is EOS, or the budget was 1 —
-        activating such a row would over-emit past the budget)."""
+        activating such a row would over-emit past the budget).
+        ``length`` is the host-computed spliced prompt length."""
         first_tok = int(np.asarray(first)[0])
-        req.len0 = int(np.asarray(length))   # same sync point as `first`
+        req.len0 = int(length)
         req.out_queue.put(np.asarray(first))
         req.emitted += 1
         req.generated.append(first_tok)
@@ -675,10 +763,10 @@ class ContinuousBatcher:
             req.out_queue.put(None)
             if self.backend == "paged":
                 self.alloc.free_row(slot)
-                self.tables = jnp.asarray(self.alloc.tables)
+                self._tables_dirty = True
             return
         self.tokens = self.tokens.at[slot].set(first[0])
-        self.lengths = self.lengths.at[slot].set(length)
+        self.lengths = self.lengths.at[slot].set(int(length))
         self.active = self.active.at[slot].set(True)
         self.budget = self.budget.at[slot].set(req.max_new_tokens - 1)
         if self.lora_idx is not None:
@@ -780,12 +868,16 @@ class ContinuousBatcher:
             logits = self._install_fsm(req, slot, logits)
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
 
+        # host-computed spliced length == the prefill's device `lengths`
+        # (submit() guarantees it fits self.L) — no sync needed
+        T = self.spliced_len(req.input_ids, req.numtoks, req.pixel_values,
+                             req.image_size)
         if self.backend == "paged":
-            if not self._insert_paged(req, slot, cache, lengths):
+            if not self._insert_paged(req, slot, cache, T):
                 return False
         else:
             self._insert_dense(slot, cache)
-        self._finish_admit(req, slot, first, lengths[0])
+        self._complete_admit(req, slot, first, T)
         self.admit_stats["solo"] += 1
         self._ev("admit_solo", rid=req.rid, slot=slot,
                  ms=(time.perf_counter() - t0) * 1e3)
@@ -801,8 +893,10 @@ class ContinuousBatcher:
         prefill reads the weights once and scales only in FLOPs, so
         admission throughput under burst arrivals improves ~Gx (the
         reference worker's per-request generation threads never batch
-        prefill at all: llava/serve/model_worker.py:240-268).
-        Per-row pool insertion and failure handling are unchanged."""
+        prefill at all: llava/serve/model_worker.py:240-268).  Under the
+        paged backend the whole group imports with ONE donated jit
+        (paged_cache.import_prefill_group) and activates with one batched
+        update; allocation failures requeue per-row as before."""
         t0 = time.perf_counter()
         reqs = [r for r, _ in members]
         params = self._params_for(reqs[0])
@@ -821,24 +915,59 @@ class ContinuousBatcher:
                 self.cfg, self.L, self.capacity)(params, ids_p, mask)
 
         first, _ = _select_token(logits, self.gen_cfg, jax.random.PRNGKey(0))
+        host_lens = [self.spliced_len(r.input_ids, r.numtoks,
+                                      r.pixel_values, r.image_size)
+                     for r in reqs]
         ok_any = False
-        for g, (req, slot) in enumerate(members):
-            row = KVCache(k=cache.k[:, g:g + 1], v=cache.v[:, g:g + 1],
-                          valid=cache.valid[g:g + 1],
-                          positions=cache.positions[g:g + 1],
-                          write_idx=cache.write_idx,
-                          k_scale=None if cache.k_scale is None
-                          else cache.k_scale[:, g:g + 1],
-                          v_scale=None if cache.v_scale is None
-                          else cache.v_scale[:, g:g + 1])
-            if self.backend == "paged":
-                if not self._insert_paged(req, slot, row, lengths[g:g + 1]):
-                    continue        # re-queued or failed by _insert_paged
-            else:
+        if self.backend == "paged":
+            from .paged_cache import import_prefill_group
+
+            ok = [(g, req, slot) for g, (req, slot) in enumerate(members)
+                  if self._alloc_pages(req, slot, host_lens[g])]
+            if ok:
+                # ONE donated jit scatters every admitted row's pages
+                # (failed rows keep an all-trash table); trace keyed by
+                # the group size alone
+                G, n_pt = len(members), self.pages_per_row
+                tables = np.zeros((G, n_pt), np.int32)
+                pads = np.zeros((G,), np.int32)
+                for g, req, slot in ok:
+                    tables[g] = self.alloc.tables[slot][:n_pt]
+                    pads[g] = self.L - host_lens[g]
+                self.paged = import_prefill_group(
+                    self.paged, cache, pads, tables, self.page_size)
+                for g, req, slot in ok:
+                    self._register_prefix_pages(req, slot, host_lens[g])
+                defer = [(g, req, slot) for g, req, slot in ok
+                         if self._defer_admit and req.max_new_tokens > 1
+                         and not req.cancelled]
+                if defer:
+                    sel = jnp.asarray(
+                        np.asarray([g for g, _, _ in defer], np.int32))
+                    self._activate_rows(
+                        [(req, slot) for _, req, slot in defer],
+                        first[sel], [host_lens[g] for g, _, _ in defer])
+                deferred = {g for g, _, _ in defer}
+                for g, req, slot in ok:
+                    if g not in deferred:
+                        self._finish_admit(req, slot, first[g:g + 1],
+                                           host_lens[g])
+                    self.admit_stats["grouped"] += 1
+                ok_any = True
+        else:
+            for g, (req, slot) in enumerate(members):
+                row = KVCache(k=cache.k[:, g:g + 1], v=cache.v[:, g:g + 1],
+                              valid=cache.valid[g:g + 1],
+                              positions=cache.positions[g:g + 1],
+                              write_idx=cache.write_idx,
+                              k_scale=None if cache.k_scale is None
+                              else cache.k_scale[:, g:g + 1],
+                              v_scale=None if cache.v_scale is None
+                              else cache.v_scale[:, g:g + 1])
                 self._insert_dense(slot, row)
-            self._finish_admit(req, slot, first[g:g + 1], lengths[g])
-            self.admit_stats["grouped"] += 1
-            ok_any = True
+                self._finish_admit(req, slot, first[g:g + 1], host_lens[g])
+                self.admit_stats["grouped"] += 1
+                ok_any = True
         self._ev("admit_group", rids=[r.rid for r in reqs],
                  ms=(time.perf_counter() - t0) * 1e3)
         return ok_any
@@ -877,11 +1006,10 @@ class ContinuousBatcher:
                                               cache.v_scale, (0, slot, 0, 0)),
         )
 
-    def _insert_paged(self, req: _Request, slot: int, cache: KVCache,
-                      lengths) -> bool:
-        from .paged_cache import import_prefill
-
-        T = int(np.asarray(lengths)[0])
+    def _alloc_pages(self, req: _Request, slot: int, T: int) -> bool:
+        """Allocate row ``slot``'s pages for a ``T``-token prefill.
+        On pool pressure the request retries at the front of the line;
+        a request that can never fit gets an explicit error."""
         ok = self.alloc.allocate_row(slot, T, headroom=self._headroom)
         if not ok and self.index is not None and self.alloc.cached:
             self.index.drop_pages(self.alloc.flush_cached())
@@ -905,23 +1033,37 @@ class ContinuousBatcher:
                 self._retry.append(req)
                 self._ev("retry_pages", rid=req.rid)
             return False
+        self._tables_dirty = True
+        return True
+
+    def _register_prefix_pages(self, req: _Request, slot: int, T: int):
+        """Register a freshly imported row's full pages with the prefix
+        index (no-op without the prefix cache)."""
+        if self.index is None:
+            return
+        from .prefix_cache import chain_hashes
+
+        key_seq, _ = self._key_seq(req)
+        if key_seq is not None and len(key_seq) == T:
+            reg_n = T // self.page_size
+            if reg_n > 0:
+                hashes = chain_hashes(key_seq, self.page_size,
+                                      salt=req.lora_id or "")
+                pages = self.alloc.tables[slot][:reg_n].tolist()
+                self.index.register(hashes[:reg_n], pages)
+                self.alloc.pin(pages)
+
+    def _insert_paged(self, req: _Request, slot: int, cache: KVCache,
+                      T: int) -> bool:
+        from .paged_cache import import_prefill
+
+        if not self._alloc_pages(req, slot, T):
+            return False
         self.paged = import_prefill(self.paged, cache, self.L - T,
                                     self.alloc.tables[slot],
                                     int(self.alloc.n_alloc[slot]),
                                     self.page_size)
-        self.tables = jnp.asarray(self.alloc.tables)
-        if self.index is not None:
-            from .prefix_cache import chain_hashes
-
-            key_seq, _ = self._key_seq(req)
-            if key_seq is not None and len(key_seq) == T:
-                reg_n = T // self.page_size
-                if reg_n > 0:
-                    hashes = chain_hashes(key_seq, self.page_size,
-                                          salt=req.lora_id or "")
-                    pages = self.alloc.tables[slot][:reg_n].tolist()
-                    self.index.register(hashes[:reg_n], pages)
-                    self.alloc.pin(pages)
+        self._register_prefix_pages(req, slot, T)
         return True
 
     def _propose_drafts(self):
@@ -957,11 +1099,15 @@ class ContinuousBatcher:
         added (over-provisions by at most one page per row)."""
         if not pipelined:
             lengths = np.asarray(self.lengths)
+        changed = False
         for slot, req in enumerate(self.slots):
             if req is None:
                 continue
             if pipelined:
-                cur = req.len0 + len(req.generated) - 1 + self.chunk
+                # an unresolved deferred first token counts as one
+                # generated token the host hasn't seen yet
+                gen = len(req.generated) + (1 if req.pending else 0)
+                cur = req.len0 + gen - 1 + self.chunk
             else:
                 cur = int(lengths[slot])
             need = cur + self._headroom
@@ -973,18 +1119,27 @@ class ContinuousBatcher:
                         continue
                     ok = False
                     break
+                changed = True
             if not ok:
                 self.slots[slot] = None
                 self.alloc.free_row(slot)
+                changed = True
                 self.active = self.active.at[slot].set(False)
                 self._requeue_inflight(req, "out of KV pages mid-decode")
-        self.tables = jnp.asarray(self.alloc.tables)
+        if changed:
+            self._tables_dirty = True
 
     def _requeue_inflight(self, req: _Request, reason: str):
         self._ev("requeue", rid=req.rid, reason=reason)
         """Resume a mid-flight request through the front-of-line retry
         with prompt+generated (its row is already freed).  A request that
         can no longer fit gets an explicit error chunk."""
+        if req.pending:
+            # deferred admission requeued before its first token was
+            # resolved (a pool so tight _ensure_pages fails in the same
+            # iteration): resolve now, or the continuation would rebuild
+            # the same prompt with no progress — a livelock
+            self._resolve_pending()
         remaining = req.max_new_tokens - len(req.generated)
         if remaining <= 0:
             req.out_queue.put(None)
@@ -1086,6 +1241,11 @@ class ContinuousBatcher:
         # host history, which pipelining would leave one round stale.
         pipelined = (self.backend == "paged" and self.spec_k == 0
                      and self.pipeline_rounds)
+        # pipelined scheduling also defers admission finishes: prefill
+        # results stay device futures until after the next round dispatch
+        # (_activate_rows/_resolve_pending), so admissions cost the host
+        # no sync at all
+        self._defer_admit = pipelined
         inflight = None     # (toks, active, slots snapshot, dispatch time)
         while not self._stop:
             # Admit as many pending requests as there are free slots.
@@ -1148,6 +1308,7 @@ class ContinuousBatcher:
                 if any(r is not None for r in self.slots):
                     self._ensure_pages(pipelined=True)
                 if any(r is not None for r in self.slots):
+                    self._sync_tables()
                     t_round = time.perf_counter()
                     rng, sub = jax.random.split(rng)
                     if self.fsm_vocab is not None:
@@ -1169,6 +1330,9 @@ class ContinuousBatcher:
                     self._process_round(*inflight)
                 elif new_inflight is None and not admitted:
                     time.sleep(0.005)
+                # deferred first tokens are fetched only now, with the
+                # next round already on the device stream
+                self._resolve_pending()
                 inflight = new_inflight
                 continue
 
@@ -1183,6 +1347,7 @@ class ContinuousBatcher:
                 self._ensure_pages()
                 if not bool(np.asarray(self.active).any()):
                     continue
+                self._sync_tables()
                 (self.paged, self.tokens, self.lengths, self.budget,
                  self.active, toks, n_emit) = decode(
                      self.params, self.paged, self.tables, self.lengths,
@@ -1195,6 +1360,7 @@ class ContinuousBatcher:
                 self._ensure_pages()
                 if not bool(np.asarray(self.active).any()):
                     continue
+                self._sync_tables()
                 if self.fsm_vocab is not None:
                     (self.paged, self.tokens, self.lengths, self.budget,
                      self.active, toks, self.fsm_state) = decode(
@@ -1244,6 +1410,11 @@ class ContinuousBatcher:
             if req is None or self.slots[slot] is not req:
                 continue
             if req.cancelled:
+                if req.pending:
+                    # first token still a device future: retire next
+                    # round, after _resolve_pending emitted it (a None
+                    # now would end the stream out of order)
+                    continue
                 # client stopped mid-stream: retire the row now —
                 # the tokens decoded this chunk are discarded, the
                 # budget stops burning
@@ -1252,7 +1423,7 @@ class ContinuousBatcher:
                 self.active = self.active.at[slot].set(False)
                 if self.backend == "paged":
                     self.alloc.free_row(slot)
-                    self.tables = jnp.asarray(self.alloc.tables)
+                    self._tables_dirty = True
                 continue
             row = toks_np[slot]
             # -1 is the device-side "no token" sentinel (see the
@@ -1268,6 +1439,7 @@ class ContinuousBatcher:
                 self.slots[slot] = None
                 if self.backend == "paged":
                     self.alloc.free_row(slot)
+                    self._tables_dirty = True
 
     def _retire_all(self, reason: str):
         """Dense pool write region exhausted: reset it and re-admit every

@@ -493,6 +493,76 @@ def import_prefill(paged: PagedKVCache, dense: KVCache, pad: int, row_table,
 
 
 @lru_cache(maxsize=8)
+def _import_prefill_group_fn(G: int, n_pt: int, page_size: int,
+                             paged_int8: bool, dense_int8: bool):
+    """Group-admission import: compact + quantize + scatter ALL ``G`` rows
+    of one batched prefill cache into their pages with ONE donated jit.
+
+    The per-member solo imports this replaces cost G dispatches plus G
+    eager row-slice copies of the (n_layers, G, S, ...) cache through the
+    device tunnel — measured as a large share of the admission stall that
+    kept the device idle ~45% of a sustained-load window (round 5
+    diagnosis, scripts/diag_sustained.py).  Rows whose page allocation
+    failed pass an all-zero table (the allocator's reserved trash page),
+    so their data scatters into dead storage and the trace stays keyed on
+    ``G`` alone."""
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def f(paged: PagedKVCache, k, v, ks, vs, pads, idx):
+        n_layers, _, S, Hkv, Dh = k.shape
+        T = n_pt * page_size
+
+        def compact(x):
+            """(n_layers, G, S, ...) -> (n_layers, G*n_pt, page, ...):
+            left-pad removed per row, then paged."""
+            rolled = jax.vmap(
+                lambda row, pad: jnp.roll(row, -pad, axis=1),
+                in_axes=(1, 0), out_axes=1)(x, pads)[:, :, :T]
+            return rolled.reshape((n_layers, G * n_pt, page_size)
+                                  + x.shape[3:])
+
+        kr, vr = compact(k), compact(v)
+        ksr = vsr = None
+        if paged_int8:
+            if dense_int8:
+                ksr, vsr = compact(ks), compact(vs)
+            else:
+                kr, ksr = _quantize_pages(kr)
+                vr, vsr = _quantize_pages(vr)
+        flat = idx.reshape(-1)
+        return PagedKVCache(
+            k=paged.k.at[:, flat].set(kr.astype(paged.k.dtype)),
+            v=paged.v.at[:, flat].set(vr.astype(paged.v.dtype)),
+            k_scale=paged.k_scale if ksr is None
+            else paged.k_scale.at[:, flat].set(ksr),
+            v_scale=paged.v_scale if vsr is None
+            else paged.v_scale.at[:, flat].set(vsr),
+        )
+
+    return f
+
+
+def import_prefill_group(paged: PagedKVCache, dense: KVCache, pads,
+                         row_tables, page_size: int) -> PagedKVCache:
+    """Import a (G, L) batched prefill into G rows' pages in one call.
+
+    ``pads``: per-row left-pad counts (G,) host ints; ``row_tables``:
+    (G, n_pt) page ids (numpy) — full row width, trailing entries the
+    trash page.  See :func:`import_prefill` for the solo semantics this
+    batches."""
+    _check_dense_dtype(paged, dense)
+    tables = np.asarray(row_tables, np.int32)
+    G, n_pt = tables.shape
+    n_pt = min(n_pt, dense.k.shape[2] // page_size)
+    return _import_prefill_group_fn(
+        G, n_pt, page_size, paged.k_scale is not None,
+        dense.k_scale is not None)(
+        paged, dense.k, dense.v, dense.k_scale, dense.v_scale,
+        jnp.asarray(np.asarray(pads, np.int32)),
+        jnp.asarray(tables[:, :n_pt]))
+
+
+@lru_cache(maxsize=8)
 def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
                           page_size: int, use_kernel: bool,
                           fsm: bool = False):
