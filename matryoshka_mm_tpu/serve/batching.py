@@ -297,10 +297,6 @@ class ContinuousBatcher:
             self.lora_pack, self.lora_names = pack_adapters(adapters)
             self.lora_idx = jnp.zeros((max_batch,), jnp.int32)
 
-        # deferred first tokens: [(first_device_array, [(req, slot), ...])]
-        # — fetched once per admission group AFTER the next decode round
-        # is dispatched, so admissions never stall the device pipeline
-        self._pending_first: List[tuple] = []
         # page-table device mirror refresh is batched to one upload per
         # decode dispatch (allocator changes only set this flag)
         self._tables_dirty = False
@@ -690,10 +686,14 @@ class ContinuousBatcher:
         the prefill, leaving the device idle ~45% of a saturated window).
 
         Device-side state updates only; ``first_sel`` (G,) stays a device
-        future that :meth:`_resolve_pending` fetches AFTER the next round
-        is dispatched.  An EOS first token deactivates its row on device
-        (``first != eos``); the row is then retired by the next round's
-        processing, exactly like a row that hits EOS mid-decode."""
+        future.  The host reads the value out of the NEXT decode round's
+        ``tokens_in`` echo output when that round is processed (the row
+        joins it in this same scheduler iteration) — never via a direct
+        fetch, which the tunneled platform can block behind the round's
+        compile+execution (it consumes this buffer's lineage).  An EOS
+        first token deactivates its row on device (``first != eos``); the
+        row is then retired by the next round's processing, exactly like
+        a row that hits EOS mid-decode."""
         sel = jnp.asarray(np.asarray([s for _, s in members], np.int32))
         self.tokens = self.tokens.at[sel].set(first_sel)
         self.lengths = self.lengths.at[sel].set(
@@ -714,24 +714,15 @@ class ContinuousBatcher:
             req.pending = True
             req.slot = slot
             self.slots[slot] = req
-        self._pending_first.append((first_sel, members))
 
-    def _resolve_pending(self):
-        """Fetch and emit deferred first tokens — one host fetch per
-        admission group, issued only after the next decode round was
-        dispatched, so the wait overlaps device decode instead of
-        stalling it.  Emission always precedes the row's retirement: a
-        row admitted at iteration n is first processed with round n's
-        results at iteration n+1, while this runs at the end of n."""
-        pend, self._pending_first = self._pending_first, []
-        for first_arr, members in pend:
-            vals = np.asarray(first_arr)
-            for i, (req, _slot) in enumerate(members):
-                req.pending = False
-                tok = int(vals[i])
-                req.out_queue.put(np.asarray([tok], np.int32))
-                req.emitted += 1
-                req.generated.append(tok)
+    def _emit_pending_first(self, req: _Request, tok: int):
+        """Deliver a deferred admission's first token to the client and
+        host history (from the processed round's ``tokens_in`` echo, or
+        the requeue fallback's state fetch)."""
+        req.pending = False
+        req.out_queue.put(np.asarray([tok], np.int32))
+        req.emitted += 1
+        req.generated.append(tok)
 
     def _sync_tables(self):
         """Refresh the device page-table mirror at most once per decode
@@ -1135,11 +1126,14 @@ class ContinuousBatcher:
         with prompt+generated (its row is already freed).  A request that
         can no longer fit gets an explicit error chunk."""
         if req.pending:
-            # deferred admission requeued before its first token was
-            # resolved (a pool so tight _ensure_pages fails in the same
-            # iteration): resolve now, or the continuation would rebuild
-            # the same prompt with no progress — a livelock
-            self._resolve_pending()
+            # deferred admission requeued before any round echoed its
+            # first token (a pool so tight _ensure_pages fails in the
+            # same iteration): fetch it from the row state now — safe
+            # here because the next round consuming self.tokens has NOT
+            # been dispatched yet — or the continuation would rebuild
+            # the same prompt with no progress (a livelock)
+            self._emit_pending_first(
+                req, int(np.asarray(self.tokens[req.slot])))
         remaining = req.max_new_tokens - len(req.generated)
         if remaining <= 0:
             req.out_queue.put(None)
@@ -1313,26 +1307,23 @@ class ContinuousBatcher:
                     rng, sub = jax.random.split(rng)
                     if self.fsm_vocab is not None:
                         (self.paged, self.tokens, self.lengths, self.budget,
-                         self.active, toks, self.fsm_state) = decode(
+                         self.active, toks, self.fsm_state, echo) = decode(
                              self.params, self.paged, self.tables,
                              self.lengths, self.tokens, self.budget,
                              self.active, sub, self.lora_pack, self.lora_idx,
                              self.fsm_allow, self.fsm_trans, self.fsm_state)
                     else:
                         (self.paged, self.tokens, self.lengths, self.budget,
-                         self.active, toks, _) = decode(
+                         self.active, toks, _, echo) = decode(
                              self.params, self.paged, self.tables,
                              self.lengths, self.tokens, self.budget,
                              self.active, sub, self.lora_pack, self.lora_idx)
-                    new_inflight = (toks, self.active, list(self.slots),
-                                    t_round)
+                    new_inflight = (toks, echo, self.active,
+                                    list(self.slots), t_round)
                 if inflight is not None:
                     self._process_round(*inflight)
                 elif new_inflight is None and not admitted:
                     time.sleep(0.005)
-                # deferred first tokens are fetched only now, with the
-                # next round already on the device stream
-                self._resolve_pending()
                 inflight = new_inflight
                 continue
 
@@ -1363,14 +1354,14 @@ class ContinuousBatcher:
                 self._sync_tables()
                 if self.fsm_vocab is not None:
                     (self.paged, self.tokens, self.lengths, self.budget,
-                     self.active, toks, self.fsm_state) = decode(
+                     self.active, toks, self.fsm_state, _echo) = decode(
                          self.params, self.paged, self.tables,
                          self.lengths, self.tokens, self.budget,
                          self.active, sub, self.lora_pack, self.lora_idx,
                          self.fsm_allow, self.fsm_trans, self.fsm_state)
                 else:
                     (self.paged, self.tokens, self.lengths, self.budget,
-                     self.active, toks, _) = decode(
+                     self.active, toks, _, _echo) = decode(
                          self.params, self.paged, self.tables,
                          self.lengths, self.tokens, self.budget,
                          self.active, sub, self.lora_pack, self.lora_idx)
@@ -1385,10 +1376,16 @@ class ContinuousBatcher:
                  self.active, toks) = decode(
                      self.params, self.pool, self.tokens, self.lengths,
                      self.active, self.budget, sub)
-            self._process_round(toks, self.active, list(self.slots), t_round)
+            self._process_round(toks, None, self.active,
+                                list(self.slots), t_round)
 
-    def _process_round(self, toks, active, snap, t_dispatch):
+    def _process_round(self, toks, toks_in, active, snap, t_dispatch):
         """Fetch a dispatched round's results and demux them to clients.
+
+        ``toks_in`` is the round's echo of its pre-round token vector
+        (None on the non-pipelined paths): rows admitted asynchronously
+        in the round's own iteration read their prefill first token from
+        it here — their only host materialization.
 
         ``snap`` is the slot->request mapping AT DISPATCH TIME: under the
         pipelined loop a snapshot row may have been finalized since
@@ -1399,6 +1396,7 @@ class ContinuousBatcher:
         freed-while-in-flight row, wrote into pages whose next owner's
         prefill import is already enqueued behind this round."""
         toks_np = np.asarray(toks)      # blocks until the round completes
+        toks_in_np = None if toks_in is None else np.asarray(toks_in)
         active_np = np.asarray(active)
         self._ev("decode_round",
                  ms=(time.perf_counter() - t_dispatch) * 1e3,
@@ -1409,12 +1407,9 @@ class ContinuousBatcher:
         for slot, req in enumerate(snap):
             if req is None or self.slots[slot] is not req:
                 continue
+            if req.pending and toks_in_np is not None:
+                self._emit_pending_first(req, int(toks_in_np[slot]))
             if req.cancelled:
-                if req.pending:
-                    # first token still a device future: retire next
-                    # round, after _resolve_pending emitted it (a None
-                    # now would end the stream out of order)
-                    continue
                 # client stopped mid-stream: retire the row now —
                 # the tokens decoded this chunk are discarded, the
                 # budget stops burning

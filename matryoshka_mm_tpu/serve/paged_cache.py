@@ -614,11 +614,21 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
 
         if not fsm:
             fsm_state = jnp.zeros_like(tokens)
+        # echo the pre-round tokens as a FRESH output buffer: deferred
+        # admissions read their prefill's first token from here when the
+        # round is processed.  The scheduler must never host-fetch a
+        # buffer whose lineage later programs consume — on the tunneled
+        # platform such a fetch blocks until those consumers (and their
+        # compiles) finish (round-5 measurement: scripts/diag_sustained
+        # stack dumps + /tmp repro variants) — so the first token must
+        # come out of the round itself, not a separate early fetch.
+        tokens_in = tokens + 0
         (paged, token, row_len, budget, active, rng, fsm_state), toks = (
             jax.lax.scan(step, (paged, tokens, row_len, budget,
                                 active, rng, fsm_state),
                          jnp.arange(steps)))
-        return paged, token, row_len, budget, active, toks.T, fsm_state
+        return paged, token, row_len, budget, active, toks.T, fsm_state, \
+            tokens_in
 
     return decode
 

@@ -10,9 +10,16 @@ prints a steady-state time budget: where each second of wall clock went
 """
 import argparse
 import dataclasses
+import faulthandler
+import signal
 import sys
 import threading
 import time
+
+# SIGUSR1 -> all-thread stack dump (diagnose tunnel wedges / deadlocks)
+faulthandler.register(signal.SIGUSR1)
+# hard backstop: dump every 300s so a silent hang self-documents
+faulthandler.dump_traceback_later(300, repeat=True)
 
 import numpy as np
 
