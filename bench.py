@@ -242,17 +242,16 @@ def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None):
     return {"config": label, "error": errors}
 
 
-def _serving_bench(params, cfg, speculative_k: int = 0):
-    """Continuous-batching serving throughput under concurrency
-    (reference worker default: 5 concurrent generations,
-    llava/serve/model_worker.py:268).  Drives the ContinuousBatcher
-    (scheduler + paged KV + prefix cache + batched decode) directly;
-    the aiohttp transport (~ms/request) is excluded.  Reports req/s,
-    aggregate decode tok/s, and per-request TTFT p50/p95 measured from
-    submit to first streamed token."""
+def _mk_serving_batcher(params, cfg, speculative_k: int = 0,
+                        chunk: int = 16, max_new_pool: int = 256):
+    """Build + fully warm the serving batcher (paged, int8 KV, prefix
+    cache).  The burst/sustained/SLA sections share ONE batcher so the
+    5-minute trace warmup is paid once per bench run.  Round-3 context:
+    the warmup covers the FULL admission/decode trace set (solo + every
+    group size + prefix-hit path) because cold compiles mid-load land in
+    user-visible TTFT (the round-3 12s/25s staircase)."""
     import dataclasses
 
-    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
     from matryoshka_mm_tpu.generate import GenerationConfig
     from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
 
@@ -260,130 +259,44 @@ def _serving_bench(params, cfg, speculative_k: int = 0):
     # and 2x pages per byte budget is the capacity story under load
     cfg = dataclasses.replace(
         cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
-    n_requests, concurrency, max_new = 18, 6, 64
     batcher = ContinuousBatcher(
-        params, cfg, max_batch=8, prefill_len=256, max_new_tokens=96,
-        chunk=8, backend="paged", prefix_cache=True,
-        speculative_k=speculative_k,
-        gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=8,
-                                 eos_token_id=-1))
-    try:
-        # warm the FULL admission/decode trace set (solo + every group
-        # size + prefix-hit path): round 3's non-reproducible serving
-        # number came from eager-op compiles mid-load (12s/25s TTFT
-        # staircase) that the old prefill-only warmup missed
-        batcher.warmup(with_image=True, numtoks=144)
-
-        rng = np.random.default_rng(0)
-        reqs = []
-        for i in range(n_requests):
-            ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
-            ids[0, 3] = IMAGE_TOKEN_INDEX
-            px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
-            reqs.append((ids, px))
-
-        results = [None] * n_requests
-        sem = threading.Semaphore(concurrency)
-
-        def worker(i):
-            with sem:
-                t0 = time.perf_counter()
-                req = batcher.submit(reqs[i][0], reqs[i][1], numtoks=144,
-                                     max_new_tokens=max_new)
-                ttft = None
-                n_tok = 0
-                for chunk in batcher.stream(req):
-                    if ttft is None:
-                        ttft = time.perf_counter() - t0
-                    n_tok += int(np.asarray(chunk).size)
-                results[i] = {"ttft_s": ttft, "n_tok": n_tok,
-                              "latency_s": time.perf_counter() - t0}
-
-        threads = [threading.Thread(target=worker, args=(i,))
-                   for i in range(n_requests)]
-        t0 = time.perf_counter()
-        for t in threads:
-            t.start()
-        for t in threads:
-            t.join()
-        wall = time.perf_counter() - t0
-        ok = [r for r in results if r is not None]
-        ttfts = [r["ttft_s"] for r in ok]
-        total_tok = sum(r["n_tok"] for r in ok)
-        out = {
-            "requests": n_requests, "concurrency": concurrency,
-            "ok": len(ok), "max_new_tokens": max_new,
-            "wall_s": round(wall, 2),
-            "requests_per_s": round(len(ok) / wall, 2),
-            "throughput_tok_s": round(total_tok / wall, 1),
-            "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 3),
-            "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 3),
-            # full sorted distribution: p95 on 18 samples is one request,
-            # so the tail shape (one-off compile vs systematic wait) is
-            # only diagnosable from the raw values
-            "ttft_s_sorted": [round(t, 2) for t in sorted(ttfts)],
-            "note": "paged int8-KV pool + prefix cache + int8 fused "
-                    "decode, batcher-level (HTTP transport excluded)",
-        }
-        if speculative_k:
-            st = batcher.spec_stats
-            acc = (st["tokens_emitted"] / st["verify_steps"]
-                   if st["verify_steps"] else 0.0)
-            out["speculative_k"] = speculative_k
-            out["tokens_per_verify"] = round(acc, 2)
-            out["note"] = (
-                "prompt-lookup speculative batching (greedy). CAVEAT: "
-                "random-init weights loop, so draft acceptance here is an "
-                "upper bound — real-text acceptance tracks output "
-                "repetitiveness (copy-heavy VQA answers accept well)")
-        return out
-    finally:
-        batcher.shutdown()
+        params, cfg, max_batch=8, prefill_len=256,
+        max_new_tokens=max_new_pool, chunk=chunk, backend="paged",
+        prefix_cache=True, speculative_k=speculative_k,
+        gen_cfg=GenerationConfig(max_new_tokens=max_new_pool,
+                                 decode_chunk=chunk, eos_token_id=-1))
+    batcher.warmup(with_image=True, numtoks=144)
+    return batcher
 
 
-def _serving_sustained_bench(params, cfg, roof_tok_s=None):
-    """Sustained-load serving: 64 requests, Poisson arrivals, 256 new
-    tokens each — measures steady-state continuous batching (occupancy,
-    aggregate tok/s, and the fraction of the raw batched decode roof),
-    not the ramp/drain transients the burst bench (18 x 64) is dominated
-    by.  The arrival rate is set ~20% above the roof-implied service
-    rate so the pool saturates and stays saturated."""
-    import dataclasses
-
+def _serving_bench(batcher, n_requests: int = 48, concurrency: int = 6,
+                   max_new: int = 96, seed: int = 0):
+    """Burst serving throughput under bounded concurrency (reference
+    worker default: 5 concurrent generations,
+    llava/serve/model_worker.py:268).  Round 5 lengthened the burst
+    (18x64 -> 48x96, ~4.6k tokens) so the measured region dominates
+    ramp/drain and two cold runs agree within ~10% (round-4 verdict
+    found 24% spread on the short burst).  aiohttp transport excluded."""
     from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
-    from matryoshka_mm_tpu.generate import GenerationConfig
-    from matryoshka_mm_tpu.serve.batching import ContinuousBatcher
 
-    cfg = dataclasses.replace(
-        cfg, llama=dataclasses.replace(cfg.llama, kv_cache_dtype="int8"))
-    n_requests, max_new = 64, 256
-    # arrival rate: saturate the measured b8 roof (fallback 600 tok/s)
-    lam = 1.2 * (roof_tok_s or 600.0) / max_new
-    batcher = ContinuousBatcher(
-        params, cfg, max_batch=8, prefill_len=256, max_new_tokens=max_new,
-        chunk=16, backend="paged", prefix_cache=True,
-        gen_cfg=GenerationConfig(max_new_tokens=max_new, decode_chunk=16,
-                                 eos_token_id=-1))
-    try:
-        batcher.warmup(with_image=True, numtoks=144)
-        batcher.occupancy = {"rounds": 0, "active_rows": 0}
+    rng = np.random.default_rng(seed)
+    reqs = []
+    for i in range(n_requests):
+        ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
+        ids[0, 3] = IMAGE_TOKEN_INDEX
+        px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
+        reqs.append((ids, px))
 
-        rng = np.random.default_rng(0)
-        arrivals = np.cumsum(rng.exponential(1.0 / lam, n_requests))
-        reqs = []
-        for i in range(n_requests):
-            ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
-            ids[0, 3] = IMAGE_TOKEN_INDEX
-            px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
-            reqs.append((ids, px))
+    results = [None] * n_requests
+    sem = threading.Semaphore(concurrency)
 
-        results = [None] * n_requests
-
-        def worker(i, t_submit):
+    def worker(i):
+        with sem:
             t0 = time.perf_counter()
             req = batcher.submit(reqs[i][0], reqs[i][1], numtoks=144,
                                  max_new_tokens=max_new)
-            ttft, n_tok = None, 0
+            ttft = None
+            n_tok = 0
             for chunk in batcher.stream(req):
                 if ttft is None:
                     ttft = time.perf_counter() - t0
@@ -391,46 +304,121 @@ def _serving_sustained_bench(params, cfg, roof_tok_s=None):
             results[i] = {"ttft_s": ttft, "n_tok": n_tok,
                           "latency_s": time.perf_counter() - t0}
 
-        threads = []
+    threads = [threading.Thread(target=worker, args=(i,))
+               for i in range(n_requests)]
+    t0 = time.perf_counter()
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    wall = time.perf_counter() - t0
+    ok = [r for r in results if r is not None]
+    ttfts = [r["ttft_s"] for r in ok]
+    total_tok = sum(r["n_tok"] for r in ok)
+    out = {
+        "requests": n_requests, "concurrency": concurrency,
+        "ok": len(ok), "max_new_tokens": max_new,
+        "wall_s": round(wall, 2),
+        "requests_per_s": round(len(ok) / wall, 2),
+        "throughput_tok_s": round(total_tok / wall, 1),
+        "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 3),
+        "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 3),
+        # the tail shape (one-off compile vs systematic wait) is only
+        # diagnosable from raw values
+        "ttft_s_sorted": [round(t, 2) for t in sorted(ttfts)],
+        "note": "paged int8-KV pool + prefix cache + int8 fused "
+                "decode, batcher-level (HTTP transport excluded)",
+    }
+    if batcher.spec_k:
+        st = batcher.spec_stats
+        acc = (st["tokens_emitted"] / st["verify_steps"]
+               if st["verify_steps"] else 0.0)
+        out["speculative_k"] = batcher.spec_k
+        out["tokens_per_verify"] = round(acc, 2)
+        out["note"] = (
+            "prompt-lookup speculative batching (greedy). CAVEAT: "
+            "random-init weights loop, so draft acceptance here is an "
+            "upper bound — real-text acceptance tracks output "
+            "repetitiveness (copy-heavy VQA answers accept well)")
+    return out
+
+
+def _serving_sustained_bench(batcher, roof_tok_s=None, rate_mult=1.2,
+                             n_requests: int = 64, max_new: int = 256,
+                             seed: int = 0):
+    """Poisson-arrival serving: measures steady-state continuous
+    batching (occupancy, aggregate tok/s, fraction of the raw batched
+    decode roof).  ``rate_mult`` scales the roof-implied service rate:
+    1.2 saturates the pool (throughput + occupancy point), 0.8 is the
+    sub-saturation SLA point where steady-state TTFT is system quality,
+    not arrival-rate queueing math (round-4 verdict #6)."""
+    from matryoshka_mm_tpu.constants import IMAGE_TOKEN_INDEX
+
+    lam = rate_mult * (roof_tok_s or 600.0) / max_new
+    batcher.occupancy = {"rounds": 0, "active_rows": 0}
+
+    rng = np.random.default_rng(seed)
+    arrivals = np.cumsum(rng.exponential(1.0 / lam, n_requests))
+    reqs = []
+    for i in range(n_requests):
+        ids = rng.integers(5, 31000, (1, 64)).astype(np.int32)
+        ids[0, 3] = IMAGE_TOKEN_INDEX
+        px = rng.standard_normal((1, 3, 336, 336)).astype(np.float32)
+        reqs.append((ids, px))
+
+    results = [None] * n_requests
+
+    def worker(i):
         t0 = time.perf_counter()
-        for i in range(n_requests):
-            dt = arrivals[i] - (time.perf_counter() - t0)
-            if dt > 0:
-                time.sleep(dt)
-            th = threading.Thread(target=worker, args=(i, arrivals[i]))
-            th.start()
-            threads.append(th)
-            _BEAT[0] = time.time()
-        for th in threads:
-            th.join()
-            _BEAT[0] = time.time()
-        wall = time.perf_counter() - t0
-        ok = [r for r in results if r is not None]
-        total_tok = sum(r["n_tok"] for r in ok)
-        occ = batcher.occupancy
-        occupancy = (occ["active_rows"] / (occ["rounds"] * batcher.max_batch)
-                     if occ["rounds"] else 0.0)
-        ttfts = sorted(r["ttft_s"] for r in ok)
-        agg = total_tok / wall
-        out = {
-            "requests": n_requests, "max_new_tokens": max_new,
-            "arrival_rate_req_s": round(lam, 2),
-            "wall_s": round(wall, 1), "ok": len(ok),
-            "throughput_tok_s": round(agg, 1),
-            "occupancy": round(occupancy, 3),
-            "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 2),
-            "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 2),
-            "note": "Poisson arrivals at 1.2x the roof-implied service "
-                    "rate; paged int8-KV pool + prefix cache + int8 "
-                    "fused decode; occupancy = mean active rows / "
-                    "max_batch over decode rounds",
-        }
-        if roof_tok_s:
-            out["roof_tok_s_b8"] = roof_tok_s
-            out["fraction_of_roof"] = round(agg / roof_tok_s, 3)
-        return out
-    finally:
-        batcher.shutdown()
+        req = batcher.submit(reqs[i][0], reqs[i][1], numtoks=144,
+                             max_new_tokens=max_new)
+        ttft, n_tok = None, 0
+        for chunk in batcher.stream(req):
+            if ttft is None:
+                ttft = time.perf_counter() - t0
+            n_tok += int(np.asarray(chunk).size)
+        results[i] = {"ttft_s": ttft, "n_tok": n_tok,
+                      "latency_s": time.perf_counter() - t0}
+
+    threads = []
+    t0 = time.perf_counter()
+    for i in range(n_requests):
+        dt = arrivals[i] - (time.perf_counter() - t0)
+        if dt > 0:
+            time.sleep(dt)
+        th = threading.Thread(target=worker, args=(i,))
+        th.start()
+        threads.append(th)
+        _BEAT[0] = time.time()
+    for th in threads:
+        th.join()
+        _BEAT[0] = time.time()
+    wall = time.perf_counter() - t0
+    ok = [r for r in results if r is not None]
+    total_tok = sum(r["n_tok"] for r in ok)
+    occ = batcher.occupancy
+    occupancy = (occ["active_rows"] / (occ["rounds"] * batcher.max_batch)
+                 if occ["rounds"] else 0.0)
+    ttfts = sorted(r["ttft_s"] for r in ok)
+    agg = total_tok / wall
+    out = {
+        "requests": n_requests, "max_new_tokens": max_new,
+        "rate_mult": rate_mult,
+        "arrival_rate_req_s": round(lam, 2),
+        "wall_s": round(wall, 1), "ok": len(ok),
+        "throughput_tok_s": round(agg, 1),
+        "occupancy": round(occupancy, 3),
+        "ttft_s_p50": round(float(np.percentile(ttfts, 50)), 2),
+        "ttft_s_p95": round(float(np.percentile(ttfts, 95)), 2),
+        "note": f"Poisson arrivals at {rate_mult}x the roof-implied "
+                "service rate; paged int8-KV pool + prefix cache + int8 "
+                "fused decode; occupancy = mean active rows / max_batch "
+                "over decode rounds",
+    }
+    if roof_tok_s:
+        out["roof_tok_s_b8"] = roof_tok_s
+        out["fraction_of_roof"] = round(agg / roof_tok_s, 3)
+    return out
 
 
 def _cpu_reference_tok_s(cfg, n_steps: int = 2):
@@ -654,25 +642,43 @@ def main():
                     bcfg=cfg_kv8)
 
     # --------------------------------------------------------------
-    # 3a) serving: continuous batching under concurrency, int8 weights
+    # 3a) serving: continuous batching under concurrency, int8 weights.
+    # ONE warmed batcher serves the burst, burst-repeat, sustained, and
+    # SLA sections (same pool config as the int8+kv8 roof row above).
     # --------------------------------------------------------------
+    roof = results.get("int8_kv8_decode_tok_s_b8")
+    _STALL_S[0] = max(_STALL_S[0], 2400.0)
     try:
-        results["serving"] = _serving_bench(params, cfg)
+        batcher = _mk_serving_batcher(params, cfg)
+        try:
+            results["serving"] = _serving_bench(batcher)
+            # in-process repeat with fresh prompts: the spread between
+            # these two is the run-to-run noise floor of the burst number
+            results["serving_repeat"] = _serving_bench(batcher, seed=1)
+            # steady state at saturation: occupancy + fraction-of-roof
+            results["serving_sustained"] = _serving_sustained_bench(
+                batcher, roof_tok_s=roof, rate_mult=1.2)
+            # sub-saturation SLA point: steady-state TTFT is system
+            # quality here, not arrival-rate queueing math
+            results["serving_sla"] = _serving_sustained_bench(
+                batcher, roof_tok_s=roof, rate_mult=0.8, n_requests=48)
+        finally:
+            batcher.shutdown()
     except Exception as e:  # noqa: BLE001
-        results["serving"] = {"error": str(e)[:200]}
+        results.setdefault("serving", {"error": str(e)[:200]})
+        results["serving_error"] = str(e)[:200]
     try:
-        results["serving_speculative"] = _serving_bench(params, cfg,
-                                                        speculative_k=4)
+        spec = _mk_serving_batcher(params, cfg, speculative_k=4, chunk=8,
+                                   max_new_pool=96)
+        try:
+            # kept at the round-4 shape (18 x 64) for cross-round
+            # comparability of tokens_per_verify
+            results["serving_speculative"] = _serving_bench(
+                spec, n_requests=18, max_new=64)
+        finally:
+            spec.shutdown()
     except Exception as e:  # noqa: BLE001
         results["serving_speculative"] = {"error": str(e)[:200]}
-    try:
-        # steady-state serving: occupancy + fraction-of-roof vs the raw
-        # batched decode measurement above (same int8+kv8 config)
-        _STALL_S[0] = max(_STALL_S[0], 1800.0)
-        results["serving_sustained"] = _serving_sustained_bench(
-            params, cfg, roof_tok_s=results.get("int8_kv8_decode_tok_s_b8"))
-    except Exception as e:  # noqa: BLE001
-        results["serving_sustained"] = {"error": str(e)[:200]}
     del params
 
     # --------------------------------------------------------------

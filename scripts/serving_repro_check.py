@@ -28,7 +28,8 @@ def main():
 
     import jax
 
-    from bench import _serving_bench, _serving_sustained_bench
+    from bench import (_mk_serving_batcher, _serving_bench,
+                       _serving_sustained_bench)
     from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
     from matryoshka_mm_tpu.ops.quant import quantize_llama_params_inplace
 
@@ -36,12 +37,17 @@ def main():
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     params["llama"] = quantize_llama_params_inplace(params["llama"])
 
-    if args.sustained:
-        out = _serving_sustained_bench(params, cfg, roof_tok_s=args.roof)
-        print(json.dumps({"serving_sustained": out}, indent=1), flush=True)
-    else:
-        out = _serving_bench(params, cfg)
-        print(json.dumps({"serving": out}, indent=1), flush=True)
+    batcher = _mk_serving_batcher(params, cfg)
+    try:
+        if args.sustained:
+            out = _serving_sustained_bench(batcher, roof_tok_s=args.roof)
+            print(json.dumps({"serving_sustained": out}, indent=1),
+                  flush=True)
+        else:
+            out = _serving_bench(batcher)
+            print(json.dumps({"serving": out}, indent=1), flush=True)
+    finally:
+        batcher.shutdown()
 
 
 if __name__ == "__main__":
