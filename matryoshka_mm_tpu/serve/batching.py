@@ -108,17 +108,18 @@ def _pool_decode_fn(cfg: LlavaConfig, gen_cfg: GenerationConfig, steps: int):
     # always replaces self.pool; on error the batcher dies, so the
     # invalidated buffer is never touched again)
     @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, cache: KVCache, tokens, lengths, active, budget, rng):
+    def decode(llama_params, cache: KVCache, tokens, lengths, active, budget,
+               rng):
         """Advance all pool rows `steps` tokens; inactive rows are masked."""
 
         def step(carry, _):
             cache, token, lengths, budget, active, rng = carry
-            embeds = embed_tokens(params["llama"], token[:, None])
+            embeds = embed_tokens(llama_params, token[:, None])
             pos = lengths[:, None]
             hidden, cache = llama_forward(
-                params["llama"], cfg.llama, embeds, position_ids=pos,
+                llama_params, cfg.llama, embeds, position_ids=pos,
                 attn_valid=active[:, None], cache=cache)
-            logits = lm_head(params["llama"], hidden[:, 0:1, :])[:, 0]
+            logits = lm_head(llama_params, hidden[:, 0:1, :])[:, 0]
             nxt, rng2 = _select_token(logits, gen_cfg, rng)
             # stream value: -1 marks "no token" for rows inactive this
             # step — out-of-band, so a genuinely sampled pad_token_id
@@ -1308,14 +1309,14 @@ class ContinuousBatcher:
                     if self.fsm_vocab is not None:
                         (self.paged, self.tokens, self.lengths, self.budget,
                          self.active, toks, self.fsm_state, echo) = decode(
-                             self.params, self.paged, self.tables,
+                             self.params["llama"], self.paged, self.tables,
                              self.lengths, self.tokens, self.budget,
                              self.active, sub, self.lora_pack, self.lora_idx,
                              self.fsm_allow, self.fsm_trans, self.fsm_state)
                     else:
                         (self.paged, self.tokens, self.lengths, self.budget,
                          self.active, toks, _, echo) = decode(
-                             self.params, self.paged, self.tables,
+                             self.params["llama"], self.paged, self.tables,
                              self.lengths, self.tokens, self.budget,
                              self.active, sub, self.lora_pack, self.lora_idx)
                     new_inflight = (toks, echo, self.active,
@@ -1341,7 +1342,8 @@ class ContinuousBatcher:
                 self._sync_tables()
                 (self.paged, self.tokens, self.lengths, self.budget,
                  self.active, toks, n_emit) = decode(
-                     self.params, self.paged, self.tables, self.lengths,
+                     self.params["llama"], self.paged, self.tables,
+                     self.lengths,
                      self.tokens, self._propose_drafts(), self.budget,
                      self.active, self.lora_pack, self.lora_idx)
                 emitted = int(np.asarray(n_emit).sum())
@@ -1355,14 +1357,14 @@ class ContinuousBatcher:
                 if self.fsm_vocab is not None:
                     (self.paged, self.tokens, self.lengths, self.budget,
                      self.active, toks, self.fsm_state, _echo) = decode(
-                         self.params, self.paged, self.tables,
+                         self.params["llama"], self.paged, self.tables,
                          self.lengths, self.tokens, self.budget,
                          self.active, sub, self.lora_pack, self.lora_idx,
                          self.fsm_allow, self.fsm_trans, self.fsm_state)
                 else:
                     (self.paged, self.tokens, self.lengths, self.budget,
                      self.active, toks, _, _echo) = decode(
-                         self.params, self.paged, self.tables,
+                         self.params["llama"], self.paged, self.tables,
                          self.lengths, self.tokens, self.budget,
                          self.active, sub, self.lora_pack, self.lora_idx)
             else:
@@ -1374,7 +1376,8 @@ class ContinuousBatcher:
                     continue
                 (self.pool, self.tokens, self.lengths, self.budget,
                  self.active, toks) = decode(
-                     self.params, self.pool, self.tokens, self.lengths,
+                     self.params["llama"], self.pool, self.tokens,
+                     self.lengths,
                      self.active, self.budget, sub)
             self._process_round(toks, None, self.active,
                                 list(self.slots), t_round)

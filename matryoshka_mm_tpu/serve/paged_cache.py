@@ -583,13 +583,13 @@ def _paged_pool_decode_fn(cfg, gen_cfg, steps: int, max_pages: int,
     # donate the page pools: the scheduler replaces self.paged with the
     # returned pools every chunk, and a decode error kills the batcher
     @partial(jax.jit, donate_argnums=(1,))
-    def decode(params, paged, tables, row_len, tokens, budget,
+    def decode(llama_params, paged, tables, row_len, tokens, budget,
                active, rng, lora_pack=None, lora_idx=None,
                fsm_allow=None, fsm_trans=None, fsm_state=None):
         def step(carry, _):
             paged, token, row_len, budget, active, rng, fstate = carry
             k_all, v_all, ks_all, vs_all, logits = _decode_core(
-                params["llama"], cfg.llama, paged.k, paged.v, tables,
+                llama_params, cfg.llama, paged.k, paged.v, tables,
                 row_len, token, active, max_pages=max_pages,
                 page_size=page_size, use_kernel=use_kernel,
                 lora_pack=lora_pack, lora_idx=lora_idx,
@@ -656,12 +656,12 @@ def _paged_spec_verify_fn(cfg, gen_cfg, k: int, max_pages: int,
     eos, pad = gen_cfg.eos_token_id, gen_cfg.pad_token_id
 
     @partial(jax.jit, donate_argnums=(1,))
-    def verify(params, paged, tables, row_len, tokens, drafts, budget,
+    def verify(llama_params, paged, tables, row_len, tokens, drafts, budget,
                active, lora_pack=None, lora_idx=None):
         B = tokens.shape[0]
         block = jnp.concatenate([tokens[:, None], drafts], axis=1)  # (B,k+1)
         k_all, v_all, ks_all, vs_all, logits = _decode_core(
-            params["llama"], cfg.llama, paged.k, paged.v, tables, row_len,
+            llama_params, cfg.llama, paged.k, paged.v, tables, row_len,
             block, active, max_pages=max_pages, page_size=page_size,
             use_kernel=use_kernel, lora_pack=lora_pack, lora_idx=lora_idx,
             ks_all=paged.k_scale, vs_all=paged.v_scale)
