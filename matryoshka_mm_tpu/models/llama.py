@@ -64,22 +64,6 @@ def _flash_decode_ok(impl: str, head_dim: int, batch: int,
             and jax.default_backend() == "tpu")
 
 
-def _flash_decode_write_ok(impl: str, head_dim: int, capacity: int) -> bool:
-    """Gate for the in-place slot-writing flash-decode variant
-    (ops/decode_attention.flash_decode_attention_stacked_write): the
-    bf16 B=1 unquantized config the plain kernel path had to exclude —
-    its dynamic_update_slice + custom-call pair forced a per-layer
-    stacked-cache copy (see _flash_decode_ok).  Same Mosaic constraints:
-    128-aligned head_dim, lane-aligned KV blocking, TPU backend."""
-    if capacity:
-        from ..ops.decode_attention import _pick_bs
-
-        if _pick_bs(capacity) == 0:
-            return False
-    return (impl == "auto" and head_dim % 128 == 0
-            and jax.default_backend() == "tpu")
-
-
 def proj(x: jnp.ndarray, leaf) -> jnp.ndarray:
     """``x (..., in)`` times a weight leaf stored ``(out, in)`` -> ``(..., out)``.
 
@@ -435,47 +419,6 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
         quantized = any(isinstance(a.get(kk), dict)
                         and tree_has_quantized(a[kk])
                         for kk in ("qkv_proj", "q_proj"))
-        if (S == 1 and B == 1 and not kv_int8 and not quantized
-                and _flash_decode_write_ok(cfg.attn_impl, Dh,
-                                           cache_k.shape[2])):
-            # bf16 B=1: the XLA dynamic_update_slice + flash custom-call
-            # pair makes buffer assignment copy one full stacked cache
-            # buffer per layer (3.3 ms/token measured — the reason this
-            # config was pinned to the XLA path until round 5).  Fuse the
-            # slot write INTO the kernel via input_output_aliases: the
-            # only cache writeback is the new (Hkv, Dh) slot.
-            from ..ops.decode_attention import (
-                flash_decode_attention_stacked_write)
-
-            attn_out, cache_k, cache_v = flash_decode_attention_stacked_write(
-                q[:, :, 0, :], cache_k, cache_v,
-                k.transpose(0, 2, 1, 3)[:, 0],
-                v.transpose(0, 2, 1, 3)[:, 0],
-                li, write_idx, kv_valid, kv_positions,
-                q_positions[:, 0], sliding_window=window)
-            attn_out = attn_out[:, :, None, :]
-            attn_out = attn_out.transpose(0, 2, 1, 3).reshape(B, S, H * Dh)
-            m = layer_params["mlp"]
-            o_out = proj(attn_out, a["o_proj"])
-            if cfg.tp_axis:
-                o_out = jax.lax.psum(o_out, cfg.tp_axis)
-            hidden = hidden + o_out
-            x = rms_norm(hidden, layer_params["post_attention_layernorm"],
-                         cfg.rms_norm_eps)
-            mlp_out = fused_quant_mlp(x, m)
-            if mlp_out is None:
-                if "gateup_proj" in m:
-                    gate, up = jnp.split(proj(x, m["gateup_proj"]), 2,
-                                         axis=-1)
-                else:
-                    gate = proj(x, m["gate_proj"])
-                    up = proj(x, m["up_proj"])
-                mlp_out = proj(jax.nn.silu(gate) * up, m["down_proj"])
-            if cfg.tp_axis:
-                mlp_out = jax.lax.psum(mlp_out, cfg.tp_axis)
-            hidden = hidden + mlp_out
-            return hidden, (cache_k, cache_v, cache_ks, cache_vs)
-
         # Write the S new entries at slots [write_idx, write_idx + S) of
         # layer `layer_idx` in the stacked buffer (in place), then read
         # back only this layer's slice for attention.

@@ -200,175 +200,6 @@ def flash_decode_attention(
     return out
 
 
-def _kernel_write(q_ref, k_ref, v_ref, validf_ref, kvposf_ref, qpos_ref,
-                  knew_ref, vnew_ref, o_ref, ok_ref, ov_ref,
-                  m_ref, l_ref, acc_ref, *, n_j: int, scale: float,
-                  group: int, window, interpret: bool = False):
-    """Flash decode WITH the new token's KV write fused in.
-
-    The new (Hkv, Dh) K/V entry is (a) written to the cache slot through
-    the aliased ``ok_ref``/``ov_ref`` outputs (in-place on the stacked
-    buffer — no XLA dynamic_update_slice, hence no buffer-assignment
-    copy, the bf16 B=1 problem this kernel exists to kill) and (b)
-    folded into the online softmax analytically: each head attends
-    exactly one new column (its own kv head, position == qpos, always
-    causally valid), so the accumulators INITIALIZE with the new entry
-    (m = z, l = 1, acc = v_new) instead of (-inf, 0, 0).  The blocked
-    pass then masks strictly ``kvpos < qpos`` so the stale slot the
-    blocks may still hold is never double-counted."""
-    j = pl.program_id(1)
-    H, Dh = q_ref.shape[1], q_ref.shape[2]
-    BS, Hkv = k_ref.shape[1], k_ref.shape[2]
-    F = BS * Hkv
-
-    q = q_ref[0].astype(jnp.float32)                       # (H, Dh)
-
-    @pl.when(j == 0)
-    def _():
-        k_new = knew_ref[0].astype(jnp.float32)            # (Hkv, Dh)
-        v_new = vnew_ref[0].astype(jnp.float32)
-        # expand per-group: head h uses kv head h // group
-        k_exp = jnp.repeat(k_new, group, axis=0)           # (H, Dh)
-        v_exp = jnp.repeat(v_new, group, axis=0)
-        z = jnp.sum(q * scale * k_exp, axis=1, keepdims=True)  # (H, 1)
-        m_ref[:, 0:1] = z
-        l_ref[:, 0:1] = jnp.ones_like(z)
-        acc_ref[:] = v_exp
-        ok_ref[0, 0, 0] = knew_ref[0]
-        ov_ref[0, 0, 0] = vnew_ref[0]
-
-    kf = k_ref[0].reshape(F, Dh)
-    logits = jax.lax.dot_general(
-        q * scale, kf, (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32)                # (H, F)
-
-    qpos = qpos_ref[0, 0, 0]
-    kvposf = kvposf_ref[0, 0, pl.ds(j * F, F)]
-    # STRICT <: the new token's slot is handled analytically above, and
-    # the block that covers it may hold stale bytes
-    okf = validf_ref[0, 0, pl.ds(j * F, F)] & (kvposf < qpos)
-    if window is not None:
-        okf &= (qpos - kvposf) < window
-    row = jax.lax.broadcasted_iota(jnp.int32, (H, F), 0)
-    col = jax.lax.broadcasted_iota(jnp.int32, (H, F), 1)
-    gqa = (col % Hkv) == (row // group)
-    logits = jnp.where(gqa & okf[None, :], logits, NEG_INF)
-
-    m_prev = m_ref[:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(logits, axis=1, keepdims=True))
-    alpha = jnp.exp(m_prev - m_new)
-    p = jnp.exp(logits - m_new)
-    l_ref[:, 0:1] = l_ref[:, 0:1] * alpha + jnp.sum(p, axis=1,
-                                                    keepdims=True)
-    m_ref[:, 0:1] = m_new
-    pv = jax.lax.dot_general(
-        p.astype(v_ref.dtype), v_ref[0].reshape(F, Dh),
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32)
-    acc_ref[:] = acc_ref[:] * alpha + pv
-
-    @pl.when(j == n_j - 1)
-    def _():
-        denom = jnp.maximum(l_ref[:, 0:1], 1e-30)
-        o_ref[0] = (acc_ref[:] / denom).astype(o_ref.dtype)
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("sliding_window", "interpret"))
-def flash_decode_attention_stacked_write(
-    q: jnp.ndarray,             # (B, H, Dh)
-    k_all: jnp.ndarray,         # (L, B, S, n_kv, Dh) stacked bf16 cache
-    v_all: jnp.ndarray,
-    k_new: jnp.ndarray,         # (B, n_kv, Dh) this token's K (post-RoPE)
-    v_new: jnp.ndarray,         # (B, n_kv, Dh)
-    layer_idx: jnp.ndarray,     # scalar i32
-    write_idx: jnp.ndarray,     # scalar i32 — slot for the new entry
-    kv_valid: jnp.ndarray,      # (B, S) bool (old slots; new slot ignored)
-    kv_positions: jnp.ndarray,  # (B, S) int32
-    q_positions: jnp.ndarray,   # (B,) int32
-    *,
-    sliding_window=None,
-    interpret: bool = False,
-):
-    """-> (attn (B, H, Dh), k_all, v_all) with the caches updated IN
-    PLACE (``input_output_aliases``): the only cache writeback is the
-    single (n_kv, Dh) slot block, so XLA's buffer assignment never
-    copies the stacked buffer around a consuming custom call — the
-    measured 3.3 ms/token copy that kept bf16 B=1 off the kernel path
-    (models/llama.py _flash_decode_ok)."""
-    B, H, Dh = q.shape
-    L, S, Hkv = k_all.shape[0], k_all.shape[2], k_all.shape[3]
-    BS = _pick_bs(S)
-    if BS == 0:
-        raise ValueError(f"S={S} not divisible into lane-aligned blocks")
-    n_j = S // BS
-    group = H // Hkv
-
-    valid_flat = jnp.repeat(kv_valid, Hkv, axis=1)
-    kvpos_flat = jnp.repeat(kv_positions.astype(jnp.int32), Hkv, axis=1)
-    idx = jnp.stack([jnp.asarray(layer_idx, jnp.int32),
-                     jnp.asarray(write_idx, jnp.int32)])
-
-    def kernel(idx_ref, q_ref, k_ref, v_ref, validf_ref, kvposf_ref,
-               qpos_ref, knew_ref, vnew_ref, o_ref, ok_ref, ov_ref,
-               *scratch):
-        del idx_ref
-        _kernel_write(q_ref, k_ref.at[0], v_ref.at[0], validf_ref,
-                      kvposf_ref, qpos_ref, knew_ref, vnew_ref,
-                      o_ref, ok_ref, ov_ref, *scratch, n_j=n_j,
-                      scale=Dh ** -0.5, group=group,
-                      window=sliding_window, interpret=interpret)
-
-    flat_spec = pl.BlockSpec((1, 1, S * Hkv), lambda b, j, idx: (b, 0, 0))
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
-        grid=(B, n_j),
-        in_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, 1, BS, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, j, 0, 0)),
-            pl.BlockSpec((1, 1, BS, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, j, 0, 0)),
-            flat_spec,
-            flat_spec,
-            pl.BlockSpec((1, 1, 1), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, Dh), lambda b, j, idx: (b, 0, 0)),
-            pl.BlockSpec((1, Hkv, Dh), lambda b, j, idx: (b, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((1, H, Dh), lambda b, j, idx: (b, 0, 0)),
-            # the ONLY cache block ever written back: layer idx[0], this
-            # row, slot idx[1] (block size 1 on the slot axis -> the
-            # block index IS the slot index)
-            pl.BlockSpec((1, 1, 1, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, idx[1], 0, 0)),
-            pl.BlockSpec((1, 1, 1, Hkv, Dh),
-                         lambda b, j, idx: (idx[0], b, idx[1], 0, 0)),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, 128), jnp.float32),
-            pltpu.VMEM((H, Dh), jnp.float32),
-        ],
-    )
-    out, k_out, v_out = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, Dh), q.dtype),
-            jax.ShapeDtypeStruct(k_all.shape, k_all.dtype),
-            jax.ShapeDtypeStruct(v_all.shape, v_all.dtype),
-        ],
-        # operand order at the call: idx(0), q(1), k_all(2), v_all(3), ...
-        # k_all/v_all alias outputs 1/2 -> in-place slot write
-        input_output_aliases={2: 1, 3: 2},
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "arbitrary")),
-        interpret=interpret,
-    )(idx, q, k_all, v_all, valid_flat[:, None, :], kvpos_flat[:, None, :],
-      q_positions.astype(jnp.int32).reshape(B, 1, 1), k_new, v_new)
-    return out, k_out, v_out
-
-
 @functools.partial(jax.jit,
                    static_argnames=("sliding_window", "interpret"))
 def flash_decode_attention_stacked(

@@ -75,67 +75,3 @@ def test_bf16_io():
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(want, np.float32),
                                rtol=2e-2, atol=2e-2)
-
-
-def _write_case(B, H, Hkv, S, Dh, *, window=None, seed=7, n_valid=100,
-                L=3, li=1):
-    """In-place slot-writing variant vs reference-with-explicit-update."""
-    import jax
-
-    from matryoshka_mm_tpu.ops.decode_attention import (
-        flash_decode_attention_stacked_write)
-
-    rng = np.random.default_rng(seed)
-    k_all = jnp.asarray(rng.standard_normal((L, B, S, Hkv, Dh)), jnp.float32)
-    v_all = jnp.asarray(rng.standard_normal((L, B, S, Hkv, Dh)), jnp.float32)
-    q = jnp.asarray(rng.standard_normal((B, H, Dh)), jnp.float32)
-    k_new = jnp.asarray(rng.standard_normal((B, Hkv, Dh)), jnp.float32)
-    v_new = jnp.asarray(rng.standard_normal((B, Hkv, Dh)), jnp.float32)
-    # old slots [0, n_valid) hold positions 0..n_valid-1; the new token
-    # lands at slot n_valid with position n_valid
-    valid = np.zeros((B, S), bool)
-    valid[:, :n_valid + 1] = True        # incl. the new slot, like prod
-    kv_pos = np.tile(np.arange(S, dtype=np.int32), (B, 1))
-    q_pos = np.full((B,), n_valid, np.int32)
-
-    got_o, got_k, got_v = flash_decode_attention_stacked_write(
-        q, k_all, v_all, k_new, v_new, jnp.int32(li), jnp.int32(n_valid),
-        jnp.asarray(valid), jnp.asarray(kv_pos), jnp.asarray(q_pos),
-        sliding_window=window, interpret=True)
-
-    # reference: explicit slot update then dense attention on layer li
-    k_ref = k_all.at[li, :, n_valid].set(k_new)
-    v_ref = v_all.at[li, :, n_valid].set(v_new)
-    want_o = attention_reference(
-        q[:, :, None, :], k_ref[li].transpose(0, 2, 1, 3),
-        v_ref[li].transpose(0, 2, 1, 3), causal=True,
-        q_positions=jnp.asarray(q_pos)[:, None],
-        kv_positions=jnp.asarray(kv_pos), kv_valid=jnp.asarray(valid),
-        sliding_window=window)[:, :, 0, :]
-    return (np.asarray(got_o), np.asarray(got_k), np.asarray(got_v),
-            np.asarray(want_o), np.asarray(k_ref), np.asarray(v_ref))
-
-
-def test_write_variant_matches_reference():
-    got_o, got_k, got_v, want_o, want_k, want_v = _write_case(
-        1, 8, 8, 256, 128)
-    np.testing.assert_allclose(got_o, want_o, rtol=2e-5, atol=2e-5)
-    np.testing.assert_array_equal(got_k, want_k)
-    np.testing.assert_array_equal(got_v, want_v)
-
-
-def test_write_variant_gqa_multiblock_window():
-    got_o, got_k, got_v, want_o, want_k, want_v = _write_case(
-        2, 8, 2, 512, 128, window=64, seed=9, n_valid=300, L=2, li=0)
-    np.testing.assert_allclose(got_o, want_o, rtol=2e-5, atol=2e-5)
-    np.testing.assert_array_equal(got_k, want_k)
-    np.testing.assert_array_equal(got_v, want_v)
-
-
-def test_write_variant_empty_history():
-    # first decode step after an empty prefill region: only the new
-    # token is attendable -> output == v_new expanded per group
-    got_o, got_k, got_v, want_o, want_k, want_v = _write_case(
-        1, 4, 4, 128, 128, seed=11, n_valid=0)
-    np.testing.assert_allclose(got_o, want_o, rtol=2e-5, atol=2e-5)
-    np.testing.assert_array_equal(got_k, want_k)
