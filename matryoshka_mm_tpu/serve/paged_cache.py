@@ -45,13 +45,25 @@ from ..ops.attention import attention_reference
 class PagedKVCache(NamedTuple):
     """With ``kv_cache_dtype='int8'`` the k/v pools hold int8 values and
     ``k_scale``/``v_scale`` the per-(layer, page, slot, kv-head) absmax
-    dequant scales (models/llama.KVCache's layout, paged); bf16 pools
-    leave the scales None.  int8 halves KV HBM per token, so a pool of
-    the same byte budget holds 2x the pages — a serving-capacity knob."""
+    dequant scales (models/llama.KVCache's quantization, paged); bf16
+    pools leave the scales None.  int8 halves KV HBM per token, so a pool
+    of the same byte budget holds 2x the pages — a serving-capacity knob.
+
+    The scale pools are stored FLAT — ``(n_layers, n_pages,
+    page_size * n_kv)`` with flat index ``slot * n_kv + head`` — not as
+    the 4-D ``(..., page, n_kv)`` they logically are.  The Pallas paged
+    kernels consume lane-aligned flat scale blocks; with 4-D storage XLA
+    assigned the carried pools a scatter-friendly layout and then
+    materialized a LAYOUT-CONVERTING copy of both full scale pools every
+    layer of every decode step to feed the kernel's reshape — profiled at
+    ~12 ms/step of pure copies on a 26 ms b8 decode step (round 5,
+    scripts/diag_paged_round.py).  Flat 3-D storage has one natural
+    layout, shared by the scatter writes and the kernel operands, so the
+    copies vanish."""
 
     k: jnp.ndarray  # (n_layers, n_pages, page_size, n_kv, Dh)
     v: jnp.ndarray
-    k_scale: Optional[jnp.ndarray] = None  # (n_layers, n_pages, page, n_kv)
+    k_scale: Optional[jnp.ndarray] = None  # (n_layers, n_pages, page*n_kv)
     v_scale: Optional[jnp.ndarray] = None
 
 
@@ -61,11 +73,13 @@ def init_paged_cache(cfg: LlamaConfig, n_pages: int, page_size: int,
                       else jnp.dtype(cfg.dtype))
     shape = (cfg.num_hidden_layers, n_pages, page_size,
              cfg.num_key_value_heads, cfg.head_dim)
+    sshape = (cfg.num_hidden_layers, n_pages,
+              page_size * cfg.num_key_value_heads)
     int8 = jnp.dtype(dtype) == jnp.int8
     return PagedKVCache(
         jnp.zeros(shape, dtype), jnp.zeros(shape, dtype),
-        k_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
-        v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None)
+        k_scale=jnp.zeros(sshape, jnp.float32) if int8 else None,
+        v_scale=jnp.zeros(sshape, jnp.float32) if int8 else None)
 
 
 # float (..., Dh) -> int8 values + f32 per-(..., head) absmax scale.
@@ -155,11 +169,13 @@ def import_dense_cache(paged: PagedKVCache, dense: KVCache, row_table,
             v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
         )
     if dense.k_scale is not None:       # int8 dense -> int8 pages, as-is
-        ks = dense.k_scale[:, 0].reshape(n_layers, n_p, page_size, n_kv)
-        vs = dense.v_scale[:, 0].reshape(n_layers, n_p, page_size, n_kv)
+        ks = dense.k_scale[:, 0].reshape(n_layers, n_p, page_size * n_kv)
+        vs = dense.v_scale[:, 0].reshape(n_layers, n_p, page_size * n_kv)
     else:                               # bf16 dense -> quantize into pages
         k_pages, ks = _quantize_pages(k_pages)
         v_pages, vs = _quantize_pages(v_pages)
+        ks = ks.reshape(n_layers, n_p, page_size * n_kv)
+        vs = vs.reshape(n_layers, n_p, page_size * n_kv)
     return PagedKVCache(
         k=paged.k.at[:, idx].set(k_pages.astype(paged.k.dtype)),
         v=paged.v.at[:, idx].set(v_pages.astype(paged.v.dtype)),
@@ -239,13 +255,18 @@ def _decode_core(params, cfg: LlamaConfig, k_all, v_all, tables, row_len,
     def write_kv(k_all, v_all, ks_all, vs_all, idx, k_new, v_new):
         """Write the new tokens' (B, S, heads, Dh) K/V into each row's
         page slots; int8 pools quantize per (row, slot, head) and store the
-        absmax scale alongside.  Inactive rows' indices are out of
-        bounds -> dropped."""
+        absmax scale alongside (flat slot*n_kv+head layout — see
+        PagedKVCache).  Inactive rows' indices are out of bounds ->
+        dropped."""
         if kv_int8:
+            heads = k_new.shape[2]
             k_new, ks = _quantize_pages(k_new)
             v_new, vs = _quantize_pages(v_new)
-            ks_all = ks_all.at[idx, w_page_id, w_off].set(ks, mode="drop")
-            vs_all = vs_all.at[idx, w_page_id, w_off].set(vs, mode="drop")
+            off_f = (w_off[..., None] * heads
+                     + jnp.arange(heads)[None, None])       # (B, S, heads)
+            pid_f = jnp.broadcast_to(w_page_id[..., None], off_f.shape)
+            ks_all = ks_all.at[idx, pid_f, off_f].set(ks, mode="drop")
+            vs_all = vs_all.at[idx, pid_f, off_f].set(vs, mode="drop")
         k_all = k_all.at[idx, w_page_id, w_off].set(
             k_new.astype(k_all.dtype), mode="drop")
         v_all = v_all.at[idx, w_page_id, w_off].set(
@@ -450,12 +471,14 @@ def _import_prefill_fn(n_pt: int, page_size: int, paged_int8: bool,
         if paged_int8:
             if dense_int8:
                 ksr = jnp.roll(ks[:, 0], -pad, axis=1)[:, :T].reshape(
-                    n_layers, n_pt, page_size, Hkv)
+                    n_layers, n_pt, page_size * Hkv)
                 vsr = jnp.roll(vs[:, 0], -pad, axis=1)[:, :T].reshape(
-                    n_layers, n_pt, page_size, Hkv)
+                    n_layers, n_pt, page_size * Hkv)
             else:
                 kr, ksr = _quantize_pages(kr)
                 vr, vsr = _quantize_pages(vr)
+                ksr = ksr.reshape(n_layers, n_pt, page_size * Hkv)
+                vsr = vsr.reshape(n_layers, n_pt, page_size * Hkv)
         return PagedKVCache(
             k=paged.k.at[:, idx].set(kr.astype(paged.k.dtype)),
             v=paged.v.at[:, idx].set(vr.astype(paged.v.dtype)),
@@ -524,11 +547,14 @@ def _import_prefill_group_fn(G: int, n_pt: int, page_size: int,
         kr, vr = compact(k), compact(v)
         ksr = vsr = None
         if paged_int8:
+            Hkv = k.shape[3]
             if dense_int8:
                 ksr, vsr = compact(ks), compact(vs)
             else:
                 kr, ksr = _quantize_pages(kr)
                 vr, vsr = _quantize_pages(vr)
+            ksr = ksr.reshape(n_layers, G * n_pt, page_size * Hkv)
+            vsr = vsr.reshape(n_layers, G * n_pt, page_size * Hkv)
         flat = idx.reshape(-1)
         return PagedKVCache(
             k=paged.k.at[:, flat].set(kr.astype(paged.k.dtype)),

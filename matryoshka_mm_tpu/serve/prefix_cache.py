@@ -243,8 +243,11 @@ def _import_range_fn(n_skip: int, n_new: int, page_size: int,
             return kp, vp, None, None
         # the suffix prefill's dense cache is always bf16 (its scratch
         # cache is built at model dtype) -> quantize into the int8 pool
+        # (flat slot*n_kv+head scale layout — see PagedKVCache)
         kp, ks = _quantize_pages(kp)
         vp, vs = _quantize_pages(vp)
+        ks = ks.reshape(n_layers, n_new, page_size * n_kv)
+        vs = vs.reshape(n_layers, n_new, page_size * n_kv)
         return kp, vp, ks, vs
     return f
 

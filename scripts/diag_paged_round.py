@@ -100,7 +100,7 @@ def main():
     row_len = jnp.full((B,), ctx, jnp.int32)
     budget = jnp.full((B,), 10 ** 6, jnp.int32)
     active = jnp.ones((B,), bool)
-    out = decode(params, paged, tables, row_len, tok, budget, active, key)
+    out = decode(params["llama"], paged, tables, row_len, tok, budget, active, key)
     paged_new, tok2, row_len, budget, active, toks, _, _ = out
     sync(toks)
     times = []
@@ -109,7 +109,8 @@ def main():
         # by `steps` per call; capacity has headroom for 5 calls)
         t0 = time.perf_counter()
         (paged_new, tok2, row_len, budget, active, toks, _, _) = decode(
-            params, paged_new, tables, row_len, tok2, budget, active, key)
+            params["llama"], paged_new, tables, row_len, tok2, budget,
+            active, key)
         sync(toks)
         times.append((time.perf_counter() - t0) / steps * 1e3)
     paged_ms = float(np.median(times))
@@ -124,8 +125,8 @@ def main():
         with jax.profiler.trace(outdir):
             for _ in range(2):
                 (paged_new, tok2, row_len, budget, active, toks, _, _) = \
-                    decode(params, paged_new, tables, row_len, tok2,
-                           budget, active, key)
+                    decode(params["llama"], paged_new, tables, row_len,
+                           tok2, budget, active, key)
             sync(toks)
         print(f"trace written to {outdir}", flush=True)
 

@@ -170,7 +170,9 @@ def test_paged_batcher_int8_kv_pool():
             if name == "int8":
                 assert b.paged.k.dtype == jnp.int8
                 assert b.paged.k_scale is not None
-                assert b.paged.k_scale.shape == b.paged.k.shape[:-1]
+                # flat (L, n_pages, page*n_kv) storage — see PagedKVCache
+                L, P, page, n_kv, _ = b.paged.k.shape
+                assert b.paged.k_scale.shape == (L, P, page * n_kv)
             req = b.submit(ids, px, numtoks=4, max_new_tokens=6)
             outs[name] = np.concatenate(list(b.stream(req)))
         finally:
