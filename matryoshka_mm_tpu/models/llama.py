@@ -181,14 +181,27 @@ class KVCache(NamedTuple):
 
     With ``kv_cache_dtype='int8'`` the k/v buffers hold int8 values and
     ``k_scale``/``v_scale`` the per-(layer, batch, slot, kv-head) absmax
-    dequantization scales; bf16 caches leave the scales None."""
+    dequantization scales; bf16 caches leave the scales None.
+
+    The scale buffers are stored FLAT — ``(n_layers, B, S_max * n_kv)``
+    with flat index ``slot * n_kv + head`` — for the same reason the
+    paged pools' scales are (serve/paged_cache.PagedKVCache): the flash
+    decode kernel consumes lane-aligned flat scale blocks, and with 4-D
+    storage XLA materialized a layout-converting copy of both full scale
+    buffers every decode layer (~2.9 ms/step at 7B b8 — the entire
+    measured "int8-KV throughput cost" of round 4).  Flat 3-D storage
+    shares one natural layout between the slot writes and the kernel
+    operands.  Under tensor parallelism the flat axis is sharded
+    contiguously per device (parallel/tp_decode._cache_spec); the global
+    array is then shard-major rather than slot-major, which is fine —
+    only the same shard_mapped functions ever consume it."""
 
     k: jnp.ndarray          # (n_layers, B, S_max, n_kv, Dh)
     v: jnp.ndarray          # (n_layers, B, S_max, n_kv, Dh)
     valid: jnp.ndarray      # (B, S_max) bool — filled & attendable slots
     positions: jnp.ndarray  # (B, S_max) int32 — absolute position per slot
     write_idx: jnp.ndarray  # () int32 — next slot to fill
-    k_scale: Optional[jnp.ndarray] = None   # (n_layers, B, S_max, n_kv) f32
+    k_scale: Optional[jnp.ndarray] = None   # (n_layers, B, S_max*n_kv) f32
     v_scale: Optional[jnp.ndarray] = None
 
 
@@ -205,8 +218,12 @@ def init_kv_cache(cfg: LlamaConfig, batch: int, capacity: int,
         valid=jnp.zeros((batch, capacity), bool),
         positions=jnp.zeros((batch, capacity), jnp.int32),
         write_idx=jnp.zeros((), jnp.int32),
-        k_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
-        v_scale=jnp.zeros(shape[:-1], jnp.float32) if int8 else None,
+        k_scale=(jnp.zeros((shape[0], batch,
+                            capacity * cfg.num_key_value_heads), jnp.float32)
+                 if int8 else None),
+        v_scale=(jnp.zeros((shape[0], batch,
+                            capacity * cfg.num_key_value_heads), jnp.float32)
+                 if int8 else None),
     )
 
 
@@ -427,10 +444,15 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
         if kv_int8:
             k_slots, ks_slots = _quantize_kv_slots(k_slots)
             v_slots, vs_slots = _quantize_kv_slots(v_slots)
+            # flat (slot*n_kv+head) scale storage — see KVCache; the S
+            # new slots' scales are contiguous in the flat axis
+            n_kv = ks_slots.shape[3]
             cache_ks = jax.lax.dynamic_update_slice(
-                cache_ks, ks_slots, (li, 0, write_idx, 0))
+                cache_ks, ks_slots.reshape(1, B, S * n_kv),
+                (li, 0, write_idx * n_kv))
             cache_vs = jax.lax.dynamic_update_slice(
-                cache_vs, vs_slots, (li, 0, write_idx, 0))
+                cache_vs, vs_slots.reshape(1, B, S * n_kv),
+                (li, 0, write_idx * n_kv))
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
@@ -459,11 +481,14 @@ def _layer_forward(layer_params, hidden, *, cfg: LlamaConfig, cos, sin,
             if kv_int8:
                 # dequantize this layer's slice for the XLA path (prefill
                 # is compute-bound; the extra bf16 materialization is in
-                # the noise there)
+                # the noise there).  Flat scales reshape back to
+                # (B, S, n_kv) — a bitcast.
                 cks = jax.lax.dynamic_index_in_dim(cache_ks, li, 0,
                                                    keepdims=False)
                 cvs = jax.lax.dynamic_index_in_dim(cache_vs, li, 0,
                                                    keepdims=False)
+                cks = cks.reshape(ck.shape[:3])
+                cvs = cvs.reshape(cv.shape[:3])
                 ck = (ck.astype(jnp.float32)
                       * cks[..., None]).astype(hidden.dtype)
                 cv = (cv.astype(jnp.float32)
@@ -540,10 +565,13 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
         if kv_int8:
             k_slots, ks_slots = _quantize_kv_slots(k_slots)
             v_slots, vs_slots = _quantize_kv_slots(v_slots)
+            # flat (slot*n_kv+head) scale storage — see KVCache
             cache_ks = jax.lax.dynamic_update_slice(
-                cache_ks, ks_slots, (li, 0, write_idx, 0))
+                cache_ks, ks_slots.reshape(1, B, S * H),
+                (li, 0, write_idx * H))
             cache_vs = jax.lax.dynamic_update_slice(
-                cache_vs, vs_slots, (li, 0, write_idx, 0))
+                cache_vs, vs_slots.reshape(1, B, S * H),
+                (li, 0, write_idx * H))
         cache_k = jax.lax.dynamic_update_slice(
             cache_k, k_slots.astype(cache_k.dtype), (li, 0, write_idx, 0, 0))
         cache_v = jax.lax.dynamic_update_slice(
@@ -552,9 +580,11 @@ def _mpt_layer_forward(layer_params, hidden, *, cfg: LlamaConfig,
         cv = jax.lax.dynamic_index_in_dim(cache_v, li, 0, keepdims=False)
         if kv_int8:
             cks = jax.lax.dynamic_index_in_dim(cache_ks, li, 0,
-                                               keepdims=False)
+                                               keepdims=False).reshape(
+                                                   ck.shape[:3])
             cvs = jax.lax.dynamic_index_in_dim(cache_vs, li, 0,
-                                               keepdims=False)
+                                               keepdims=False).reshape(
+                                                   cv.shape[:3])
             ck = (ck.astype(jnp.float32)
                   * cks[..., None]).astype(hidden.dtype)
             cv = (cv.astype(jnp.float32)

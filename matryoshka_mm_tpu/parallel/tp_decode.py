@@ -210,13 +210,20 @@ def _unstack(tree):
 
 
 def _cache_spec(cache: KVCache, axis: str):
-    """Head-dim sharded k/v (+scales), replicated bookkeeping."""
+    """Head-dim sharded k/v (+scales), replicated bookkeeping.
+
+    The flat (L, B, S*n_kv) scale buffers shard CONTIGUOUSLY on the flat
+    axis: each device's chunk is exactly its local slot*n_kv_local+head
+    flat cache (built inside the shard_map), so the global array is
+    shard-major rather than slot-major — consistent because only these
+    shard_mapped functions produce and consume it (models/llama.KVCache
+    docstring)."""
     kv = P(None, None, None, axis, None)
     return KVCache(
         k=kv, v=kv, valid=P(None, None), positions=P(None, None),
         write_idx=P(),
-        k_scale=None if cache.k_scale is None else P(None, None, None, axis),
-        v_scale=None if cache.v_scale is None else P(None, None, None, axis))
+        k_scale=None if cache.k_scale is None else P(None, None, axis),
+        v_scale=None if cache.v_scale is None else P(None, None, axis))
 
 
 @lru_cache(maxsize=16)

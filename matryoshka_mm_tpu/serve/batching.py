@@ -992,10 +992,10 @@ class ContinuousBatcher:
             write_idx=self.pool.write_idx,
             k_scale=None if self.pool.k_scale is None
             else jax.lax.dynamic_update_slice(self.pool.k_scale,
-                                              cache.k_scale, (0, slot, 0, 0)),
+                                              cache.k_scale, (0, slot, 0)),
             v_scale=None if self.pool.v_scale is None
             else jax.lax.dynamic_update_slice(self.pool.v_scale,
-                                              cache.v_scale, (0, slot, 0, 0)),
+                                              cache.v_scale, (0, slot, 0)),
         )
 
     def _alloc_pages(self, req: _Request, slot: int, T: int) -> bool:

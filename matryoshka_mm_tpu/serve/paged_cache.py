@@ -470,10 +470,12 @@ def _import_prefill_fn(n_pt: int, page_size: int, paged_int8: bool,
         ksr = vsr = None
         if paged_int8:
             if dense_int8:
-                ksr = jnp.roll(ks[:, 0], -pad, axis=1)[:, :T].reshape(
-                    n_layers, n_pt, page_size * Hkv)
-                vsr = jnp.roll(vs[:, 0], -pad, axis=1)[:, :T].reshape(
-                    n_layers, n_pt, page_size * Hkv)
+                # dense scales are flat (L, B, S*Hkv) — roll by whole
+                # slots (pad*Hkv flat elements)
+                ksr = jnp.roll(ks[:, 0], -pad * Hkv, axis=1)[
+                    :, :T * Hkv].reshape(n_layers, n_pt, page_size * Hkv)
+                vsr = jnp.roll(vs[:, 0], -pad * Hkv, axis=1)[
+                    :, :T * Hkv].reshape(n_layers, n_pt, page_size * Hkv)
             else:
                 kr, ksr = _quantize_pages(kr)
                 vr, vsr = _quantize_pages(vr)
@@ -549,12 +551,21 @@ def _import_prefill_group_fn(G: int, n_pt: int, page_size: int,
         if paged_int8:
             Hkv = k.shape[3]
             if dense_int8:
-                ksr, vsr = compact(ks), compact(vs)
+                # dense scales are flat (L, G, S*Hkv): roll by whole
+                # slots, then page the flat axis directly
+                def compact_flat(x):
+                    rolled = jax.vmap(
+                        lambda row, pad: jnp.roll(row, -pad * Hkv, axis=1),
+                        in_axes=(1, 0), out_axes=1)(x, pads)[:, :, :T * Hkv]
+                    return rolled.reshape(n_layers, G * n_pt,
+                                          page_size * Hkv)
+
+                ksr, vsr = compact_flat(ks), compact_flat(vs)
             else:
                 kr, ksr = _quantize_pages(kr)
                 vr, vsr = _quantize_pages(vr)
-            ksr = ksr.reshape(n_layers, G * n_pt, page_size * Hkv)
-            vsr = vsr.reshape(n_layers, G * n_pt, page_size * Hkv)
+                ksr = ksr.reshape(n_layers, G * n_pt, page_size * Hkv)
+                vsr = vsr.reshape(n_layers, G * n_pt, page_size * Hkv)
         flat = idx.reshape(-1)
         return PagedKVCache(
             k=paged.k.at[:, flat].set(kr.astype(paged.k.dtype)),
