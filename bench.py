@@ -116,7 +116,7 @@ def _spread_pct(xs):
     return float((xs.max() - xs.min()) / np.median(xs) * 100.0)
 
 
-def _train_bench(scales, T, B, label, lora_7b=False):
+def _train_bench(scales, T, B, label, lora_7b=False, uniform_buffer=False):
     import jax
     import jax.numpy as jnp
 
@@ -165,7 +165,7 @@ def _train_bench(scales, T, B, label, lora_7b=False):
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
         opt_cfg = OptimizerConfig(total_steps=10)
     state, tx = create_train_state(params, opt_cfg)
-    step = make_train_step(cfg, tx, donate=True)
+    step = make_train_step(cfg, tx, donate=True, uniform_buffer=uniform_buffer)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 31000, (B, T)).astype(np.int32)
@@ -218,7 +218,8 @@ def _train_bench(scales, T, B, label, lora_7b=False):
     }
 
 
-def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None):
+def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None,
+                      uniform_buffer=False):
     """Run a train config, halving B on failure (the 16GB single chip
     cannot fit the reference's per-device B=4 at T>=1024 — measured
     18.3GB HBM vs 15.75GB — and the tunneled runtime surfaces that OOM
@@ -228,7 +229,10 @@ def _train_bench_safe(scales, T, B, label, lora_7b=False, note=None):
     while B >= 1:
         try:
             full = f"{label}, B={B}, remat"
-            out = _train_bench(scales, T, B, full, lora_7b=lora_7b)
+            if uniform_buffer:
+                full += ", uniform-buffer"
+            out = _train_bench(scales, T, B, full, lora_7b=lora_7b,
+                               uniform_buffer=uniform_buffer)
             if errors:
                 out["fallback"] = errors
             if note:
@@ -711,8 +715,14 @@ def main():
     # reference's per-device B=4 is halved on OOM for the 16GB chip);
     # plus a 7B QLoRA on-chip feasibility step (README.md:253).
     # --------------------------------------------------------------
+    # uniform_buffer: the capacity-bucketed forward's heterogeneous temps
+    # fragment the TPU allocator 44% at this shape and OOM at B=4 (the
+    # round-4 `remote_compile HTTP 500` fallback, root-caused round 5 —
+    # deterministic 17.98G>15.75G compile OOM); the uniform single-bucket
+    # forward fits B=4 and restores the round-3 comparability config.
     results["train"] = _train_bench_safe(
-        [1, 36, 144], 256, 4, "1.1B llama + ViT-L, K=3 scales, T=256")
+        [1, 36, 144], 256, 4, "1.1B llama + ViT-L, K=3 scales, T=256",
+        uniform_buffer=True)
     # B pinned to 2 at K=5: the reference per-device B=4 needs 18.3GB HBM
     # at T=1024 (measured via the memory probe) vs 15.75GB on this chip,
     # and the failed compile costs minutes per bench run — the halving

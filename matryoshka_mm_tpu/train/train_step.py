@@ -182,14 +182,24 @@ def _weighted_from_ce(ce, valid, w, lm_loss_type):
 
 
 def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
-            argmaxcost_ema: Optional[jnp.ndarray] = None
+            argmaxcost_ema: Optional[jnp.ndarray] = None,
+            uniform_buffer: bool = False
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full M3(+MoE) objective.  Returns (loss, metrics dict).
 
     Loss composition mirrors llava_llama.py:307-346 + llava_trainer.py:
     454-794, including objectives that *replace* the base loss (bounderr,
     lmlossaddcost) vs those that *add* (distil, load-balance terms).
-    """
+
+    ``uniform_buffer`` forces the single-bucket forward (every scale
+    padded to the largest capacity).  The default capacity-bucketed
+    forward saves the padding FLOPs, but its heterogeneous per-bucket
+    temporaries fragment the TPU allocator — measured 44% HLO-temp
+    fragmentation (5.35G wasted) at K=3/T=256/B=4, a deterministic
+    compile-time OOM where the uniform buffer fits with room to spare
+    (round-4's opaque `remote_compile HTTP 500` fallback, root-caused in
+    round 5).  At small T the padding cost is modest, so uniform is the
+    right trade; at T>=1024 bucketing wins and B=2 fits either way."""
     scales = cfg.tokscale_list
     K = len(scales)
     lm_loss_type = cfg.preset.lm_loss_type
@@ -202,8 +212,10 @@ def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
                                                                  "weightedlm"))
         need_logits = obj_probe in ("distil", "distilpickteacher")
 
+    out_len = (splice_capacity(cfg, batch.input_ids.shape[1], max(scales))
+               if uniform_buffer else None)
     logits, labels, gating_prob, losses_lm, ce, valid = multiscale_forward(
-        params, cfg, batch, need_logits=need_logits)
+        params, cfg, batch, need_logits=need_logits, out_len=out_len)
     metrics: Dict[str, jnp.ndarray] = {}
 
     losses_lm_reduced = losses_lm.mean(axis=0)  # (K,) unweighted per-scale

@@ -60,6 +60,24 @@ def test_bucketed_forward_matches_uniform_buffer():
                                rtol=2e-5, atol=2e-5)
 
 
+def test_m3_loss_uniform_buffer_knob_matches_bucketed():
+    """The `uniform_buffer` train-step knob (round 5: the bucketed
+    forward's heterogeneous temps fragment the TPU allocator and OOM at
+    K=3/T=256/B=4, where the uniform buffer fits) must be a pure memory/
+    padding trade: identical loss and metrics."""
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    loss_b, met_b = m3_loss(params, cfg, batch)
+    loss_u, met_u = m3_loss(params, cfg, batch, uniform_buffer=True)
+    np.testing.assert_allclose(np.asarray(loss_b), np.asarray(loss_u),
+                               rtol=2e-5, atol=2e-5)
+    for k in met_b:
+        np.testing.assert_allclose(np.asarray(met_b[k]),
+                                   np.asarray(met_u[k]),
+                                   rtol=2e-5, atol=2e-5, err_msg=k)
+
+
 def test_m3_loss_plain_equals_mean_of_scales():
     """Without MoE, loss == mean over scales of per-scale LM loss
     (llava_llama.py:327-329 with K divisor)."""
