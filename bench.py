@@ -150,11 +150,18 @@ def _train_bench(scales, T, B, label, lora_7b=False, uniform_buffer=False):
         opt_cfg = OptimizerConfig(total_steps=10, lora_enable=True)
     else:
         # ~1.1B decoder (2048 hidden, 16 layers) + ViT-L tower
+        # remat policy: save the flash-attention outputs (out + lse) so
+        # the backward skips re-running the flash fwd kernel — together
+        # with frozen_vision (which pays for the saved buffers) this is
+        # the round-5 train-MFU win: T=2048 0.400 -> 0.439, T=1024
+        # 0.437 -> 0.474 measured.  Every richer save set (names:attn,
+        # dots) OOMs at these shapes; attn_o fits but measures slower.
         cfg = LlavaConfig(
             llama=LlamaConfig(hidden_size=2048, intermediate_size=5504,
                               num_hidden_layers=16, num_attention_heads=16,
                               num_key_value_heads=16, vocab_size=32000,
-                              dtype="bfloat16", remat=True),
+                              dtype="bfloat16", remat=True,
+                              remat_policy="names:flash_out,flash_lse"),
             vision=ClipVisionConfig.vit_l_14_336(dtype="bfloat16"),
             preset=M3Preset(
                 matryoshka_vis_token_scale=f"ver=v0_numtoks={scale_str}",
@@ -165,7 +172,10 @@ def _train_bench(scales, T, B, label, lora_7b=False, uniform_buffer=False):
         params = init_llava_params(jax.random.PRNGKey(0), cfg)
         opt_cfg = OptimizerConfig(total_steps=10)
     state, tx = create_train_state(params, opt_cfg)
-    step = make_train_step(cfg, tx, donate=True, uniform_buffer=uniform_buffer)
+    # the CLIP tower is frozen in every bench recipe (reference default):
+    # frozen_vision skips its backward instead of zeroing its grads
+    step = make_train_step(cfg, tx, donate=True, uniform_buffer=uniform_buffer,
+                           frozen_vision=True)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 31000, (B, T)).astype(np.int32)
@@ -191,8 +201,10 @@ def _train_bench(scales, T, B, label, lora_7b=False, uniform_buffer=False):
     # MFU: decoder matmuls 6*P*tokens (fwd+bwd) over all scale-sequences,
     # causal attention 6*h*L_layers*sum(S_k^2) per sample (2*S^2*h fwd per
     # layer after the causal 1/2, x3 for fwd+bwd), and the vision tower
-    # encoding each image once.  Remat recompute flops are NOT counted
-    # (standard model-flops MFU).  v5e bf16 peak: 197 TFLOP/s.
+    # encoding each image once — FORWARD-ONLY (2*P_vit): the tower is
+    # frozen and frozen_vision skips its backward, exactly like the
+    # reference's requires_grad=False CLIP.  Remat recompute flops are
+    # NOT counted (standard model-flops MFU).  v5e bf16 peak: 197 TFLOP/s.
     def _count(tree):
         return sum(x.size for x in jax.tree_util.tree_leaves(tree)
                    if hasattr(x, "dtype")
@@ -208,7 +220,7 @@ def _train_bench(scales, T, B, label, lora_7b=False, uniform_buffer=False):
     h = cfg.llama.hidden_size
     n_layers = cfg.llama.num_hidden_layers
     attn_flops = 6.0 * h * n_layers * B * sum(s * s for s in seq_lens)
-    flops = 6.0 * p_llm * toks + attn_flops + 6.0 * p_vit * n_patches * B
+    flops = 6.0 * p_llm * toks + attn_flops + 2.0 * p_vit * n_patches * B
     peak = 197e12
     return {
         "config": label,

@@ -324,7 +324,11 @@ def train(attn_implementation: str = "flash"):
             tx = optax.MultiSteps(
                 tx, training_args.gradient_accumulation_steps)
             state = state._replace(opt_state=tx.init(state.params))
-        step_fn = make_train_step(cfg, tx, donate=True)
+        # frozen CLIP (every recipe except unfreeze_mm_vision_tower):
+        # skip its backward entirely instead of zeroing its grads
+        step_fn = make_train_step(
+            cfg, tx, donate=True,
+            frozen_vision=not model_args.unfreeze_mm_vision_tower)
 
         # ---- sampler ----
         micro_bsz = training_args.per_device_train_batch_size * max(n_dev // tp, 1)

@@ -51,7 +51,8 @@ class M3Batch(NamedTuple):
 
 def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
                        out_len: Optional[int] = None,
-                       need_logits: bool = True
+                       need_logits: bool = True,
+                       frozen_vision: bool = False
                        ) -> Tuple[Optional[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray], jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """One batched forward over all K token scales.
 
@@ -65,7 +66,16 @@ def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
     at ctx 2048+576 with V=32000 (the reference materializes and concats K
     copies of it, llava_llama.py:342).  Only the distillation objectives
     need real logits.
-    """
+
+    ``frozen_vision`` stop-gradients the vision-tower outputs.  The CLIP
+    tower is frozen in every reference recipe except
+    ``unfreeze_mm_vision_tower`` (torch sets requires_grad=False, so the
+    reference never runs the ViT backward); without the stop_gradient,
+    JAX differentiates through the tower and merely ZEROES the grads in
+    the optimizer's frozen group — paying the ViT backward's compute and
+    its saved activations (~0.5GB at B=2) for nothing.  Downstream
+    consumers (projector, router) keep their gradients: they use the
+    features as activations, not as a differentiation path."""
     scales = cfg.tokscale_list
     K = len(scales)
     B, T = batch.input_ids.shape
@@ -73,6 +83,8 @@ def multiscale_forward(params: dict, cfg: LlavaConfig, batch: M3Batch,
 
     # ---- vision once ----
     outs = encode_images(params, cfg, batch.pixel_values)
+    if frozen_vision:
+        outs = jax.tree.map(jax.lax.stop_gradient, outs)
     feats = outs["patch"]
     if cfg.preset.projector_loc == "after_vision_tower":
         feats = apply_projector(params["mm_projector"], cfg.mm_projector_type, feats)
@@ -183,7 +195,8 @@ def _weighted_from_ce(ce, valid, w, lm_loss_type):
 
 def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
             argmaxcost_ema: Optional[jnp.ndarray] = None,
-            uniform_buffer: bool = False
+            uniform_buffer: bool = False,
+            frozen_vision: bool = False
             ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Full M3(+MoE) objective.  Returns (loss, metrics dict).
 
@@ -215,7 +228,8 @@ def m3_loss(params: dict, cfg: LlavaConfig, batch: M3Batch,
     out_len = (splice_capacity(cfg, batch.input_ids.shape[1], max(scales))
                if uniform_buffer else None)
     logits, labels, gating_prob, losses_lm, ce, valid = multiscale_forward(
-        params, cfg, batch, need_logits=need_logits, out_len=out_len)
+        params, cfg, batch, need_logits=need_logits, out_len=out_len,
+        frozen_vision=frozen_vision)
     metrics: Dict[str, jnp.ndarray] = {}
 
     losses_lm_reduced = losses_lm.mean(axis=0)  # (K,) unweighted per-scale

@@ -50,20 +50,27 @@ def create_train_state(params, opt_cfg: OptimizerConfig
 
 
 def make_train_step(cfg: LlavaConfig, tx: optax.GradientTransformation,
-                    donate: bool = True, uniform_buffer: bool = False):
+                    donate: bool = True, uniform_buffer: bool = False,
+                    frozen_vision: bool = False):
     """Build the jitted (state, batch) -> (state, metrics) update.
 
     ``uniform_buffer`` pads every scale to one shared buffer length
     instead of capacity buckets — trades padding FLOPs for a
     fragmentation-free memory footprint (see m3_loss; at small T the
     bucketed variant's heterogeneous temps OOM the allocator at batch
-    sizes the uniform buffer fits easily)."""
+    sizes the uniform buffer fits easily).
+
+    ``frozen_vision`` skips the vision-tower backward entirely
+    (stop_gradient on its outputs) — set it when the CLIP tower sits in
+    the optimizer's frozen group (every reference recipe except
+    unfreeze_mm_vision_tower); see m3_loss."""
 
     def step_fn(state: TrainState, batch: M3Batch):
         def loss_fn(params):
             return m3_loss(params, cfg, batch,
                            argmaxcost_ema=state.argmaxcost_ema,
-                           uniform_buffer=uniform_buffer)
+                           uniform_buffer=uniform_buffer,
+                           frozen_vision=frozen_vision)
 
         # fused Pallas dequant-matmuls are forward-only (no AD rule):
         # QLoRA/adapter steps over quantized bases must trace the

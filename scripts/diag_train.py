@@ -5,6 +5,7 @@ config variants and optionally profile one step.
     python scripts/diag_train.py B=4               # post-CE-remat memory try
     python scripts/diag_train.py B=2 policy=dots   # partial remat
     python scripts/diag_train.py B=2 profile=1     # + trace breakdown
+    python scripts/diag_train.py B=2 frozen=0      # keep the ViT backward
 
 Prints step time and the same MFU the bench computes, so results are
 directly comparable with BENCH `train_k5_t2048`.
@@ -56,7 +57,8 @@ def main():
     t0 = time.perf_counter()
     params = init_llava_params(jax.random.PRNGKey(0), cfg)
     state, tx = create_train_state(params, OptimizerConfig(total_steps=10))
-    step = make_train_step(cfg, tx, donate=True)
+    frozen_vision = kv.get("frozen", "1") not in ("", "0")
+    step = make_train_step(cfg, tx, donate=True, frozen_vision=frozen_vision)
 
     rng = np.random.default_rng(0)
     ids = rng.integers(5, 31000, (B, T)).astype(np.int32)
@@ -91,7 +93,8 @@ def main():
     n_patches = (cfg.vision.image_size // cfg.vision.patch_size) ** 2 + 1
     h, n_layers = cfg.llama.hidden_size, cfg.llama.num_hidden_layers
     attn_flops = 6.0 * h * n_layers * B * sum(s * s for s in seq_lens)
-    flops = 6.0 * p_llm * toks + attn_flops + 6.0 * p_vit * n_patches * B
+    vit_mult = 2.0 if frozen_vision else 6.0   # fwd-only when frozen
+    flops = 6.0 * p_llm * toks + attn_flops + vit_mult * p_vit * n_patches * B
     print(f"B={B} T={T} policy={policy or 'full'}: "
           f"step {dt:.3f}s  {toks / dt:.0f} tok/s  "
           f"MFU {flops / dt / 197e12:.3f}", flush=True)

@@ -78,6 +78,29 @@ def test_m3_loss_uniform_buffer_knob_matches_bucketed():
                                    rtol=2e-5, atol=2e-5, err_msg=k)
 
 
+def test_frozen_vision_same_loss_zero_vision_grads():
+    """frozen_vision must not change the loss value (it only cuts the
+    differentiation path INTO the tower) and must zero the vision-tower
+    grads while keeping projector/backbone grads alive."""
+    cfg = LlavaConfig.tiny_debug()
+    params = init_llava_params(jax.random.PRNGKey(0), cfg)
+    batch = _batch(cfg)
+    loss_a, _ = m3_loss(params, cfg, batch)
+    loss_f, _ = m3_loss(params, cfg, batch, frozen_vision=True)
+    np.testing.assert_allclose(np.asarray(loss_a), np.asarray(loss_f),
+                               rtol=1e-6, atol=1e-6)
+
+    g = jax.grad(lambda p: m3_loss(p, cfg, batch, frozen_vision=True)[0])(
+        params)
+    vt = jax.tree_util.tree_leaves(g["vision_tower"])
+    assert all(float(jnp.abs(x).max()) == 0.0 for x in vt)
+    proj_norm = sum(float(jnp.abs(x).sum())
+                    for x in jax.tree_util.tree_leaves(g["mm_projector"]))
+    llm_norm = sum(float(jnp.abs(x).sum())
+                   for x in jax.tree_util.tree_leaves(g["llama"]))
+    assert proj_norm > 0 and llm_norm > 0
+
+
 def test_m3_loss_plain_equals_mean_of_scales():
     """Without MoE, loss == mean over scales of per-scale LM loss
     (llava_llama.py:327-329 with K divisor)."""
