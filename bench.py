@@ -493,6 +493,19 @@ def _cpu_reference_tok_s(cfg, n_steps: int = 2):
 
 
 def main():
+    dev = _probe_devices()
+    results = _Heartbeat({"device": str(dev), "platform": dev.platform})
+    _start_watchdog(results)
+    try:
+        _main_sections(dev.platform, results)
+    except Exception as e:  # noqa: BLE001
+        # one crashed section must not cost the whole round's record:
+        # emit everything measured so far plus the error
+        _emit(results, error=f"{type(e).__name__}: {str(e)[:300]}")
+        raise
+
+
+def _main_sections(platform, results):
     import jax
     import jax.numpy as jnp
 
@@ -500,11 +513,6 @@ def main():
     from matryoshka_mm_tpu.generate import GenerationConfig, _decode_chunk_fn, _prefill_fn
     from matryoshka_mm_tpu.models.clip import ClipVisionConfig, clip_vision_forward, init_clip_params
     from matryoshka_mm_tpu.models.llava import LlavaConfig, init_llava_params
-
-    dev = _probe_devices()
-    platform = dev.platform
-    results = _Heartbeat({"device": str(dev), "platform": platform})
-    _start_watchdog(results)
 
     # --------------------------------------------------------------
     # 0) HBM bandwidth calibration: a bare Pallas read/copy kernel with
@@ -675,11 +683,23 @@ def main():
             results["serving_sustained"] = _serving_sustained_bench(
                 batcher, roof_tok_s=roof, rate_mult=1.2)
             # sub-saturation SLA point: steady-state TTFT is system
-            # quality here, not arrival-rate queueing math
+            # quality here, not arrival-rate queueing math.  "0.8x load"
+            # means 80% of the MEASURED sustained capacity (the queueing
+            # utilization rho=0.8), not 80% of the raw decode roof — the
+            # roof excludes prefill work, so 0.8x roof can still exceed
+            # real capacity and measure pure queue growth.
+            cap = (results["serving_sustained"].get("throughput_tok_s")
+                   or roof)
             results["serving_sla"] = _serving_sustained_bench(
-                batcher, roof_tok_s=roof, rate_mult=0.8, n_requests=48)
+                batcher, roof_tok_s=roof, rate_mult=0.8 * cap / roof,
+                n_requests=48)
+            results["serving_sla"]["note"] = (
+                "Poisson arrivals at 0.8x the MEASURED sustained "
+                "capacity (rho=0.8); roof_tok_s/fraction kept for "
+                "reference only")
         finally:
             batcher.shutdown()
+            batcher = None
     except Exception as e:  # noqa: BLE001
         results.setdefault("serving", {"error": str(e)[:200]})
         results["serving_error"] = str(e)[:200]
@@ -693,6 +713,7 @@ def main():
                 spec, n_requests=18, max_new=64)
         finally:
             spec.shutdown()
+            spec = None
     except Exception as e:  # noqa: BLE001
         results["serving_speculative"] = {"error": str(e)[:200]}
     del params
@@ -705,8 +726,25 @@ def main():
     # --------------------------------------------------------------
     from matryoshka_mm_tpu.ops.quant import quantize_llama_params_int4
 
-    params = init_llava_params(jax.random.PRNGKey(0), cfg)
-    params["llama"] = quantize_llama_params_int4(params["llama"], inplace=True)
+    def _init_quant_int4():
+        p = init_llava_params(jax.random.PRNGKey(0), cfg)
+        p["llama"] = quantize_llama_params_int4(p["llama"], inplace=True)
+        return p
+
+    # the `del params` above frees the serving-section weights through
+    # the tunnel ASYNCHRONOUSLY; a fresh 13.5GB bf16 init can race the
+    # deallocation and land on a still-occupied device (observed as a
+    # runtime ResourceExhausted mid-quantize) — settle and retry
+    params = None
+    for attempt in range(4):
+        try:
+            params = _init_quant_int4()
+            break
+        except Exception as e:  # noqa: BLE001
+            if "RESOURCE_EXHAUSTED" not in str(e) or attempt == 3:
+                raise
+            results[f"int4_init_retry_{attempt}"] = str(e)[:80]
+            time.sleep(20.0 * (attempt + 1))
     k4 = "pallas_fused_int4 (split-half e8m, ops/int4_matmul.py)"
     for B, tag in ((1, "int4_decode_tok_s_b1"), (4, "int4_decode_tok_s_b4"),
                    (8, "int4_decode_tok_s_b8")):

@@ -33,20 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _read_kernel(x_ref, o_ref, acc_ref, *, n_blocks: int):
-    i = pl.program_id(0)
+def _read_kernel(x_ref, o_ref, acc_ref, *, n_blocks: int, reps: int):
+    r, i = pl.program_id(0), pl.program_id(1)
 
-    @pl.when(i == 0)
+    @pl.when((r == 0) & (i == 0))
     def _():
         acc_ref[:] = jnp.zeros_like(acc_ref)
 
-    # fold the block into an (8, 128) accumulator: a handful of VPU adds
-    # per 128 lanes — orders of magnitude under the DMA time, but enough
-    # that Mosaic must actually materialize every block in VMEM
-    blk = x_ref[...].astype(jnp.float32)
-    acc_ref[:] += blk.reshape(-1, 8, 128).sum(axis=0)
+    # fold only 8 ROWS of the block into the accumulator: the BlockSpec
+    # DMAs the whole (bm, k) window regardless of how much the kernel
+    # touches, so this keeps Mosaic honest about the loads while the VPU
+    # work stays negligible next to the DMA (a full-block convert+reduce
+    # was measured COMPUTE-bound at int8 streaming rates: 230 GB/s)
+    blk = x_ref[0:8, :].astype(jnp.float32)        # (8, k)
+    acc_ref[:] += jnp.sum(blk, axis=0)[None, :]
 
-    @pl.when(i == n_blocks - 1)
+    @pl.when((r == reps - 1) & (i == n_blocks - 1))
     def _():
         o_ref[:] = acc_ref[:]
 
@@ -55,29 +57,40 @@ def _copy_kernel(x_ref, o_ref):
     o_ref[...] = x_ref[...]
 
 
-@functools.partial(jax.jit, static_argnames=("bm",))
-def _read_once(x, bm: int = 2048):
+# Block geometry: (bm, k) int8 blocks must fit VMEM (~16MB/core) with
+# double buffering — bm=256 x k=8192 = 2MB/block leaves room for the
+# bf16 conversion temp and the pipeline's second buffer.  The outer
+# ``reps`` grid dimension re-streams the whole array inside ONE program:
+# a single pass (512MB at ~640GB/s = 0.8ms) would be swamped by the
+# ~30ms per-call dispatch+fetch latency of the tunneled platform
+# (measured 19 GB/s "bandwidth" — pure round-trip).
+@functools.partial(jax.jit, static_argnames=("bm", "reps"))
+def _read_once(x, bm: int = 256, reps: int = 16):
     m, k = x.shape
     n_blocks = m // bm
     return pl.pallas_call(
-        functools.partial(_read_kernel, n_blocks=n_blocks),
-        grid=(n_blocks,),
-        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((8, 128), lambda i: (0, 0)),
-        out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
-        scratch_shapes=[pltpu.VMEM((8, 128), jnp.float32)],
+        functools.partial(_read_kernel, n_blocks=n_blocks, reps=reps),
+        grid=(reps, n_blocks),
+        in_specs=[pl.BlockSpec((bm, k), lambda r, i: (i, 0))],
+        out_specs=pl.BlockSpec((1, k), lambda r, i: (0, 0)),
+        out_shape=jax.ShapeDtypeStruct((1, k), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((1, k), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(x)
 
 
-@functools.partial(jax.jit, static_argnames=("bm",))
-def _copy_once(x, bm: int = 2048):
+@functools.partial(jax.jit, static_argnames=("bm", "reps"))
+def _copy_once(x, bm: int = 256, reps: int = 16):
     m, k = x.shape
     return pl.pallas_call(
         _copy_kernel,
-        grid=(m // bm,),
-        in_specs=[pl.BlockSpec((bm, k), lambda i: (i, 0))],
-        out_specs=pl.BlockSpec((bm, k), lambda i: (i, 0)),
+        grid=(reps, m // bm),
+        in_specs=[pl.BlockSpec((bm, k), lambda r, i: (i, 0))],
+        out_specs=pl.BlockSpec((bm, k), lambda r, i: (i, 0)),
         out_shape=jax.ShapeDtypeStruct((m, k), x.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary")),
     )(x)
 
 
@@ -93,25 +106,40 @@ def _time_fn(fn, *args, iters: int = 8):
     return float(np.median(times))
 
 
-def hbm_read_gb_s(mb: int = 512, bm: int = 2048, k: int = 8192,
-                  iters: int = 8) -> float:
+def _two_point(once_fn, x, bytes_per_pass: int, bm: int, iters: int,
+               r_lo: int = 16, r_hi: int = 64) -> float:
+    """Marginal GB/s between an ``r_lo``- and an ``r_hi``-pass program.
+
+    The tunneled platform adds a large, VARIABLE per-call constant
+    (measured 8-26 ms dispatch+fetch depending on the hour), so a single
+    absolute timing under-reports bandwidth by whatever the constant is
+    that day.  The difference of two program sizes cancels the constant:
+    bw = (r_hi - r_lo) * bytes / (dt_hi - dt_lo)."""
+    dt_lo = _time_fn(functools.partial(once_fn, bm=bm, reps=r_lo), x,
+                     iters=iters)
+    dt_hi = _time_fn(functools.partial(once_fn, bm=bm, reps=r_hi), x,
+                     iters=iters)
+    return (r_hi - r_lo) * bytes_per_pass / max(dt_hi - dt_lo, 1e-9) / 1e9
+
+
+def hbm_read_gb_s(mb: int = 512, bm: int = 256, k: int = 8192,
+                  iters: int = 4) -> float:
     """Best sustained HBM *read* bandwidth for sequential (bm, k) int8
-    blocks, GB/s (median of ``iters`` timed passes over an ``mb``-MiB
-    array)."""
+    blocks, GB/s (two-point marginal fit over an ``mb``-MiB array —
+    cancels the tunnel's per-call dispatch constant)."""
     m = mb * 1024 * 1024 // k
     m = (m // bm) * bm
     x = jnp.asarray(
         np.random.default_rng(0).integers(-127, 127, (m, k), np.int8))
-    dt = _time_fn(functools.partial(_read_once, bm=bm), x, iters=iters)
-    return m * k / dt / 1e9
+    return _two_point(_read_once, x, m * k, bm, iters)
 
 
-def hbm_copy_gb_s(mb: int = 256, bm: int = 2048, k: int = 8192,
-                  iters: int = 8) -> float:
-    """HBM block-copy bandwidth, counting read+write bytes, GB/s."""
+def hbm_copy_gb_s(mb: int = 256, bm: int = 256, k: int = 8192,
+                  iters: int = 4) -> float:
+    """HBM block-copy bandwidth, counting read+write bytes, GB/s
+    (two-point marginal fit)."""
     m = mb * 1024 * 1024 // k
     m = (m // bm) * bm
     x = jnp.asarray(
         np.random.default_rng(0).integers(-127, 127, (m, k), np.int8))
-    dt = _time_fn(functools.partial(_copy_once, bm=bm), x, iters=iters)
-    return 2 * m * k / dt / 1e9
+    return _two_point(_copy_once, x, 2 * m * k, bm, iters)

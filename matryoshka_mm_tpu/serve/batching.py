@@ -538,6 +538,14 @@ class ContinuousBatcher:
     def shutdown(self):
         self._stop = True
         self._thread.join(timeout=5)
+        # Release the multi-GB device state (params ref, KV pools, LoRA
+        # wrap cache): a shut-down batcher object that stays referenced
+        # (e.g. a bench/driver local) must not pin them — the bench's
+        # int4 section OOM'd the 16GB chip on exactly this (round 5).
+        for attr in ("params", "paged", "pool", "_wrapped_cache",
+                     "_adapter_trees", "lora_pack"):
+            if hasattr(self, attr):
+                setattr(self, attr, None)
 
     # ---- scheduler ----
     def _params_for(self, req: _Request):
